@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational query surface: scan/filter/project/join/agg/window/distinct —
+  * the capabilities the reference exposes through its Raco/Myria frontend
+  * (`/root/reference/src/main/kotlin/.../opt/raco/RacoOperators.kt:110-201`:
+  * Scan/FileScan/Select/Apply/Store) and its ⊕-aggregate machinery, expressed
+  * directly as Catalyst plans so pushdown/pruning/partial-agg are automatic.
+  *
+  * Scale notes: every aggregate here is hash-agg with map-side combine; the
+  * multi-way joins keep dimension tables broadcastable (region/nation/
+  * customer/part are tiny relative to fact tables at any SF); no query
+  * collects or loops on the driver.
+  *
+  * All double-valued outputs are rounded identically in the DuckDB oracle
+  * (see SparkEntry.oracleSql) so hash comparison is robust to fp summation
+  * order across 32 partitions.
+  */
+object RelationalQueries {
+  import Tables._
+
+  /** TPC-H Q1-style scan+aggregate: one pass over the fact table, group on
+    * two low-cardinality keys. At 100 TB this is the canonical map-side
+    * partial-agg query — shuffle carries ~6 groups, not rows.
+    */
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"), // integral values: double sum is exact in any order
+        Num.centsSumExact(col("l_extendedprice")).as("sum_base_price"),
+        Num.e4SumExact(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        (sum(round(col("l_discount") * 100).cast("long")).cast("double") / lit(100.0) / count(lit(1)))
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Filter + projection: predicate and column pruning reach the parquet
+    * scan (verified via explain in RelationalSpec — PushedFilters non-empty).
+    */
+  def filterPushdown(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1995-04-01").cast("timestamp") &&
+              col("l_discount") > lit(0.05))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              Num.e4Exact(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+
+  /** Customer–orders–lineitem 3-way join + aggregate (TPC-H Q3 family).
+    * Build side (customer filtered to one segment) is small → broadcast.
+    */
+  def q3Join(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d)
+    val l = lineitem(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(Num.e4SumExact(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  /** 5-way join through region→nation→customer→orders→lineitem (TPC-H Q5
+    * family): dims broadcast, one shuffle for the final group-by.
+    */
+  def q5MultiJoin(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+    val o = orders(s, d)
+    val c = customer(s, d)
+    val n = nation(s, d)
+    val r = region(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(Num.e4SumExact(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  /** Left-semi / left-anti joins (EXISTS / NOT EXISTS): customers with and
+    * without orders. The reference has no outer/semi joins (SURVEY §2.4) —
+    * this extends the surface with Spark built-ins.
+    */
+  def semiAntiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d).select(col("o_custkey"))
+    val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit(true).as("has_orders"))
+    val noO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit(false).as("has_orders"))
+    withO.unionByName(noO)
+  }
+
+  /** Window functions (absent in the reference, SURVEY §2.6 — added as part
+    * of the complete relational surface): top-3 orders per customer by
+    * (totalprice, orderkey) — deterministic tie-break so the oracle matches.
+    */
+  def windowTopk(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+  }
+
+  /** Running aggregate window over the events stream table: per-user
+    * cumulative value ordered by time (ties broken by event_id).
+    */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("running_value", round(sum(col("value")).over(w), 2))
+      .select(col("user_id"), col("event_id"), col("running_value"))
+  }
+
+  /** Distinct aggregates: suppliers and parts per order. */
+  def distinctAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+           countDistinct(col("l_partkey")).as("n_part"))
+
+  /** Time binning on the events table — the reference's only "window": bin
+    * timestamps to fixed buckets by arithmetic (`sensor/SensorCalc.kt:386-393`,
+    * `examples/sensor/SensorQuery.kt:44-50`, 120 s bins).
+    */
+  def eventsBin(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("bin", (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long"))
+      .groupBy(col("bin"), col("event_type"))
+      .agg(Num.centsSumExact(col("value")).as("sum_value"),
+           count(lit(1)).as("n"))
+
+  /** Set ops beyond Lara's ⊕-union: INTERSECT / EXCEPT on key sets. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val buyers = orders(s, d).select(col("o_custkey").as("custkey")).distinct()
+    val all = customer(s, d).select(col("c_custkey").as("custkey")).distinct()
+    all.except(buyers).withColumn("status", lit("never_ordered"))
+      .unionByName(all.intersect(buyers).withColumn("status", lit("ordered")))
+  }
+
+  /** Grouping sets / rollup (absent in reference, completes the agg surface).
+    * Nulls from rollup are made explicit so the oracle hash matches.
+    */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+              col("sum_qty"), col("n"))
+}

@@ -1,13 +1,241 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is one operator/capability from SURVEY.md §2 (or
+  * the training-data-pipeline extension set); `oracleSql` holds the DuckDB
+  * equivalent for the hash-compare gate. Double-valued outputs are rounded
+  * identically on both sides so the comparison is robust to floating-point
+  * summation order; integer outputs are BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001: the reference's benchmark workload — the
+    * covariance-matrix pipeline (`sensor/SensorCalc.kt:134-144`) on events.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    LaraQueries.covariance(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- Lara core (SURVEY §2.1): Ext / Map / Union / Agg / Join / Rename ---
+    "lara_ext_wordcount" -> LaraQueries.extWordcount _,
+    "lara_map_replace" -> LaraQueries.mapReplace _,
+    "lara_union_plus" -> LaraQueries.unionPlus _,
+    "lara_agg" -> LaraQueries.laraAgg _,
+    "lara_join_times" -> LaraQueries.joinTimes _,
+    "lara_covariance" -> LaraQueries.covariance _,
+    // --- relational surface (SURVEY §2.2-2.6) ---
+    "q1_agg" -> RelationalQueries.q1Agg _,
+    "filter_pushdown" -> RelationalQueries.filterPushdown _,
+    "q3_join" -> RelationalQueries.q3Join _,
+    "q5_multijoin" -> RelationalQueries.q5MultiJoin _,
+    "semi_anti_join" -> RelationalQueries.semiAntiJoin _,
+    "window_topk" -> RelationalQueries.windowTopk _,
+    "window_running" -> RelationalQueries.windowRunning _,
+    "distinct_agg" -> RelationalQueries.distinctAgg _,
+    "events_bin" -> RelationalQueries.eventsBin _,
+    "set_ops" -> RelationalQueries.setOps _,
+    "rollup_agg" -> RelationalQueries.rollupAgg _,
+    // --- training-data pipeline: dedup ---
+    "dedup_exact" -> ((s, d) => pipeline.Dedup.exact(Tables.documents(s, d))),
+    "dedup_minhash" -> ((s, d) => pipeline.Dedup.minhashPairs(Tables.documents(s, d))),
+    "dedup_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      pipeline.Dedup.jaccardVerify(
+        pipeline.Dedup.minhashPairs(docs).select(col("doc_a"), col("doc_b")), docs)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+    "dedup_simhash" -> ((s, d) => pipeline.Dedup.simhashPairs(Tables.documents(s, d))),
+    // --- training-data pipeline: text analysis ---
+    "text_quality" -> ((s, d) => pipeline.TextAnalysis.qualityStats(Tables.documents(s, d))),
+    "text_quality_score" -> ((s, d) => pipeline.TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "text_langid" -> ((s, d) => pipeline.TextAnalysis.langId(Tables.documents(s, d))),
+    "text_fingerprint" -> ((s, d) => pipeline.TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "text_rolling_fp" -> ((s, d) => pipeline.TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
+    // --- training-data pipeline: similarity search ---
+    "ann_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      pipeline.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
+    "ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      pipeline.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
+    "embed_neardup" -> ((s, d) =>
+      pipeline.Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.95, nPlanes = 10)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "lara_ext_wordcount" ->
+      """SELECT word, count(*)::BIGINT AS cnt
+         FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+               FROM documents)
+         GROUP BY word""",
+    "lara_map_replace" ->
+      "SELECT doc_id, replace(text, 'join', 'JOIN') AS msg FROM documents",
+    "lara_union_plus" ->
+      """SELECT l_orderkey, sum(l_quantity) AS qty,
+                sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) / 10000.0 AS net
+         FROM lineitem GROUP BY l_orderkey""",
+    "lara_agg" ->
+      """SELECT user_id, sum(round(value * 100)::BIGINT) / 100.0 AS sum_value,
+                max(value) AS max_value
+         FROM events GROUP BY user_id""",
+    "lara_join_times" ->
+      """SELECT p.p_partkey,
+                round(sum(l.l_quantity) * p.p_retailprice * 100)::BIGINT / 100.0 AS demand_value
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY p.p_partkey, p.p_retailprice""",
+    "lara_covariance" ->
+      """WITH x AS (
+           SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS t, event_type AS c,
+                  avg(value) AS v
+           FROM events GROUP BY 1, 2),
+         m AS (SELECT c, avg(v) AS mean FROM x GROUP BY c),
+         u AS (SELECT t, x.c AS c, x.v - m.mean AS v FROM x JOIN m ON x.c = m.c),
+         nb AS (SELECT count(DISTINCT t) AS n FROM x)
+         SELECT u1.c AS c, u2.c AS c2,
+                round(sum(u1.v * u2.v) / (max(nb.n) - 1.0), 6) AS cov
+         FROM u u1 JOIN u u2 ON u1.t = u2.t, nb
+         WHERE u1.c <= u2.c
+         GROUP BY u1.c, u2.c""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(l_quantity) AS sum_qty,
+                sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS sum_base_price,
+                sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) / 10000.0 AS sum_disc_price,
+                sum(round(l_discount * 100)::BIGINT)::DOUBLE / 100.0 / count(*) AS avg_disc,
+                count(*)::BIGINT AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+                round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT / 10000.0 AS net_price
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate < TIMESTAMP '1995-04-01' AND l_discount > 0.05""",
+    "q3_join" ->
+      """SELECT o.o_orderkey,
+                sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT) / 10000.0 AS revenue,
+                count(*)::BIGINT AS n_lines
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE c.c_mktsegment = 'BUILDING'
+         GROUP BY o.o_orderkey""",
+    "q5_multijoin" ->
+      """SELECT n.n_name,
+                sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT) / 10000.0 AS revenue,
+                count(*)::BIGINT AS n_lines
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY n.n_name""",
+    "semi_anti_join" ->
+      """SELECT c_custkey, TRUE AS has_orders FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)
+         UNION ALL
+         SELECT c_custkey, FALSE AS has_orders FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+    "window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders) WHERE rk <= 3""",
+    "window_running" ->
+      """SELECT user_id, event_id,
+                round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+         FROM events""",
+    "distinct_agg" ->
+      """SELECT l_orderkey, count(DISTINCT l_suppkey)::BIGINT AS n_supp,
+                count(DISTINCT l_partkey)::BIGINT AS n_part
+         FROM lineitem GROUP BY l_orderkey""",
+    "events_bin" ->
+      """SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS bin, event_type,
+                sum(round(value * 100)::BIGINT) / 100.0 AS sum_value, count(*)::BIGINT AS n
+         FROM events GROUP BY 1, 2""",
+    "set_ops" ->
+      """SELECT c_custkey AS custkey, 'never_ordered' AS status FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+         UNION ALL
+         SELECT c_custkey AS custkey, 'ordered' AS status FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
+    "rollup_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                sum(l_quantity) AS sum_qty, count(*)::BIGINT AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+                count(*)::BIGINT AS n_copies
+         FROM documents GROUP BY md5(text)""",
+    "text_quality" ->
+      """SELECT doc_id, length(text)::BIGINT AS n_chars_m,
+                len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+                round(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
+                  greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 4) AS avg_token_len,
+                round(len(list_filter(string_split_regex(text, '\s+'),
+                    x -> x IN ('the','a','of','and','to','in','is','it','for','on')))::DOUBLE /
+                  greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 4) AS stopword_ratio,
+                round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::DOUBLE /
+                  greatest(length(text), 1), 4) AS punct_ratio
+         FROM documents""",
+    "text_quality_score" ->
+      """WITH st AS (
+           SELECT doc_id,
+             round(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is','it','for','on')))::DOUBLE /
+               greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 4) AS stopword_ratio,
+             round(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
+               greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 4) AS avg_token_len,
+             round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::DOUBLE /
+               greatest(length(text), 1), 4) AS punct_ratio
+           FROM documents)
+         SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(-1.0 + stopword_ratio * 8.0 +
+             CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE -1.0 END -
+             punct_ratio * 4.0))), 6) AS quality
+         FROM st""",
+    "text_quality_score" ->
+      """WITH st AS (
+           SELECT doc_id,
+             round(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is','it','for','on')))::DOUBLE /
+               greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 4) AS stopword_ratio,
+             round(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
+               greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 4) AS avg_token_len,
+             round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::DOUBLE /
+               greatest(length(text), 1), 4) AS punct_ratio
+           FROM documents)
+         SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(-1.0 + stopword_ratio * 8.0 +
+             CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE -1.0 END -
+             punct_ratio * 4.0))), 6) AS quality
+         FROM st""",
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+         FROM documents""",
+    "text_langid" ->
+      """WITH s AS (
+           SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+         sc AS (
+           SELECT doc_id,
+             (p LIKE '% the %')::INT + (p LIKE '% and %')::INT + (p LIKE '% of %')::INT + (p LIKE '% is %')::INT AS s_en,
+             (p LIKE '% der %')::INT + (p LIKE '% und %')::INT + (p LIKE '% die %')::INT + (p LIKE '% ist %')::INT AS s_de,
+             (p LIKE '% el %')::INT + (p LIKE '% la %')::INT + (p LIKE '% los %')::INT + (p LIKE '% es %')::INT AS s_es,
+             (p LIKE '% le %')::INT + (p LIKE '% la %')::INT + (p LIKE '% et %')::INT + (p LIKE '% est %')::INT AS s_fr
+           FROM s)
+         SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+                WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                ELSE 'de' END AS lang_pred
+         FROM sc""",
+  )
 }

@@ -1,0 +1,264 @@
+package graft.lara
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** An associative table: a DataFrame plus Lara key/value metadata.
+  *
+  * This is the engine's core abstraction — reference `TupleOp`
+  * (`api/TupleOp.kt:18-33`) re-expressed declaratively: every operator
+  * validates schemas eagerly (like the reference's construction-time
+  * `require`s) and emits a *lazy* DataFrame expression, so Catalyst performs
+  * the pipeline-splitting, sort-elision, pushdown and partial-aggregation
+  * work the reference implements by hand (`api/Lower.kt:63-153`).
+  *
+  * Scale notes (100 TB design stance):
+  *  - No operator here collects to the driver or materializes; everything is
+  *    a Catalyst plan. Shuffles appear only at union/agg/join boundaries.
+  *  - `union` pre-aggregates map-side automatically (hash partial agg).
+  *  - `join` is a plain equi-join on the shared key prefix, so Catalyst is
+  *    free to choose broadcast / shuffle-hash / sort-merge and AQE can
+  *    re-plan at runtime, including skew-join splitting.
+  */
+final case class LaraTable(df: DataFrame, schema: LaraSchema) {
+  import LaraTable._
+
+  require(schema.allNames.forall(df.columns.contains),
+    s"DataFrame columns ${df.columns.toSeq} missing attributes from $schema")
+
+  def keys: Seq[String] = schema.keys
+  def vals: Seq[ValSpec] = schema.vals
+
+  /** Project to exactly the schema's columns in canonical order. */
+  private def canonical(d: DataFrame): DataFrame =
+    d.select(schema.allNames.map(col): _*)
+
+  // ---------------------------------------------------------------- Ext/Map
+
+  /** Ext: per input tuple emit 0..n tuples. Parent keys are kept, `newKeys`
+    * are appended (must be disjoint from parent keys — reference
+    * `api/TupleOp.kt:197-200`), values are replaced by `newVals`.
+    *
+    * `gen` maps the input row's columns to a generator column (typically
+    * `explode(...)` of an array of structs with fields newKeys++newVals).
+    * Using a generator keeps Ext inside whole-stage codegen rather than
+    * falling out to an opaque flatMap.
+    */
+  def ext(newKeys: Seq[String], newVals: Seq[ValSpec], gen: Column): LaraTable = {
+    require(newKeys.intersect(schema.keys).isEmpty,
+      s"ext: new keys $newKeys must be disjoint from parent keys ${schema.keys}")
+    val out = LaraSchema(schema.keys ++ newKeys, newVals)
+    val exploded = df.select(schema.keys.map(col) :+ gen.as("__ext"): _*)
+    val flat = (newKeys ++ newVals.map(_.name)).foldLeft(exploded) {
+      (d, n) => d.withColumn(n, col(s"__ext.$n"))
+    }.drop("__ext")
+    LaraTable(flat.select(out.allNames.map(col): _*), out)
+  }
+
+  /** Map: 1:1 value transform; keys unchanged. Reference `MapFun`
+    * (`api/Schema.kt:255-261`) requires default↦default — callers declare the
+    * new defaults in `newVals` and the ZeroDiscard rewrite relies on them.
+    */
+  def mapVals(newVals: Seq[ValSpec], exprs: Map[String, Column]): LaraTable = {
+    require(newVals.map(_.name).toSet == exprs.keySet,
+      s"mapVals: declared ${newVals.map(_.name)} != computed ${exprs.keySet}")
+    val out = LaraSchema(schema.keys, newVals)
+    val cols = schema.keys.map(col) ++ newVals.map(v => exprs(v.name).cast(v.dataType).as(v.name))
+    LaraTable(df.select(cols: _*), out)
+  }
+
+  /** Filter idiom: the reference filters by mapping to the default tuple and
+    * letting ZeroDiscard drop it (`examples/sensor/SensorQuery.kt:40-42`).
+    * Spark-first, that is just a predicate — pushed down to the scan.
+    */
+  def where(cond: Column): LaraTable = copy(df = df.filter(cond))
+
+  // ----------------------------------------------------------------- Rename
+
+  /** Reference `Rename` (`api/TupleOp.kt:523-567`). */
+  def rename(m: Map[String, String]): LaraTable = {
+    val out = LaraSchema(
+      schema.keys.map(k => m.getOrElse(k, k)),
+      schema.vals.map(v => v.copy(name = m.getOrElse(v.name, v.name))))
+    LaraTable(df.withColumnsRenamed(m), out)
+  }
+
+  // ------------------------------------------------------------------- Sort
+
+  /** Reference `Sort` (`api/TupleOp.kt:569-592`) changes the access path and
+    * is the pipeline breaker. Spark-first this is only a *declared* key
+    * reorder — physical order materializes at sinks or when
+    * `sortedDf` is asked for. Requires a permutation of existing keys
+    * (reference `api/TupleOp.kt:577-580`).
+    */
+  def sortKeys(newOrder: Seq[String]): LaraTable = {
+    require(newOrder.sorted == schema.keys.sorted,
+      s"sort: $newOrder must be a permutation of ${schema.keys}")
+    copy(schema = schema.copy(keys = newOrder))
+  }
+
+  /** Physically realize the access path: hash-partition by the leading key
+    * (the reference's DAP, `opt/Schema.kt:28-43`) and sort within partitions
+    * by the full key list (LAP). Only for sinks that need order.
+    */
+  def sortedDf: DataFrame =
+    df.repartition(col(schema.keys.head))
+      .sortWithinPartitions(schema.keys.map(col): _*)
+
+  // ------------------------------------------------------------------ Union
+
+  /** ⊕-Union. Result keys = longest common ordered key prefix; dropped keys
+    * are aggregated away with ⊕; result vals = union of val attrs, missing
+    * side contributes the ⊕ identity. Reference `MergeUnion0`
+    * (`api/TupleOp.kt:301-521`).
+    *
+    * Identity/default law: for every val present in an input, the ⊕ identity
+    * must equal that input's default (`api/TupleOp.kt:313-320`) — validated
+    * here at plan-build time.
+    *
+    * Plan shape: unionByName(allowMissingColumns) with identity fill, then
+    * groupBy(commonKeys) — a single shuffle with map-side partial agg.
+    */
+  def union(other: LaraTable, plusFns: Map[String, PlusFn]): LaraTable = {
+    val commonKeys = schema.unionKeyPrefix(other.schema)
+    val outVals = unionVals(schema, other.schema, plusFns)
+    checkIdentityLaw(schema, plusFns); checkIdentityLaw(other.schema, plusFns)
+
+    def pad(t: LaraTable): DataFrame = {
+      val cols = commonKeys.map(col) ++ outVals.map { v =>
+        if (t.schema.valNames.contains(v.name)) col(v.name).cast(v.dataType).as(v.name)
+        else identityLit(plusFns(v.name), v).as(v.name) // absent attr ⇒ ⊕ identity (putDefault, api/TupleOp.kt:499-504)
+      }
+      t.df.select(cols: _*)
+    }
+    val unioned = pad(this).unionByName(pad(other))
+    LaraTable(aggregate(unioned, commonKeys, outVals, plusFns), LaraSchema(commonKeys, outVals))
+  }
+
+  /** Agg = Union with Empty (reference `api/TupleOp.kt:296,353-366`): keep a
+    * key subset (any subset, order from the current access path), ⊕ the vals
+    * over the dropped keys. Direct `groupBy().agg()`.
+    */
+  def agg(keysKept: Seq[String], plusFns: Map[String, PlusFn]): LaraTable = {
+    require(keysKept.forall(schema.keys.contains),
+      s"agg: $keysKept not all in keys ${schema.keys}")
+    val keptOrdered = schema.keys.filter(keysKept.contains)
+    val outVals = schema.vals.filter(v => plusFns.contains(v.name))
+      .map(v => v.copy(default = plusFns(v.name).identity))
+    LaraTable(aggregate(df, keptOrdered, outVals, plusFns), LaraSchema(keptOrdered, outVals))
+  }
+
+  // ------------------------------------------------------------------- Join
+
+  /** ⊗-Join on the shared key prefix. Result keys = union of keys; result
+    * vals = intersection of val attrs, combined per-val by ⊗. Non-shared
+    * keys on both sides yield the per-group Cartesian implicitly (equi-join
+    * on the shared subset). Reference `MergeJoin` (`api/TupleOp.kt:611-826`).
+    *
+    * Annihilator/default law (`api/TupleOp.kt:649-652`): ⊗'s annihilators
+    * must equal the input defaults — validated at plan-build.
+    *
+    * ZeroDiscard (`SensorOpt.Z`, `sensor/SensorCalc.kt:665-669`): when the
+    * result default (`resultZero`) is non-null, rows where *all* result vals
+    * equal their zero are semantically absent; `zeroDiscard=true` inserts
+    * the sparsity filter, preserving sparse-matrix costs at scale.
+    */
+  def join(other: LaraTable, timesFns: Map[String, TimesFn],
+           zeroDiscard: Boolean = false, broadcastRight: Boolean = false): LaraTable = {
+    val (shared, resultKeys) = schema.joinKeys(other.schema)
+    val sharedVals = schema.valNames.intersect(other.schema.valNames)
+    require(timesFns.keySet == sharedVals.toSet,
+      s"join: ⊗ must be given exactly for shared vals $sharedVals, got ${timesFns.keySet}")
+    for (n <- sharedVals) {
+      val f = timesFns(n)
+      require(f.leftAnnihilator == schema.valSpec(n).default,
+        s"join: left annihilator of $n (${f.leftAnnihilator}) != left default (${schema.valSpec(n).default})")
+      require(f.rightAnnihilator == other.schema.valSpec(n).default,
+        s"join: right annihilator of $n must equal right default")
+    }
+    val outVals = sharedVals.map { n =>
+      val spec = schema.valSpec(n)
+      ValSpec(n, spec.dataType, timesFns(n).resultZero)
+    }
+    val l = df.as("l")
+    val r = (if (broadcastRight) broadcast(other.df) else other.df).as("r")
+    val joined = l.join(r, shared.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _))
+    val keyCols = shared.map(k => col(s"l.$k").as(k)) ++
+      schema.keys.drop(shared.length).map(k => col(s"l.$k").as(k)) ++
+      other.schema.keys.drop(shared.length).map(k => col(s"r.$k").as(k))
+    val valCols = outVals.map { v =>
+      timesFns(v.name).times(col(s"l.${v.name}"), col(s"r.${v.name}")).cast(v.dataType).as(v.name)
+    }
+    var res = joined.select(keyCols ++ valCols: _*)
+    if (zeroDiscard) {
+      val keeps = outVals.filter(_.default != null).map(v => col(v.name) =!= lit(v.default))
+      if (keeps.nonEmpty) res = res.filter(keeps.reduce(_ || _))
+    }
+    LaraTable(res, LaraSchema(resultKeys, outVals.toList))
+  }
+
+  // ----------------------------------------------------------------- Sinks
+
+  /** Reference `Store` (`api/TupleOp.kt:595-605`): write sorted by access
+    * path so a downstream `load` sees the declared order.
+    */
+  def store(path: String): Unit =
+    sortedDf.write.mode("overwrite").parquet(path)
+
+  /** Mark for reuse across plan branches — the reference's shared-subtree
+    * `instMap`/pipeline dedup (`api/TupleOp.kt:25-26`, `api/Lower.kt:118-127`)
+    * needs explicit help in Spark (`SURVEY.md §4.1`).
+    */
+  def cached: LaraTable = copy(df = df.cache())
+}
+
+object LaraTable {
+  /** Reference `Load` (`api/TupleOp.kt:274-283`) over parquet. */
+  def load(spark: SparkSession, path: String, keys: Seq[String], vals: Seq[ValSpec]): LaraTable = {
+    val df = spark.read.parquet(path)
+    LaraTable(df, LaraSchema(keys, vals))
+  }
+
+  /** Reference `Empty` (`api/TupleOp.kt:285-290`). */
+  def empty(spark: SparkSession, schema: LaraSchema): LaraTable = {
+    val st = org.apache.spark.sql.types.StructType(
+      schema.keys.map(k => org.apache.spark.sql.types.StructField(k, org.apache.spark.sql.types.StringType)) ++
+        schema.vals.map(v => org.apache.spark.sql.types.StructField(v.name, v.dataType)))
+    LaraTable(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st), schema)
+  }
+
+  private[lara] def identityLit(fn: PlusFn, v: ValSpec): Column =
+    if (fn.identity == null) lit(null).cast(v.dataType) else lit(fn.identity).cast(v.dataType)
+
+  /** Result vals of a union: union of val attrs; types must agree where
+    * shared (reference `unionValues`, `api/TupleOp.kt:391-400`). The result
+    * default is the ⊕ identity.
+    */
+  private[lara] def unionVals(a: LaraSchema, b: LaraSchema, plusFns: Map[String, PlusFn]): Seq[ValSpec] = {
+    val names = (a.valNames ++ b.valNames).distinct
+    names.map { n =>
+      val spec = a.vals.find(_.name == n).getOrElse(b.valSpec(n))
+      b.vals.find(_.name == n).foreach { bs =>
+        require(bs.dataType == spec.dataType, s"union: val $n type mismatch ${spec.dataType} vs ${bs.dataType}")
+      }
+      require(plusFns.contains(n), s"union: no ⊕ given for val $n")
+      spec.copy(default = plusFns(n).identity)
+    }
+  }
+
+  /** ⊕ identity must equal the input's default for every val the input
+    * carries (reference `api/TupleOp.kt:313-320`).
+    */
+  private[lara] def checkIdentityLaw(s: LaraSchema, plusFns: Map[String, PlusFn]): Unit =
+    for (v <- s.vals; fn <- plusFns.get(v.name))
+      require(fn.identity == v.default,
+        s"union: ⊕ identity for ${v.name} (${fn.identity}) must equal input default (${v.default})")
+
+  private[lara] def aggregate(d: DataFrame, keys: Seq[String], outVals: Seq[ValSpec],
+                              plusFns: Map[String, PlusFn]): DataFrame = {
+    if (outVals.isEmpty) return d.select(keys.map(col): _*).distinct()
+    val aggs = outVals.map(v => plusFns(v.name).agg(col(v.name)).cast(v.dataType).as(v.name))
+    if (keys.isEmpty) d.agg(aggs.head, aggs.tail: _*)
+    else d.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora — exact and
+  * near-duplicate. All operators are pure Catalyst plans (array HOFs +
+  * hash-groupBy / bucket-join), no UDFs, no driver loops:
+  *
+  *  - exact:    hash text → groupBy hash. One shuffle keyed on a 128-bit
+  *              digest; at 100 TB the shuffle carries (hash, doc_id), never
+  *              the text.
+  *  - MinHash:  shingle → minhash signature → LSH band buckets → candidate
+  *              pairs within buckets. The band bucket-join is the scale
+  *              path: candidate generation is linear in corpus size +
+  *              quadratic only *within* a bucket (tiny by construction),
+  *              never all-pairs.
+  *  - SimHash:  64-bit signature per doc; near-dup pairs via 16-bit band
+  *              buckets + Hamming-distance verify.
+  *  - n-gram Jaccard: exact verify step for candidate pairs.
+  */
+object Dedup {
+
+  /** Whitespace tokens with empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Word k-shingles as strings ("w1 w2 w3"); docs shorter than k yield
+    * their full token string as the single shingle so they still participate.
+    */
+  def shingles(toks: Column, k: Int): Column = {
+    val n = size(toks)
+    when(n <= k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), n - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Exact dedup: group documents by a content digest, keep the smallest
+    * doc_id as canonical, count the duplicates.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: `numHashes` seeded xxhash64 minima over the shingle
+    * set. Seeded family: h_i(x) = xxhash64(seed=i, x).
+    */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, x => xxhash64(i, x))))
+
+  /** MinHash+LSH near-duplicate candidate pairs.
+    *
+    * bands × rowsPerBand = numHashes. Two docs collide in a band iff that
+    * band of the signature is identical; the per-band groupBy keys on
+    * (band index, band hash) so the shuffle is by bucket — the classic
+    * LSH plan that scales linearly with corpus size.
+    *
+    * Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est_jaccard =
+    * fraction of agreeing minhashes (computed exactly once per pair after
+    * bucket-dedup).
+    */
+  def minhashPairs(docs: DataFrame, k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = docs
+      .select(col("doc_id"), minhashSignature(shingles(tokens(col("text")), k), numHashes).as("sig"))
+      .cache() // reused: once for banding, once (positionally) for verify
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct() // a pair may collide in several bands
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
+          v => v === 1)).cast("double") / lit(bands * rowsPerBand)).as("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs
+    * (doc_a, doc_b): |A∩B| / |A∪B| over word k-shingle sets. Used as the
+    * verify stage after LSH candidate generation.
+    */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), k)).as("sh"))
+    pairs
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), Seq("doc_a"))
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** 64-bit SimHash signature: bit i of the signature is set iff more than
+    * half the token hashes have bit i set. Pure array HOFs — stays in
+    * whole-stage codegen.
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(tokens(text), t => xxhash64(t))
+    val nTok = size(hashes)
+    val bitsSet = transform(sequence(lit(0), lit(63)),
+      i => size(filter(hashes, h => call_function("shiftright", h, i).bitwiseAND(1) === 1)))
+    aggregate(
+      zip_with(bitsSet, sequence(lit(0), lit(63)),
+        (cnt, i) => when(cnt * 2 > nTok, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-duplicate pairs: bucket by each of the four 16-bit bands
+    * (two signatures within Hamming distance 3 must agree on ≥1 band), then
+    * verify Hamming distance ≤ maxHamming via popcount of XOR.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sig")).cache()
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID, document fingerprinting. Everything is a
+  * native Catalyst expression (no UDFs) — per-row, embarrassingly parallel,
+  * no shuffle at all, so these run at scan speed on any corpus size.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(Dedup.tokens(text))
+
+  /** BPE-ish token count: words, digits, and punctuation as separate tokens
+    * (a cheap proxy for subword tokenizer cost estimation).
+    */
+  def bpeishTokens(text: Column): Column =
+    call_function("regexp_extract_all", text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Per-document quality metrics: length, token stats, punctuation and
+    * stopword ratios — the standard cheap filters applied before expensive
+    * dedup/training stages.
+    */
+  def qualityStats(docs: DataFrame): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      size(toks).cast("long").as("n_tokens"),
+      round(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+        greatest(size(toks), lit(1)), 4).as("avg_token_len"),
+      round(size(filter(toks, t => t.isin(stop.map(x => x: Any): _*))).cast("double") /
+        greatest(size(toks), lit(1)), 4).as("stopword_ratio"),
+      round((length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", "")))
+        .cast("double") / greatest(length(col("text")), lit(1)), 4).as("punct_ratio"))
+  }
+
+  /** Composite 0..1 quality score from the stats — monotone in stopword
+    * presence (fluency proxy), penalizing extreme token lengths and
+    * punctuation density.
+    */
+  def qualityScore(docs: DataFrame): DataFrame =
+    qualityStats(docs).select(col("doc_id"),
+      round(
+        lit(1.0) / (lit(1.0) + exp(-(
+          lit(-1.0)
+            + col("stopword_ratio") * 8.0
+            + when(col("avg_token_len").between(3.0, 8.0), 1.0).otherwise(-1.0)
+            - col("punct_ratio") * 4.0))), 6).as("quality"))
+
+  /** n-gram-heuristic language ID: score each candidate language by hits of
+    * its most frequent function words / character patterns, pick the argmax.
+    * Deterministic, per-row, no shuffle. (A real system would use a trained
+    * n-gram model; the *Spark shape* — per-row scoring against a broadcast
+    * profile table — is what matters at scale.)
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val profiles: Map[String, Seq[String]] = Map(
+      "en" -> Seq(" the ", " and ", " of ", " is "),
+      "de" -> Seq(" der ", " und ", " die ", " ist "),
+      "es" -> Seq(" el ", " la ", " los ", " es "),
+      "fr" -> Seq(" le ", " la ", " et ", " est "))
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val scores = profiles.toSeq.sortBy(_._1).map { case (lang, pats) =>
+      struct(
+        pats.map(p => when(padded.contains(p), 1).otherwise(0)).reduce(_ + _).as("score"),
+        lit(lang).as("lang"))
+    }
+    docs.select(col("doc_id"),
+      when(array_max(array(scores: _*)).getField("score") > 0,
+        array_max(array(scores: _*)).getField("lang")).otherwise("und").as("lang_pred"))
+  }
+
+  /** Content fingerprint: digest of whitespace-normalized lowercased text —
+    * stable under formatting noise; the key for exact-ish dedup joins.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+
+  /** Rolling-hash (Rabin-Karp style) fingerprint over token sequence:
+    * positional, order-sensitive — distinguishes permuted documents that a
+    * bag-of-words digest would conflate. Computed with the `aggregate` HOF
+    * so it stays codegen'd. Arithmetic kept inside a Mersenne-prime field so
+    * ANSI mode (Spark 4 default) never sees an overflow.
+    */
+  def rollingFingerprint(docs: DataFrame): DataFrame = {
+    val m = 2147483647L // 2^31 − 1
+    docs.select(col("doc_id"),
+      aggregate(Dedup.tokens(col("text")), lit(0L),
+        (acc, t) => pmod(acc * 1000003L + pmod(xxhash64(t), lit(m)), lit(m))).as("rolling_fp"))
+  }
+}
