@@ -131,12 +131,13 @@ object LaraQueries {
     val u = binned.join(broadcast(n), Seq("c"))
       .select(col("t"), col("c"), (col("v") - col("mean")).as("v"))
     val u2 = u.select(col("t"), col("c").as("c2"), col("v").as("v2"))
-    val nBins = events(s, d)
-      .select((floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("t"))
-      .distinct().count()
+    // n−1 computed inside the plan (1-row broadcast) — no extra driver job.
+    val nBins = binned.select(countDistinct(col("t")).as("nb"))
     u.join(u2, Seq("t"))
       .filter(col("c") <= col("c2")) // SymmetricCovariance 'S'
       .groupBy(col("c"), col("c2"))
-      .agg(round(sum(col("v") * col("v2")) / lit(nBins - 1.0), 6).as("cov"))
+      .agg(sum(col("v") * col("v2")).as("sp"))
+      .crossJoin(broadcast(nBins))
+      .select(col("c"), col("c2"), round(col("sp") / (col("nb") - 1.0), 6).as("cov"))
   }
 }

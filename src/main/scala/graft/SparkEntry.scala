@@ -65,7 +65,7 @@ object SparkEntry {
       pipeline.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
     }),
     "embed_neardup" -> ((s, d) =>
-      pipeline.Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.95, nPlanes = 10)),
+      pipeline.Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.4)),
   )
 
   def oracleSql: Map[String, String] = Map(

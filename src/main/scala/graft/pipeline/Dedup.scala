@@ -21,18 +21,36 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spread a DataFrame across the cluster when the source collapsed it into
+    * fewer partitions than cores (e.g. one small parquet file). Signature
+    * computation is CPU-bound, so the one-pass reshuffle pays for itself —
+    * without it a single task computes every hash (observed 83 s → 3 s at
+    * sf0.1 locally).
+    */
+  private[pipeline] def rebalance(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Whitespace tokens with empties dropped. */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
   /** Word k-shingles as strings ("w1 w2 w3"); docs shorter than k yield
     * their full token string as the single shingle so they still participate.
+    *
+    * Built by zipping the token array with its own shifted tails — O(n·k)
+    * per document. (A per-index `slice` would be O(n²): slice copies.)
     */
   def shingles(toks: Column, k: Int): Column = {
     val n = size(toks)
+    val joined = (2 to k).foldLeft(toks) { (acc, i) =>
+      // zip_with pads the shorter side with null; concat_ws skips nulls, and
+      // the final slice drops the incomplete tail shingles.
+      zip_with(acc, slice(toks, lit(i), n), (a, b) => concat_ws(" ", a, b))
+    }
     when(n <= k, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), n - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(slice(joined, lit(1), n - (k - 1)))
   }
 
   /** Exact dedup: group documents by a content digest, keep the smallest
@@ -44,12 +62,15 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: `numHashes` seeded xxhash64 minima over the shingle
-    * set. Seeded family: h_i(x) = xxhash64(seed=i, x).
+  /** MinHash signature: `numHashes` minima over a column of *base hashes*
+    * (one xxhash64 per shingle, computed once). The hash family is
+    * h_i(x) = xxhash64(base(x), i) — each variable-length shingle string is
+    * hashed exactly once; the 32 family members only re-mix the 8-byte base
+    * hash, which is ~3× cheaper than re-hashing the strings per seed.
     */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
+  def minhashSignature(baseHashes: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, x => xxhash64(i, x))))
+      i => array_min(transform(baseHashes, h => xxhash64(h, i))))
 
   /** MinHash+LSH near-duplicate candidate pairs.
     *
@@ -64,8 +85,12 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = docs
-      .select(col("doc_id"), minhashSignature(shingles(tokens(col("text")), k), numHashes).as("sig"))
+    // Materialize the shingle array as a column before hashing: an inlined
+    // subexpression would be re-evaluated once per hash function (numHashes×).
+    val sigs = rebalance(docs)
+      .select(col("doc_id"), shingles(tokens(col("text")), k).as("sh"))
+      .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("bh"))
+      .select(col("doc_id"), minhashSignature(col("bh"), numHashes).as("sig"))
       .cache() // reused: once for banding, once (positionally) for verify
     val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -97,12 +122,12 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
-  /** 64-bit SimHash signature: bit i of the signature is set iff more than
-    * half the token hashes have bit i set. Pure array HOFs — stays in
-    * whole-stage codegen.
+  /** 64-bit SimHash signature over a column of token hashes: bit i is set
+    * iff more than half the token hashes have bit i set. Pure array HOFs —
+    * stays in whole-stage codegen. Pass an *attribute* (materialized array),
+    * not a nested expression — the body scans it 64 times.
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(tokens(text), t => xxhash64(t))
+  def simhash(hashes: Column): Column = {
     val nTok = size(hashes)
     val bitsSet = transform(sequence(lit(0), lit(63)),
       i => size(filter(hashes, h => call_function("shiftright", h, i).bitwiseAND(1) === 1)))
@@ -117,7 +142,11 @@ object Dedup {
     * verify Hamming distance ≤ maxHamming via popcount of XOR.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sig")).cache()
+    // Token hashes materialized as a column first — simhash scans them 64
+    // times (once per bit); inlining the tokenizer would re-tokenize 64×.
+    val sigs = rebalance(docs)
+      .select(col("doc_id"), transform(tokens(col("text")), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"), simhash(col("th")).as("sig")).cache()
     val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(3)),
           b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL))))

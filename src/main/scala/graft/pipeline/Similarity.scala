@@ -10,11 +10,12 @@ import org.apache.spark.sql.expressions.Window
   *    against the full corpus — the correctness baseline. Dot products via
   *    the `zip_with`/`aggregate` HOFs: codegen'd, no UDF, no shuffle except
   *    the final per-query top-k.
-  *  - `lshTopK`: the scale path — random-hyperplane (sign-LSH) bucketing;
-  *    queries only score candidates sharing a bucket, so corpus-side work
-  *    drops from O(N·Q) to O(candidates). Same output schema, approximate.
-  *  - `embeddingNearDup`: corpus self near-duplicate detection above a
-  *    cosine threshold, LSH-bucketed (never all-pairs).
+  *  - `lshTopK` / `embeddingNearDup`: the scale path — *banded* random-
+  *    hyperplane (sign) LSH. Each vector gets `bands` bucket keys, one per
+  *    group of `planesPerBand` sign bits; two vectors are candidates iff
+  *    they agree on at least one band (OR-amplification, the same
+  *    construction as MinHash banding). Candidate generation is a bucket
+  *    equi-join: linear in corpus size, quadratic only within a bucket.
   *
   * At 100 TB the corpus side stays partitioned; only queries/hyperplanes are
   * broadcast. An IVF variant (k-means coarse quantizer) has the same plan
@@ -36,62 +37,81 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
-    val scored = corpus.select(col("vec_id"), col("embedding"))
+    val scored = Dedup.rebalance(corpus.select(col("vec_id"), col("embedding")))
       .crossJoin(q)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
-    * hash-derived value in [-1, 1]. Generated as a plan-time literal-free
-    * expression so corpus and queries use identical planes.
+    * hash-derived value in [-1, 1]. Generated inside the expression so
+    * corpus and queries use identical planes without shipping literals.
     */
   private def planeComponent(p: Column, j: Column): Column =
     (pmod(xxhash64(p, j), lit(2000001L)) - 1000000L).cast("double") / 1000000.0d
 
-  /** Sign-LSH bucket id: `nPlanes` sign bits of hyperplane dot products. */
-  def lshBucket(emb: Column, nPlanes: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(nPlanes - 1)), p =>
-        when(aggregate(
-          zip_with(emb, sequence(lit(0), size(emb) - 1),
-            (x, j) => x * planeComponent(p, j)),
-          lit(0.0d), (s, x) => s + x) > 0, lit(1L)).otherwise(lit(0L))),
-      lit(0L), (acc, bit) => acc * 2 + bit)
+  /** Sign bit of the dot product with hyperplane `p`. */
+  private def signBit(emb: Column, p: Column): Column =
+    when(aggregate(
+      zip_with(emb, sequence(lit(0), size(emb) - 1), (x, j) => x * planeComponent(p, j)),
+      lit(0.0d), (s, x) => s + x) > 0, lit(1L)).otherwise(lit(0L))
 
-  /** Approximate top-k: score only corpus vectors in the query's bucket
-    * (multi-probe = 0 for simplicity; raise nPlanes ↓ recall ↑ speed).
+  /** Banded bucket keys: element b is the integer formed by the sign bits of
+    * planes [b·planesPerBand, (b+1)·planesPerBand). Exploded by callers into
+    * (band, bucket) join keys.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
-    val c = corpus.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), nPlanes).as("bucket"))
-    val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"), lshBucket(col("embedding"), nPlanes).as("bucket")))
-    val scored = c.join(q, Seq("bucket"))
+  def lshBandBuckets(emb: Column, bands: Int, planesPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(
+        transform(sequence(lit(0), lit(planesPerBand - 1)),
+          i => signBit(emb, b * planesPerBand + i)),
+        lit(0L), (acc, bit) => acc * 2 + bit))
+
+  private def withBands(df: DataFrame, bands: Int, planesPerBand: Int): DataFrame =
+    df.select(col("*"),
+        posexplode(lshBandBuckets(col("embedding"), bands, planesPerBand)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+
+  /** Approximate top-k: score only corpus vectors sharing ≥1 LSH band with
+    * the query. bands=4 × planesPerBand=4 gives ~50% candidate recall at
+    * cosine ≈ 0.4 and prunes ~94% of the corpus per query.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bands: Int = 4, planesPerBand: Int = 4): DataFrame = {
+    val c = withBands(Dedup.rebalance(corpus.select(col("vec_id"), col("embedding"))),
+      bands, planesPerBand)
+    val q = broadcast(withBands(queries.select(col("vec_id"), col("embedding")), bands, planesPerBand)
+      .select(col("band"), col("bucket"), col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val cand = c.join(q, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
+      .distinct() // a pair may agree on several bands
+    val scored = cand.select(col("query_id"), col("vec_id"),
+      round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above `threshold`, LSH-bucketed
-    * self-join (pairs must agree on the bucket — approximate but linear).
+  /** Embedding-cosine near-duplicate pairs above `threshold`: banded-LSH
+    * self-join (candidates agree on ≥1 band), then exact cosine verify —
+    * never all-pairs.
     */
-  def embeddingNearDup(corpus: DataFrame, threshold: Double, nPlanes: Int = 6): DataFrame = {
-    val c = corpus.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), nPlanes).as("bucket"))
-    val a = c.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = c.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    a.join(b, Seq("bucket"))
+  def embeddingNearDup(corpus: DataFrame, threshold: Double,
+                       bands: Int = 4, planesPerBand: Int = 4): DataFrame = {
+    val c = withBands(Dedup.rebalance(corpus.select(col("vec_id"), col("embedding"))),
+      bands, planesPerBand)
+    val a = c.select(col("band"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = c.select(col("band"), col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b")).distinct()
       .select(col("id_a"), col("id_b"),
         round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
