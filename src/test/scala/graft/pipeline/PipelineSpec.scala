@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Training-data pipeline operators: dedup, similarity, text analysis. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val docSchema = new StructType().add("doc_id", LongType).add("text", StringType)
+  private def docs(rows: (Long, String)*) =
+    df(docSchema, rows.map(r => Row(r._1, r._2)))
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val d = docs(1L -> "hello world", 2L -> "hello world", 3L -> "unique text")
+    val r = Dedup.exact(d).collect().map(x => (x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set((1L, 2L), (3L, 1L))) // (canonical_id, n_copies)
+  }
+
+  test("minhash: identical docs share full signature; est_jaccard reflects overlap") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val mostly = (1 to 36).map(i => s"tok$i").mkString(" ") + " x1 x2 x3 x4"
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> base, 3L -> mostly, 4L -> other)
+    val pairs = Dedup.minhashPairs(d)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0) // identical → all 32 minhashes agree
+    pairs.get((1L, 3L)).foreach(j => assert(j > 0.3 && j < 1.0))
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
+  }
+
+  test("jaccardVerify computes exact shingle-set jaccard") {
+    // doc1/doc2 share exactly half their 3-shingles:
+    // doc1 shingles {a b c, b c d}; doc2 {a b c, b c x}
+    val d = docs(1L -> "a b c d", 2L -> "a b c x")
+    val pairs = df(new StructType().add("doc_a", LongType).add("doc_b", LongType),
+      Seq(Row(1L, 2L)))
+    val r = Dedup.jaccardVerify(pairs, d).collect().head
+    assert(r.getDouble(2) == 1.0 / 3.0) // 1 shared of 3 distinct
+  }
+
+  test("simhash: identical docs → hamming 0; disjoint docs don't pair") {
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = (1 to 30).map(i => s"v$i").mkString(" ")
+    val d = docs(1L -> a, 2L -> a, 3L -> b)
+    val r = Dedup.simhashPairs(d).collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(r((1L, 2L)) == 0L)
+    assert(!r.contains((1L, 3L)))
+  }
+
+  test("brute-force topk: exact cosine ranking on constructed vectors") {
+    val es = new StructType().add("vec_id", LongType).add("embedding", ArrayType(FloatType))
+    val corpus = df(es, Seq(
+      Row(0L, Seq(1.0f, 0.0f)),   // query
+      Row(1L, Seq(1.0f, 0.0f)),   // cos 1.0
+      Row(2L, Seq(1.0f, 1.0f)),   // cos ~0.7071
+      Row(3L, Seq(0.0f, 1.0f)),   // cos 0
+      Row(4L, Seq(-1.0f, 0.0f)))) // cos -1
+    val r = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 0), 3)
+      .collect().sortBy(_.getLong(3)).map(x => (x.getLong(1), x.getDouble(2)))
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(r(0)._2 == 1.0 && math.abs(r(1)._2 - 0.707107) < 1e-6 && r(2)._2 == 0.0)
+  }
+
+  test("lsh topk returns a subset of brute-force candidates with same scores") {
+    val rnd = new scala.util.Random(7)
+    val es = new StructType().add("vec_id", LongType).add("embedding", ArrayType(FloatType))
+    val rows = (0 until 50).map(i => Row(i.toLong, Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+    val corpus = df(es, rows)
+    val queries = corpus.filter(col("vec_id") < 2)
+    val brute = Similarity.bruteForceTopK(corpus, queries, 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.lshTopK(corpus, queries, 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (pair, score) => assert(brute(pair) == score) }
+  }
+
+  test("quality stats and language id on constructed docs") {
+    val ds = new StructType().add("doc_id", LongType).add("text", StringType)
+    val d = df(ds, Seq(
+      Row(1L, "the cat and the dog is in a house"),
+      Row(2L, "der hund und die katze ist gut"),
+      Row(3L, "xyzzy qwerty")))
+    val q = TextAnalysis.qualityStats(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).getLong(2) == 9) // n_tokens
+    assert(q(1L).getDouble(4) > 0.4) // stopword ratio: the,and,the,is,in,a → 6/9
+    val lang = TextAnalysis.langId(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lang(1L) == "en" && lang(2L) == "de" && lang(3L) == "und")
+  }
+
+  test("fingerprints: normalized digest conflates formatting noise; rolling hash is order-sensitive") {
+    val ds = new StructType().add("doc_id", LongType).add("text", StringType)
+    val d = df(ds, Seq(
+      Row(1L, "Hello  World"), Row(2L, "hello world"), // differ only in case/spacing
+      Row(3L, "world hello")))                          // permuted
+    val fp = TextAnalysis.fingerprint(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    val rf = TextAnalysis.rollingFingerprint(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rf(2L) != rf(3L)) // same bag of words, different order
+  }
+
+  test("token counting: whitespace and BPE-ish") {
+    val ds = new StructType().add("doc_id", LongType).add("text", StringType)
+    val d = df(ds, Seq(Row(1L, "don't stop, 42 times!")))
+    val r = d.select(TextAnalysis.tokenCount(col("text")).as("n"),
+      size(TextAnalysis.bpeishTokens(col("text"))).as("b")).collect().head
+    assert(r.getInt(0) == 4)
+    // don ' t stop , 4 2 times ! → 9
+    assert(r.getInt(1) == 9)
+  }
+}
