@@ -182,7 +182,12 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
     }
     val l = df.as("l")
     val r = (if (broadcastRight) broadcast(other.df) else other.df).as("r")
-    val joined = l.join(r, shared.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _))
+    // Empty shared prefix (e.g. joining a keyless global aggregate) is the
+    // Lara per-group cartesian with one global group — a cross join. The
+    // keyless side is a single row, so broadcast it.
+    val joined =
+      if (shared.isEmpty) l.crossJoin(if (other.schema.keys.isEmpty) broadcast(r) else r)
+      else l.join(r, shared.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _))
     val keyCols = shared.map(k => col(s"l.$k").as(k)) ++
       schema.keys.drop(shared.length).map(k => col(s"l.$k").as(k)) ++
       other.schema.keys.drop(shared.length).map(k => col(s"r.$k").as(k))
