@@ -66,6 +66,23 @@ object SparkEntry {
     }),
     "embed_neardup" -> ((s, d) =>
       pipeline.Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.4)),
+    // --- relational frontend (SURVEY §3.2): op-tree lowered to Catalyst ---
+    "raco_frontend" -> ((s, d) => {
+      import plans.Relational._
+      lower(s, Dump(
+        Apply(Seq(
+          "l_orderkey" -> Ref("l_orderkey"),
+          "l_linenumber" -> Ref("l_linenumber"),
+          "qty" -> Ref("l_quantity"),
+          "taxed" -> Times(Ref("l_extendedprice"), Plus(Lit(1.0), Ref("l_tax")))),
+          Select(And(Gt(Ref("l_quantity"), Lit(45.0)), Lt(Ref("l_discount"), Lit(0.02))),
+            ParquetScan(s"$d/lineitem.parquet")))))
+        .withColumn("taxed", round(col("taxed") * 100).cast("long") / 100.0)
+    }),
+    // --- multimodal columns: binary payload + stubbed decode plumbing ---
+    "media_features" -> ((s, _) =>
+      pipeline.Multimodal.extractFeatures(pipeline.Multimodal.syntheticMedia(s, 200), dim = 16)
+        .select(col("media_id"), col("kind"), col("n_bytes"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -220,6 +237,10 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
          FROM documents""",
+    "raco_frontend" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+                round(l_extendedprice * (1.0 + l_tax) * 100)::BIGINT / 100.0 AS taxed
+         FROM lineitem WHERE l_quantity > 45.0 AND l_discount < 0.02""",
     "text_langid" ->
       """WITH s AS (
            SELECT doc_id, ' ' || text || ' ' AS p FROM documents),

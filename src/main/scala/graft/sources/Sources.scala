@@ -17,6 +17,13 @@ object Sources {
   /** CSV scan with malformed rows dropped — the reference's bad-row-drop
     * semantics. Schema is explicit (the reference requires a declared
     * schema too). Multi-file paths/globs parallelize automatically.
+    *
+    * Caveats (Spark CSV semantics, pinned by SourcesSpec/
+    * RelationalFrontendSpec): malformed-row dropping engages only when the
+    * scan reads the full declared schema — under column pruning conversion
+    * errors null-fill instead, and a projection-free `count()` parses no
+    * columns and drops nothing. Use `csvWithBadRows` when exact accounting
+    * matters.
     */
   def csv(spark: SparkSession, path: String, schema: StructType,
           delimiter: String = ",", quote: String = "\"", escape: String = "\\",
