@@ -23,8 +23,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns (0 when either norm is 0). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two float-array columns (0 when either norm is 0).
+    * Backed by the native fused-loop expression
+    * (graft.functions.CosineSimilarity) — one pass, codegen'd.
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSimilarity(a, b)
+
+  /** HOF reference formulation (three array passes through lambda
+    * indirection) — kept as the differential-testing oracle for the native
+    * expression and as the pattern for ad-hoc vector math.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (s, x) => s + x))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (s, x) => s + x))

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import java.sql.Timestamp
+
+/** Streaming semantics via MemoryStream: windowed aggregation emits on
+  * watermark passage; sessionization closes on gap/timeout.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+  import TestSpark._
+  import EventStreams._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("windowed aggregate: counts per window/type once watermark passes") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val agg = windowedAggregate(in.toDF(), "10 minutes", "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts(1), 10, "click", 1.0), Event(2, ts(4), 10, "click", 2.0),
+        Event(3, ts(12), 11, "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far past the first two windows
+      in.addData(Event(4, ts(60), 11, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains((0L, "click", 2L, 3.0)))
+      assert(rows.contains((10L, "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap closes sessions with correct aggregates") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val sessions = sessionize(in.toDS(), gapMs = 10 * 60000L) // 10 min gap
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // base offset keeps the first event above the initial watermark (an
+      // event at exactly the watermark is dropped as late)
+      val b = 60L
+      // user 1: two events close together, then a long gap, then one more
+      in.addData(
+        Event(1, ts(b + 0), 1, "click", 1.0), Event(2, ts(b + 5), 1, "click", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(b + 30), 1, "click", 4.0)) // gap > 10min → closes first
+      q.processAllAvailable()
+      in.addData(Event(4, ts(b + 120), 2, "view", 0.0)) // push watermark forward
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000 - b,
+          r.getTimestamp(2).getTime / 60000 - b, r.getInt(3), r.getDouble(4))).toSet
+      assert(rows.contains((1L, 0L, 5L, 2, 3.0)), s"got $rows")
+    } finally q.stop()
+  }
+}
