@@ -147,6 +147,37 @@ object RelationalQueries {
       .unionByName(all.intersect(buyers).withColumn("status", lit("ordered")))
   }
 
+  /** Batch sessionization over the events table: gap-based session ids via
+    * lag + running sum windows — the batch twin of
+    * `graft.streaming.EventStreams.sessionize`, fully SQL-expressible so it
+    * is oracle-checked. Timestamps are handled at millisecond grain on both
+    * engines so the gap decisions agree bit-for-bit.
+    */
+  def sessionizeBatch(s: SparkSession, d: String, gapMs: Long = 1800000L): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("event_id"),
+      unix_millis(col("ts")).as("tms"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
+    e.withColumn("ns",
+        when(col("tms") - lag(col("tms"), 1).over(w) > gapMs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("tms")).as("session_start"),
+        max(col("tms")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        Num.centsSumExact(col("value")).as("total_value"))
+  }
+
+  /** BPE-ish token counting over documents (whitespace words, digits, and
+    * punctuation as separate tokens) — the subword-cost proxy from
+    * TextAnalysis, with a DuckDB oracle.
+    */
+  def bpeTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"),
+      size(pipeline.TextAnalysis.bpeishTokens(col("text"))).cast("long").as("n_bpe"),
+      pipeline.TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"))
+
   /** Grouping sets / rollup (absent in reference, completes the agg surface).
     * Nulls from rollup are made explicit so the oracle hash matches.
     */

@@ -39,6 +39,8 @@ object SparkEntry {
     "events_bin" -> RelationalQueries.eventsBin _,
     "set_ops" -> RelationalQueries.setOps _,
     "rollup_agg" -> RelationalQueries.rollupAgg _,
+    "sessionize_batch" -> ((s, d) => RelationalQueries.sessionizeBatch(s, d)),
+    "bpe_tokens" -> RelationalQueries.bpeTokens _,
     // --- training-data pipeline: dedup ---
     "dedup_exact" -> ((s, d) => pipeline.Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash" -> ((s, d) => pipeline.Dedup.minhashPairs(Tables.documents(s, d))),
@@ -236,6 +238,48 @@ object SparkEntry {
          FROM st""",
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+         FROM documents""",
+    "sessionize_batch" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS tms, value FROM events),
+         s AS (
+           SELECT *, CASE WHEN tms - lag(tms) OVER
+               (PARTITION BY user_id ORDER BY tms, event_id) > 1800000
+             THEN 1 ELSE 0 END AS ns
+           FROM e),
+         t AS (
+           SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+           FROM s)
+         SELECT user_id, session_id, min(tms) AS session_start,
+                max(tms) AS session_end, count(*)::BIGINT AS n_events,
+                sum(round(value * 100)::BIGINT) / 100.0 AS total_value
+         FROM t GROUP BY user_id, session_id""",
+    "bpe_tokens" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe,
+                len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_ws
+         FROM documents""",
+    "sessionize_batch" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS tms, value FROM events),
+         s AS (
+           SELECT *, CASE WHEN tms - lag(tms) OVER
+               (PARTITION BY user_id ORDER BY tms, event_id) > 1800000
+             THEN 1 ELSE 0 END AS ns
+           FROM e),
+         t AS (
+           SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+           FROM s)
+         SELECT user_id, session_id, min(tms) AS session_start,
+                max(tms) AS session_end, count(*)::BIGINT AS n_events,
+                sum(round(value * 100)::BIGINT) / 100.0 AS total_value
+         FROM t GROUP BY user_id, session_id""",
+    "bpe_tokens" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe,
+                len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_ws
          FROM documents""",
     "raco_frontend" ->
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
