@@ -26,8 +26,12 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
-    spark.sharedState.cacheManager.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // each query starts cache-cold: internal .cache() reuse within one
+      // query is measured, cross-query cache leakage and its GC pressure
+      // are not
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

@@ -53,6 +53,24 @@ object Dedup {
       .otherwise(slice(joined, lit(1), n - (k - 1)))
   }
 
+  /** k-shingle *hashes* without materializing shingle strings: hash each
+    * token once, then combine k consecutive token hashes positionally
+    * (zip with the array's own shifted tails). Equivalent to hashing the
+    * string shingles up to 64-bit collisions, and much cheaper — no
+    * per-shingle string allocation. Docs with ≤ k tokens yield one hash of
+    * all tokens (mirroring `shingles`).
+    */
+  def shingleHashes(toks: Column, k: Int): Column = {
+    val base = transform(toks, t => xxhash64(t))
+    val n = size(base)
+    val combined = (2 to k).foldLeft(base) { (acc, i) =>
+      // tail entries mix in padding nulls; the final slice drops them
+      zip_with(acc, slice(base, lit(i), n), (a, b) => xxhash64(a, b))
+    }
+    when(n <= k, array(aggregate(base, lit(42L), (acc, h) => xxhash64(acc, h))))
+      .otherwise(slice(combined, lit(1), n - (k - 1)))
+  }
+
   /** Exact dedup: group documents by a content digest, keep the smallest
     * doc_id as canonical, count the duplicates.
     */
@@ -85,11 +103,11 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Materialize the shingle array as a column before hashing: an inlined
-    // subexpression would be re-evaluated once per hash function (numHashes×).
+    // Materialize the shingle-hash array as a column before the minhash
+    // pass: an inlined subexpression would be re-evaluated once per hash
+    // function (numHashes×).
     val sigs = rebalance(docs)
-      .select(col("doc_id"), shingles(tokens(col("text")), k).as("sh"))
-      .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("bh"))
+      .select(col("doc_id"), shingleHashes(tokens(col("text")), k).as("bh"))
       .select(col("doc_id"), minhashSignature(col("bh"), numHashes).as("sig"))
       .cache() // reused: once for banding, once (positionally) for verify
     val banded = sigs.select(col("doc_id"), col("sig"),
@@ -112,8 +130,10 @@ object Dedup {
     * verify stage after LSH candidate generation.
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, k: Int = 3): DataFrame = {
+    // shingle-hash sets rather than string sets: same Jaccard up to 64-bit
+    // collisions, no string materialization
     val sh = docs.select(col("doc_id"),
-      array_distinct(shingles(tokens(col("text")), k)).as("sh"))
+      array_distinct(shingleHashes(tokens(col("text")), k)).as("sh"))
     pairs
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), Seq("doc_a"))
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), Seq("doc_b"))

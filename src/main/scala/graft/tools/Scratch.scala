@@ -18,9 +18,13 @@ object Scratch {
     }
     for (i <- 1 to 3) {
       spark.sharedState.cacheManager.clearCache()
-      val docs = graft.Tables.documents(spark, d)
       val q = graft.SparkEntry.queries("dedup_jaccard")(spark, d)
-      time(s"dedup_jaccard#$i")(q.count())
+      time(s"dedup_jaccard noop#$i")(q.write.format("noop").mode("overwrite").save())
+    }
+    for (i <- 1 to 2) {
+      spark.sharedState.cacheManager.clearCache()
+      val q = graft.SparkEntry.queries("dedup_simhash")(spark, d)
+      time(s"dedup_simhash noop#$i")(q.write.format("noop").mode("overwrite").save())
     }
     spark.stop()
   }
