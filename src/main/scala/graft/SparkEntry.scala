@@ -66,6 +66,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       pipeline.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
     }),
+    "ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      pipeline.Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5, nCells = 16, nProbe = 4)
+    }),
     "embed_neardup" -> ((s, d) =>
       pipeline.Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.4)),
     // --- relational frontend (SURVEY §3.2): op-tree lowered to Catalyst ---

@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** IVF ANN: exactness of scores, cell coverage, and recall vs brute force
+  * on the real sf0.001 embeddings.
+  */
+class IvfSpec extends AnyFunSuite {
+  import TestSpark._
+  private val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+
+  test("every corpus vector is assigned exactly one valid cell") {
+    val cents = Ivf.trainCentroids(emb, k = 8)
+    assert(cents.length == 8 && cents.forall(_.length == 64))
+    val cells = emb.withColumn("cell", Ivf.assignCell(col("embedding"), cents))
+    val stats = cells.agg(count(lit(1)), min(col("cell")), max(col("cell")),
+      countDistinct(col("cell"))).collect().head
+    assert(stats.getLong(0) == emb.count())
+    assert(stats.getInt(1) >= 0 && stats.getInt(2) < 8)
+    assert(stats.getLong(3) > 1, "k-means collapsed to a single cell")
+  }
+
+  test("ivf top-k scores are exact for returned pairs; recall reasonable") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bruteAll = Similarity.bruteForceTopK(emb, queries, 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Ivf.ivfTopK(emb, queries, 5, nCells = 8, nProbe = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(ivf.nonEmpty)
+    // scores must agree exactly with brute force for any returned pair
+    ivf.foreach { case (pair, s) => assert(bruteAll(pair) == s, s"score mismatch $pair") }
+    // probing 3/8 cells should still recover a decent share of true top-5
+    val recall = ivf.count { case (pair, _) => brute.contains(pair) }.toDouble /
+      brute.size
+    assert(recall >= 0.3, s"recall $recall too low")
+  }
+}
