@@ -210,6 +210,18 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
   def store(path: String): Unit =
     sortedDf.write.mode("overwrite").parquet(path)
 
+  /** Store hive-partitioned by the leading key(s): the reference's manual
+    * table-split management (`PropagatePartition`,
+    * `sensor/SensorCalc.kt:159-173`) re-expressed as directory partitioning —
+    * downstream key-prefix filters become partition pruning (no file even
+    * opened). Use for low-cardinality leading keys only.
+    */
+  def storePartitioned(path: String, nPartitionKeys: Int = 1): Unit = {
+    val pkeys = schema.keys.take(nPartitionKeys)
+    df.sortWithinPartitions(schema.keys.map(col): _*)
+      .write.mode("overwrite").partitionBy(pkeys: _*).parquet(path)
+  }
+
   /** Mark for reuse across plan branches — the reference's shared-subtree
     * `instMap`/pipeline dedup (`api/TupleOp.kt:25-26`, `api/Lower.kt:118-127`)
     * needs explicit help in Spark (`SURVEY.md §4.1`).
