@@ -73,6 +73,22 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
     */
   def where(cond: Column): LaraTable = copy(df = df.filter(cond))
 
+  /** Key-range filter — reference `MinMaxFilter` (`sensor/MinMaxFilter.kt:
+    * 18-77`) / `RowRangeIterator` (`opt/Operators.kt:332-368`). On a
+    * partitioned or sorted store this becomes partition pruning / min-max
+    * row-group skipping automatically.
+    */
+  def whereKeyRange(key: String, min: Any, max: Any): LaraTable = {
+    require(schema.keys.contains(key), s"$key is not a key attribute")
+    where(col(key).between(lit(min), lit(max)))
+  }
+
+  /** Membership filter — reference `D4mRangeFilter` (`opt/D4mRangeFilter
+    * .kt:21-45`): keep tuples whose attribute falls in a given set.
+    */
+  def whereKeyIn(key: String, values: Seq[Any]): LaraTable =
+    where(col(key).isin(values: _*))
+
   // ----------------------------------------------------------------- Rename
 
   /** Reference `Rename` (`api/TupleOp.kt:523-567`). */

@@ -27,7 +27,7 @@ object Skew {
                  saltFactor: Int): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
     val nonKey = left.columns.filterNot(keys.contains)
-    val saltSrc = if (nonKey.isEmpty) lit(0L) else xxhash64(struct(nonKey.map(col): _*))
+    val saltSrc = if (nonKey.isEmpty) lit(0L) else xxhash64(struct(nonKey.toIndexedSeq.map(col): _*))
     val l = left.withColumn("__salt", pmod(saltSrc, lit(saltFactor.toLong)).cast("int"))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))

@@ -70,7 +70,7 @@ object Ivf {
     * array column (centroids become plan literals — a few KB).
     */
   private def centroidSims(emb: Column, centroids: Array[Array[Float]]): Column =
-    array(centroids.map(c => CosineSimilarity(emb, typedlit(c.toSeq))): _*)
+    array(centroids.toIndexedSeq.map(c => CosineSimilarity(emb, typedlit(c.toSeq))): _*)
 
   /** Index of the best cell for each vector (distributed, no UDF). */
   def assignCell(emb: Column, centroids: Array[Array[Float]]): Column = {
