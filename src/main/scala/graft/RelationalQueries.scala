@@ -178,6 +178,61 @@ object RelationalQueries {
       size(pipeline.TextAnalysis.bpeishTokens(col("text"))).cast("long").as("n_bpe"),
       pipeline.TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"))
 
+  /** Scalar string function coverage (the reference's entire scalar library
+    * is user lambdas — SURVEY §2.6; here they are codegen'd built-ins).
+    */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+      col("c_custkey"),
+      upper(col("c_name")).as("name_upper"),
+      substring(col("c_mktsegment"), 1, 3).as("seg3"),
+      concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"),
+      length(col("c_name")).cast("long").as("name_len"),
+      lpad(col("c_custkey").cast("string"), 8, "0").as("key_padded"))
+
+  /** Date/time extraction + aggregation. */
+  def dateAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+           Num.centsSumExact(col("o_totalprice")).as("total"))
+
+  /** CUBE over two dimensions (grouping-sets family). */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+              col("sum_qty"), col("n"))
+
+  /** Post-aggregation filter (HAVING). */
+  def havingFilter(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n"))
+      .filter(col("total_qty") > 100.0)
+
+  /** Conditional aggregation — a fixed-column pivot on event_type. */
+  def conditionalPivot(s: SparkSession, d: String): DataFrame = {
+    def bucket(t: String) = Num.centsSumExact(
+      when(col("event_type") === t, col("value")).otherwise(lit(0.0d)))
+    events(s, d).groupBy(col("user_id")).agg(
+      bucket("click").as("click_value"),
+      bucket("purchase").as("purchase_value"),
+      bucket("view").as("view_value"),
+      count(lit(1)).as("n_events"))
+  }
+
+  /** Exact interpolated percentiles (both engines implement the standard
+    * continuous quantile; inputs are identical doubles).
+    */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    events(s, d).groupBy(col("event_type")).agg(
+      round(expr("percentile(value, 0.5)"), 6).as("p50"),
+      round(expr("percentile(value, 0.95)"), 6).as("p95"),
+      min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+
   /** Grouping sets / rollup (absent in reference, completes the agg surface).
     * Nulls from rollup are made explicit so the oracle hash matches.
     */

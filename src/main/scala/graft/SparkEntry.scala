@@ -41,6 +41,12 @@ object SparkEntry {
     "rollup_agg" -> RelationalQueries.rollupAgg _,
     "sessionize_batch" -> ((s, d) => RelationalQueries.sessionizeBatch(s, d)),
     "bpe_tokens" -> RelationalQueries.bpeTokens _,
+    "string_funcs" -> RelationalQueries.stringFuncs _,
+    "date_agg" -> RelationalQueries.dateAgg _,
+    "cube_agg" -> RelationalQueries.cubeAgg _,
+    "having_filter" -> RelationalQueries.havingFilter _,
+    "conditional_pivot" -> RelationalQueries.conditionalPivot _,
+    "percentiles" -> RelationalQueries.percentiles _,
     // --- training-data pipeline: dedup ---
     "dedup_exact" -> ((s, d) => pipeline.Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash" -> ((s, d) => pipeline.Dedup.minhashPairs(Tables.documents(s, d))),
@@ -306,5 +312,37 @@ object SparkEntry {
                 WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
                 ELSE 'de' END AS lang_pred
          FROM sc""",
+    "string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+                substring(c_mktsegment, 1, 3) AS seg3,
+                concat_ws('|', c_mktsegment, c_name) AS tagged,
+                length(c_name)::BIGINT AS name_len,
+                lpad(c_custkey::VARCHAR, 8, '0') AS key_padded
+         FROM customer""",
+    "date_agg" ->
+      """SELECT year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo,
+                count(*)::BIGINT AS n_orders,
+                sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS total
+         FROM orders GROUP BY 1, 2""",
+    "cube_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                sum(l_quantity) AS sum_qty, count(*)::BIGINT AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "having_filter" ->
+      """SELECT l_partkey, sum(l_quantity) AS total_qty, count(*)::BIGINT AS n
+         FROM lineitem GROUP BY l_partkey HAVING sum(l_quantity) > 100.0""",
+    "conditional_pivot" ->
+      """SELECT user_id,
+                sum(round(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END * 100)::BIGINT) / 100.0 AS click_value,
+                sum(round(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END * 100)::BIGINT) / 100.0 AS purchase_value,
+                sum(round(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END * 100)::BIGINT) / 100.0 AS view_value,
+                count(*)::BIGINT AS n_events
+         FROM events GROUP BY user_id""",
+    "percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+                round(quantile_cont(value, 0.95), 6) AS p95,
+                min(value) AS vmin, max(value) AS vmax
+         FROM events GROUP BY event_type""",
   )
 }
