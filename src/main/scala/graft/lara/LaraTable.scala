@@ -138,18 +138,31 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
   def union(other: LaraTable, plusFns: Map[String, PlusFn]): LaraTable = {
     val commonKeys = schema.unionKeyPrefix(other.schema)
     val outVals = unionVals(schema, other.schema, plusFns)
+    val effective = outVals.map(v =>
+      v.name -> plusFns.getOrElse(v.name, PlusFn.errorFn(v.default, v.dataType))).toMap
     checkIdentityLaw(schema, plusFns); checkIdentityLaw(other.schema, plusFns)
 
     def pad(t: LaraTable): DataFrame = {
       val cols = commonKeys.map(col) ++ outVals.map { v =>
         if (t.schema.valNames.contains(v.name)) col(v.name).cast(v.dataType).as(v.name)
-        else identityLit(plusFns(v.name), v).as(v.name) // absent attr ⇒ ⊕ identity (putDefault, api/TupleOp.kt:499-504)
+        else identityLit(effective(v.name), v).as(v.name) // absent attr ⇒ ⊕ identity (putDefault, api/TupleOp.kt:499-504)
       }
       t.df.select(cols: _*)
     }
     val unioned = pad(this).unionByName(pad(other))
-    LaraTable(aggregate(unioned, commonKeys, outVals, plusFns), LaraSchema(commonKeys, outVals))
+    LaraTable(aggregate(unioned, commonKeys, outVals, effective), LaraSchema(commonKeys, outVals))
   }
+
+  /** N-ary ⊕-union (left fold; ⊕ associativity makes the shape free). */
+  def unionAll(others: Seq[LaraTable], plusFns: Map[String, PlusFn]): LaraTable =
+    others.foldLeft(this)(_.union(_, plusFns))
+
+  /** Scalar-to-client reduce — the reference's `Reducer` side-channel
+    * (`opt/Reducer.kt:25-59`, decoded at `api/ExecuteAccumulo.kt:141`):
+    * ⊕-collapse every key and return the single tuple to the driver.
+    */
+  def reduceScalar(plusFns: Map[String, PlusFn]): org.apache.spark.sql.Row =
+    agg(Seq(), plusFns).df.collect().head
 
   /** Agg = Union with Empty (reference `api/TupleOp.kt:296,353-366`): keep a
     * key subset (any subset, order from the current access path), ⊕ the vals
@@ -274,8 +287,10 @@ object LaraTable {
       b.vals.find(_.name == n).foreach { bs =>
         require(bs.dataType == spec.dataType, s"union: val $n type mismatch ${spec.dataType} vs ${bs.dataType}")
       }
-      require(plusFns.contains(n), s"union: no ⊕ given for val $n")
-      spec.copy(default = plusFns(n).identity)
+      // vals without a declared ⊕ get plusErrorFun (reference
+      // api/Schema.kt:315-324): legal unless two tuples actually collide
+      val fn = plusFns.getOrElse(n, PlusFn.errorFn(spec.default, spec.dataType))
+      spec.copy(default = fn.identity)
     }
   }
 

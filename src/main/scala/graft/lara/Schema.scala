@@ -91,12 +91,16 @@ object PlusFn {
   /** Logical-or over 0/1 ints — reference `anyFun` (`examples/sensor/SensorQuery.kt:72-74`). */
   def any: PlusFn = PlusFn(0, c => org.apache.spark.sql.functions.max(c), greatest(_, _))
   /** No ⊕ defined: combining two real values is an error. Reference
-    * `plusErrorFun` (`api/Schema.kt:315-324`). Realized as raise_error so the
-    * violation surfaces at run, like the reference's runtime throw.
+    * `plusErrorFun` (`api/Schema.kt:315-324`) — a union is still legal for a
+    * val without ⊕ as long as no two tuples actually collide on it; the
+    * violation surfaces at run time, like the reference's throw. `identity`
+    * is the val's default so the identity/default law holds vacuously.
     */
-  def errorFn(dt: DataType): PlusFn = PlusFn(
-    null,
-    c => org.apache.spark.sql.functions.first(c),
+  def errorFn(identity: Any, dt: DataType): PlusFn = PlusFn(
+    identity,
+    c => when(count(c) > 1,
+        raise_error(lit("plusErrorFun: ⊕ applied to two present values")).cast(dt))
+      .otherwise(first(c)),
     (a, b) => when(a.isNotNull && b.isNotNull,
       raise_error(lit("plusErrorFun: ⊕ applied to two present values")).cast(dt)
     ).otherwise(coalesce(a, b)))

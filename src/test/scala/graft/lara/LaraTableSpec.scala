@@ -122,6 +122,27 @@ class LaraTableSpec extends AnyFunSuite {
     }
   }
 
+  test("union without ⊕ uses plusErrorFun: legal until values collide (api/Schema.kt:315-324)") {
+    val a = table(Seq(Row("x", 1)), Seq("k"), Seq(ValSpec("v", IntegerType, 0)), kv)
+    val b = table(Seq(Row("y", 2)), Seq("k"), Seq(ValSpec("v", IntegerType, 0)), kv)
+    // disjoint keys: no collision → fine with no ⊕ declared
+    assert(rowSet(a.union(b, Map()).df) == Set(Seq[Any]("x", 1), Seq[Any]("y", 2)))
+    // colliding keys → runtime error on combine
+    val c = table(Seq(Row("x", 9)), Seq("k"), Seq(ValSpec("v", IntegerType, 0)), kv)
+    val e = intercept[Exception](a.union(c, Map()).df.collect())
+    assert(e.getMessage.contains("plusErrorFun") || e.getCause != null)
+  }
+
+  test("unionAll folds n-ary union; reduceScalar returns the Reducer tuple") {
+    val plus = PlusFn(0, c => sum(c).cast("int"), _ + _)
+    val ts = (1 to 3).map(i => table(Seq(Row("x", i), Row(s"y$i", 10 * i)),
+      Seq("k"), Seq(ValSpec("v", IntegerType, 0)), kv))
+    val u = ts.head.unionAll(ts.tail, Map("v" -> plus))
+    assert(rowSet(u.df) == Set(Seq[Any]("x", 6),
+      Seq[Any]("y1", 10), Seq[Any]("y2", 20), Seq[Any]("y3", 30)))
+    assert(u.reduceScalar(Map("v" -> plus)).getInt(0) == 66)
+  }
+
   test("store/load round-trip preserves rows and declared key order") {
     val a = table(Seq(Row("b", 2), Row("a", 1), Row("c", 3)),
       Seq("k"), Seq(ValSpec("v", IntegerType, 0)), kv)
