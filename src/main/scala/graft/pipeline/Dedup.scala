@@ -131,9 +131,10 @@ object Dedup {
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, k: Int = 3): DataFrame = {
     // shingle-hash sets rather than string sets: same Jaccard up to 64-bit
-    // collisions, no string materialization
-    val sh = docs.select(col("doc_id"),
+    // collisions, no string materialization; cached — both join sides scan it
+    val sh = rebalance(docs).select(col("doc_id"),
       array_distinct(shingleHashes(tokens(col("text")), k)).as("sh"))
+      .cache()
     pairs
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), Seq("doc_a"))
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), Seq("doc_b"))
