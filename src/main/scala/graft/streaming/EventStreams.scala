@@ -34,6 +34,18 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact-dedup at ingestion: drop documents whose content
+    * digest was already seen within the watermark horizon — the streaming
+    * twin of `pipeline.Dedup.exact`, for dedup-at-ingest in a training-data
+    * feed. State is the digest set, pruned by the event-time watermark.
+    * Expects columns (ts: timestamp, text: string, ...).
+    */
+  def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp,

@@ -62,4 +62,22 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(rows.contains((1L, 0L, 5L, 2, 3.0)), s"got $rows")
     } finally q.stop()
   }
+
+  test("streamingDedup drops repeated content within the watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = in.toDF().toDF("ts", "text")
+    val out = EventStreams.streamingDedup(docs, "30 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(60), "alpha doc"), (ts(61), "alpha doc"), (ts(62), "beta doc"))
+      q.processAllAvailable()
+      in.addData((ts(65), "alpha doc"), (ts(70), "gamma doc"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_stream").collect().map(_.getString(1)).toSeq
+      assert(texts.sorted == Seq("alpha doc", "beta doc", "gamma doc"))
+    } finally q.stop()
+  }
 }
