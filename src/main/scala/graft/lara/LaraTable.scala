@@ -251,6 +251,19 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
       .write.mode("overwrite").partitionBy(pkeys: _*).parquet(path)
   }
 
+  /** Bucketed catalog store: hash-bucket and sort by the key list so two
+    * tables stored with the same bucketing join/aggregate WITHOUT a
+    * shuffle — the durable form of the reference's `PropagatePartition`
+    * 'P' optimization (copying split points so derived tables stay aligned,
+    * `sensor/SensorCalc.kt:159-173`). The scale play for repeatedly-joined
+    * 100 TB fact tables: pay the partitioning once at write.
+    */
+  def storeBucketed(table: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, schema.keys.head, schema.keys.tail: _*)
+      .sortBy(schema.keys.head, schema.keys.tail: _*)
+      .saveAsTable(table)
+
   /** Mark for reuse across plan branches — the reference's shared-subtree
     * `instMap`/pipeline dedup (`api/TupleOp.kt:25-26`, `api/Lower.kt:118-127`)
     * needs explicit help in Spark (`SURVEY.md §4.1`).
