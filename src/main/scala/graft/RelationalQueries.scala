@@ -178,6 +178,38 @@ object RelationalQueries {
       size(pipeline.TextAnalysis.bpeishTokens(col("text"))).cast("long").as("n_bpe"),
       pipeline.TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"))
 
+  /** Global top-k via total order + limit (deterministic tie-break, so the
+    * result is a well-defined set).
+    */
+  def topOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** Left outer join with Lara default-fill: every customer appears, absent
+    * order aggregates coalesce to the value default (the total-function
+    * semantics of §1.1 realized with an outer join, SURVEY §7.4).
+    */
+  def outerJoinDefaults(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), Num.centsSumExact(col("o_totalprice")).as("spent"))
+    val c = customer(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("spent"), lit(0.0d)).as("total_spent"))
+  }
+
+  /** HLL sketch surface: approximate distinct counts (rows-only check —
+    * Spark's HLL++ and DuckDB's sketch give different estimates by design;
+    * the spec pins the error bound instead).
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d).groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+           countDistinct(col("user_id")).as("exact_users"))
+
   /** Scalar string function coverage (the reference's entire scalar library
     * is user lambdas — SURVEY §2.6; here they are codegen'd built-ins).
     */

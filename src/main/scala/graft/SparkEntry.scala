@@ -42,6 +42,9 @@ object SparkEntry {
     "sessionize_batch" -> ((s, d) => RelationalQueries.sessionizeBatch(s, d)),
     "bpe_tokens" -> RelationalQueries.bpeTokens _,
     "string_funcs" -> RelationalQueries.stringFuncs _,
+    "top_orders" -> RelationalQueries.topOrders _,
+    "outer_join_defaults" -> RelationalQueries.outerJoinDefaults _,
+    "approx_distinct" -> RelationalQueries.approxDistinct _,
     "date_agg" -> RelationalQueries.dateAgg _,
     "cube_agg" -> RelationalQueries.cubeAgg _,
     "having_filter" -> RelationalQueries.havingFilter _,
@@ -312,6 +315,18 @@ object SparkEntry {
                 WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
                 ELSE 'de' END AS lang_pred
          FROM sc""",
+    "top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "outer_join_defaults" ->
+      """SELECT c.c_custkey,
+                coalesce(o.n, 0) AS n_orders,
+                coalesce(o.spent, 0.0) AS total_spent
+         FROM customer c LEFT JOIN (
+           SELECT o_custkey, count(*)::BIGINT AS n,
+                  sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS spent
+           FROM orders GROUP BY o_custkey) o
+         ON c.c_custkey = o.o_custkey""",
     "string_funcs" ->
       """SELECT c_custkey, upper(c_name) AS name_upper,
                 substring(c_mktsegment, 1, 3) AS seg3,
