@@ -15,9 +15,13 @@ object SparkEntry {
 
   /** Flagship query on sf=0.001: the reference's benchmark workload — the
     * covariance-matrix pipeline (`sensor/SensorCalc.kt:134-144`) on events.
+    * The driver hands us an externally built session, so the events-read
+    * conf is applied here, at the entry boundary (see `Tables.eventsConf`).
     */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    spark.conf.set(Tables.eventsConf._1, Tables.eventsConf._2)
     LaraQueries.covariance(spark, "/root/testdata/sf0.001")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- Lara core (SURVEY §2.1): Ext / Map / Union / Agg / Join / Rename ---
@@ -233,45 +237,8 @@ object SparkEntry {
              CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE -1.0 END -
              punct_ratio * 4.0))), 6) AS quality
          FROM st""",
-    "text_quality_score" ->
-      """WITH st AS (
-           SELECT doc_id,
-             round(len(list_filter(string_split_regex(text, '\s+'),
-                 x -> x IN ('the','a','of','and','to','in','is','it','for','on')))::DOUBLE /
-               greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 4) AS stopword_ratio,
-             round(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
-               greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 4) AS avg_token_len,
-             round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::DOUBLE /
-               greatest(length(text), 1), 4) AS punct_ratio
-           FROM documents)
-         SELECT doc_id,
-           round(1.0 / (1.0 + exp(-(-1.0 + stopword_ratio * 8.0 +
-             CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE -1.0 END -
-             punct_ratio * 4.0))), 6) AS quality
-         FROM st""",
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
-         FROM documents""",
-    "sessionize_batch" ->
-      """WITH e AS (
-           SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS tms, value FROM events),
-         s AS (
-           SELECT *, CASE WHEN tms - lag(tms) OVER
-               (PARTITION BY user_id ORDER BY tms, event_id) > 1800000
-             THEN 1 ELSE 0 END AS ns
-           FROM e),
-         t AS (
-           SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tms, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
-           FROM s)
-         SELECT user_id, session_id, min(tms) AS session_start,
-                max(tms) AS session_end, count(*)::BIGINT AS n_events,
-                sum(round(value * 100)::BIGINT) / 100.0 AS total_value
-         FROM t GROUP BY user_id, session_id""",
-    "bpe_tokens" ->
-      """SELECT doc_id,
-                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe,
-                len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_ws
          FROM documents""",
     "sessionize_batch" ->
       """WITH e AS (

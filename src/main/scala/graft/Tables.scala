@@ -16,13 +16,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default (PARQUET_TYPE_ILLEGAL). Read nanos as long and convert to a
-    * microsecond TimestampType column — same truncation Spark applies to
-    * micro-precision data.
+  /** Session config required before reading events.parquet: it carries
+    * TIMESTAMP(NANOS), which Spark 4 refuses by default
+    * (PARQUET_TYPE_ILLEGAL). Sessions must opt in to reading nanos as long.
+    * Applied at session construction (Bench/Verify/tests) or at the
+    * `SparkEntry.entry` boundary for externally built sessions — never as a
+    * side effect of plan building, so concurrent plan builders can't race
+    * the session conf.
     */
+  val eventsConf: (String, String) = "spark.sql.legacy.parquet.nanosAsLong" -> "true"
+
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get(eventsConf._1, "false") == "true",
+      s"set ${eventsConf._1}=true at session construction before reading events")
     // integer `div`, not `/`: fractional division runs in double precision,
     // which at ~1.7e18 nanos is only accurate to ~hundreds of nanos
     t(s, d, "events").withColumn("ts",

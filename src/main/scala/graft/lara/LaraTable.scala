@@ -113,12 +113,19 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
     copy(schema = schema.copy(keys = newOrder))
   }
 
-  /** Physically realize the access path: hash-partition by the leading key
-    * (the reference's DAP, `opt/Schema.kt:28-43`) and sort within partitions
-    * by the full key list (LAP). Only for sinks that need order.
+  /** Physically realize the access path: range-partition by the *full* key
+    * list (the reference's DAP, `opt/Schema.kt:28-43`) and sort within
+    * partitions by the same keys (LAP). Only for sinks that need order.
+    *
+    * Range, not hash-on-leading-key: a low-cardinality leading key (e.g. the
+    * sensor schema's event-type `c`, a handful of values) would collapse a
+    * hash partitioning — and the whole downstream write — into that many
+    * tasks. Range partitioning over all keys keeps full parallelism, and is
+    * *stronger* than the access-path contract needs: partitions are globally
+    * ordered, so key-prefix locality is preserved too.
     */
   def sortedDf: DataFrame =
-    df.repartition(col(schema.keys.head))
+    df.repartitionByRange(schema.keys.map(col): _*)
       .sortWithinPartitions(schema.keys.map(col): _*)
 
   // ------------------------------------------------------------------ Union

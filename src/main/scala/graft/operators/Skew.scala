@@ -19,16 +19,23 @@ object Skew {
     * `saltFactor` sub-partitions and `right` replicated to match. Result
     * equals `left.join(right, keys)` exactly.
     *
-    * The salt is a deterministic hash of the left row's non-key columns
-    * (not a random number: retried tasks must salt identically or shuffle
-    * retries duplicate/lose rows).
+    * The salt is the row's position id (partition id + offset): distinct for
+    * every left row — fully duplicated rows and rows with no non-key columns
+    * still spread across all `saltFactor` sub-keys (a content hash would
+    * collapse them onto one). Not a random number: position ids are
+    * reproduced when a task is recomputed from the same deterministic input
+    * split, which is the property shuffle retries need. Spark conservatively
+    * marks the id nondeterministic, which also stops the optimizer from
+    * reordering anything across the salt — the safe direction.
     */
+  /** Position-id salt in [0, saltFactor). */
+  private[operators] def salt(saltFactor: Int) =
+    pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int")
+
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltFactor: Int): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
-    val nonKey = left.columns.filterNot(keys.contains)
-    val saltSrc = if (nonKey.isEmpty) lit(0L) else xxhash64(struct(nonKey.toIndexedSeq.map(col): _*))
-    val l = left.withColumn("__salt", pmod(saltSrc, lit(saltFactor.toLong)).cast("int"))
+    val l = left.withColumn("__salt", salt(saltFactor))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     l.join(r, keys :+ "__salt").drop("__salt")

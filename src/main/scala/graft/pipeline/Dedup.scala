@@ -22,14 +22,22 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Spread a DataFrame across the cluster when the source collapsed it into
-    * fewer partitions than cores (e.g. one small parquet file). Signature
+    * fewer splits than cores (e.g. one small parquet file). Signature
     * computation is CPU-bound, so the one-pass reshuffle pays for itself —
     * without it a single task computes every hash (observed 83 s → 3 s at
     * sf0.1 locally).
+    *
+    * Gated on the *file count* (metadata-only — `inputFiles` lists the file
+    * index without forcing physical planning, unlike `.rdd`, which would
+    * eagerly plan the frame and bypass AQE). At 100 TB the source has
+    * thousands of files and this is a no-op; in-memory frames report zero
+    * files and pass through untouched — parallelism there is whatever the
+    * caller created.
     */
   private[pipeline] def rebalance(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val files = df.inputFiles.length
+    if (files > 0 && files < target) df.repartition(target) else df
   }
 
   /** Whitespace tokens with empties dropped. */

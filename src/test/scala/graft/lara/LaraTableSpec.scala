@@ -151,4 +151,43 @@ class LaraTableSpec extends AnyFunSuite {
     val back = LaraTable.load(spark, dir, Seq("k"), Seq(ValSpec("v", IntegerType, 0)))
     assert(rowSet(back.df) == rowSet(a.df))
   }
+
+  test("store parallelism survives a low-cardinality leading key") {
+    // 2-value leading key, 1000 secondary keys: hash-partitioning on the
+    // leading key alone would collapse the write into ≤2 tasks; range
+    // partitioning on the full key list must keep all shuffle partitions
+    // (4 in this session) busy, and load-back must preserve the rows.
+    import org.apache.spark.sql.types.LongType
+    val rows = (1 to 1000).map(i => Row(if (i % 2 == 0) "a" else "b", i.toLong, i.toLong))
+    val st = new org.apache.spark.sql.types.StructType()
+      .add("c", StringType).add("j", LongType).add("v", LongType)
+    val t = LaraTable(df(st, rows),
+      LaraSchema(Seq("c", "j"), Seq(ValSpec("v", LongType, 0L))))
+    // AQE legitimately coalesces this tiny frame at runtime; disable its
+    // coalescing here to observe the *structural* parallelism — the old
+    // hash-on-leading-key plan was capped at 2 partitions no matter the
+    // data volume, which AQE can never widen.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = spark.conf.get(coalesceKey, "true")
+    val dir = java.nio.file.Files.createTempDirectory("lara_store_par").toString + "/t"
+    try {
+      spark.conf.set(coalesceKey, "false")
+      assert(t.sortedDf.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism,
+        "range repartition must not collapse parallelism")
+      t.store(dir)
+      val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files >= spark.sparkContext.defaultParallelism,
+        s"expected ≥${spark.sparkContext.defaultParallelism} write tasks, got $files files")
+    } finally spark.conf.set(coalesceKey, saved)
+    val back = LaraTable.load(spark, dir, Seq("c", "j"), Seq(ValSpec("v", LongType, 0L)))
+    assert(back.df.count() == 1000)
+    // access path: within every file, rows are sorted by (c, j)
+    val perFile = back.df.select(col("c"), col("j"),
+        org.apache.spark.sql.functions.input_file_name().as("f"))
+      .collect().groupBy(_.getString(2))
+    perFile.values.foreach { rs =>
+      val keys = rs.map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(keys == keys.sorted, "rows within a stored file must follow the access path")
+    }
+  }
 }

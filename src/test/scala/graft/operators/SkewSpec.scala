@@ -24,6 +24,19 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.count() == 1001) // 500*2 hot + 1
   }
 
+  test("saltedJoin spreads fully-duplicate rows (degenerate-salt regression)") {
+    val st = new StructType().add("k", StringType).add("x", IntegerType)
+    // 500 byte-identical rows: a content-hash salt would put them all in one
+    // sub-key and the skew would survive
+    val left = df(st, Seq.fill(500)(Row("hot", 7)))
+    val right = df(new StructType().add("k", StringType).add("y", IntegerType),
+      Seq(Row("hot", 10), Row("hot", 20)))
+    val salted = Skew.saltedJoin(left, right, Seq("k"), saltFactor = 8)
+    assert(salted.count() == 1000)
+    val spread = left.select(Skew.salt(8).as("s")).agg(countDistinct(col("s"))).head.getLong(0)
+    assert(spread == 8, s"expected all 8 sub-keys used, got $spread")
+  }
+
   test("storePartitioned: key filter prunes partitions at read") {
     import graft.lara._
     val st = new StructType().add("k", StringType).add("j", IntegerType).add("v", IntegerType)
