@@ -57,12 +57,7 @@ object SparkEntry {
     // --- training-data pipeline: dedup ---
     "dedup_exact" -> ((s, d) => pipeline.Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash" -> ((s, d) => pipeline.Dedup.minhashPairs(Tables.documents(s, d))),
-    "dedup_jaccard" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      pipeline.Dedup.jaccardVerify(
-        pipeline.Dedup.minhashPairs(docs).select(col("doc_a"), col("doc_b")), docs)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-    }),
+    "dedup_jaccard" -> ((s, d) => pipeline.Dedup.jaccardJoin(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => pipeline.Dedup.simhashPairs(Tables.documents(s, d))),
     // --- training-data pipeline: text analysis ---
     "text_quality" -> ((s, d) => pipeline.TextAnalysis.qualityStats(Tables.documents(s, d))),
@@ -210,6 +205,77 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
                 count(*)::BIGINT AS n_copies
          FROM documents GROUP BY md5(text)""",
+    // Exact inverted-index jaccard join: the oracle brute-forces all pairs
+    // over *string* shingle sets (the Spark side hashes shingles — jaccard
+    // is invariant up to 64-bit collisions).
+    "dedup_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS s
+           FROM toks)
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  round(len(list_intersect(a.s, b.s))::DOUBLE /
+                        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         WHERE jaccard >= 0.5""",
+    // Portable MinHash (md5-derived 60-bit family, graft.functions
+    // .PortableHash): the oracle recomputes the identical signatures and
+    // brute-forces band agreement (8 bands × 4 rows).
+    "dedup_minhash" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END AS s
+           FROM toks),
+         bs AS (
+           SELECT doc_id, [('0x' || substring(md5(x), 1, 15))::BIGINT for x in s] AS b
+           FROM sh),
+         sig AS (
+           SELECT doc_id,
+             [list_min([('0x' || substring(md5(h::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
+                        for h in b])
+              for i in range(0, 32)] AS sg
+           FROM bs)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                len([i for i in range(1, 33) if a.sg[i] = b.sg[i]])::DOUBLE / 32.0 AS est_jaccard
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE len([bb for bb in range(0, 8)
+                    if a.sg[bb*4+1 : bb*4+4] = b.sg[bb*4+1 : bb*4+4]]) > 0""",
+    // Portable SimHash; for maxHamming=3 the 16-bit banding is lossless
+    // (pigeonhole), so brute-force pairs within the Hamming radius are the
+    // exact expected result.
+    "dedup_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents),
+         th AS (
+           SELECT doc_id, [('0x' || substring(md5(x), 1, 15))::BIGINT for x in t] AS h
+           FROM toks),
+         sig AS (
+           SELECT doc_id,
+             list_sum([CASE WHEN 2 * len([v for v in h if (v >> i) & 1 = 1]) > len(h)
+                            THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                       for i in range(0, 64)])::BIGINT AS sg
+           FROM th)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                bit_count(xor(a.sg, b.sg))::BIGINT AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sg, b.sg)) <= 3""",
+    "text_rolling_fp" ->
+      """SELECT doc_id,
+                list_reduce(list_prepend(0::BIGINT,
+                  [('0x' || substring(md5(x), 1, 15))::BIGINT % 2147483647 for x in
+                   list_filter(string_split_regex(text, '\s+'), w -> w <> '')]),
+                  (a, h) -> (a * 1000003 + h) % 2147483647) AS rolling_fp
+         FROM documents""",
     "text_quality" ->
       """SELECT doc_id, length(text)::BIGINT AS n_chars_m,
                 len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens,

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
 
 /** Deduplication operators for large-scale text corpora — exact and
   * near-duplicate. All operators are pure Catalyst plans (array HOFs +
@@ -13,11 +14,23 @@ import org.apache.spark.sql.functions._
   *  - MinHash:  shingle → minhash signature → LSH band buckets → candidate
   *              pairs within buckets. The band bucket-join is the scale
   *              path: candidate generation is linear in corpus size +
-  *              quadratic only *within* a bucket (tiny by construction),
+  *              quadratic only *within* a bucket (bounded by `maxBucket`),
   *              never all-pairs.
   *  - SimHash:  64-bit signature per doc; near-dup pairs via 16-bit band
-  *              buckets + Hamming-distance verify.
-  *  - n-gram Jaccard: exact verify step for candidate pairs.
+  *              buckets + Hamming-distance verify. For Hamming ≤ 3 the four
+  *              16-bit bands are *exhaustive* (pigeonhole: 3 flipped bits
+  *              can dirty at most 3 bands), so banding loses nothing.
+  *  - n-gram Jaccard: `jaccardJoin`, an *exact* set-similarity join via an
+  *              inverted index on shingle hashes — one pass over the corpus,
+  *              candidate pairs only for docs sharing ≥1 shingle.
+  *
+  * Shuffle discipline: candidate pairs are reduced on (doc_a, doc_b) id
+  * pairs with their (scalar) similarity — signature arrays and shingle sets
+  * never travel through the pair-dedup shuffle.
+  *
+  * Hashes that are observable in results (minhash signatures, simhash bits,
+  * rolling fingerprints) use [[PortableHash]] so the DuckDB oracle can
+  * recompute them; engine-internal join keys keep xxhash64.
   */
 object Dedup {
 
@@ -88,15 +101,47 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: `numHashes` minima over a column of *base hashes*
-    * (one xxhash64 per shingle, computed once). The hash family is
-    * h_i(x) = xxhash64(base(x), i) — each variable-length shingle string is
-    * hashed exactly once; the 32 family members only re-mix the 8-byte base
-    * hash, which is ~3× cheaper than re-hashing the strings per seed.
+  /** MinHash signature over *base hashes* (one xxhash64 per shingle): the
+    * fast engine-local family h_i(x) = xxhash64(base(x), i). Use when the
+    * signature is internal (not part of an oracle-checked result).
     */
   def minhashSignature(baseHashes: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(baseHashes, h => xxhash64(h, i))))
+
+  /** Engine-portable MinHash signature: base = portable 60-bit hash of each
+    * shingle string (computed once), family member i re-hashes the decimal
+    * base — h_i(s) = pHash60("<pHash60(s)>_<i>"). Two md5 passes per
+    * shingle-seed pair of *short fixed-size* strings; the DuckDB oracle
+    * recomputes the identical signature.
+    */
+  def minhashSignaturePortable(shingleStrings: Column, numHashes: Int): Column = {
+    val bases = transform(shingleStrings, s => PortableHash.hash60(s))
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(bases, b => PortableHash.seeded(b, i))))
+  }
+
+  /** Drop (band, bucket) groups larger than `maxBucket` before the
+    * candidate self-join: a degenerate bucket — mass-duplicated boilerplate,
+    * the common case in web crawls — otherwise goes quadratic. Dropped
+    * buckets are *accounted*, not silent: `oversizedBuckets` reports them,
+    * and exact duplicates (the usual cause) are `Dedup.exact`'s job anyway.
+    */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val counts = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") <= maxBucket)
+    banded.join(counts, Seq("band", "bucket")).drop("__bucket_n")
+  }
+
+  /** Accounting for `maxBucket`: the (band, bucket, size) groups a capped
+    * run excludes. Report/log this next to any capped result — no silent
+    * truncation.
+    */
+  def oversizedBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
 
   /** MinHash+LSH near-duplicate candidate pairs.
     *
@@ -106,50 +151,89 @@ object Dedup {
     * LSH plan that scales linearly with corpus size.
     *
     * Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est_jaccard =
-    * fraction of agreeing minhashes (computed exactly once per pair after
-    * bucket-dedup).
+    * fraction of agreeing minhashes. Pair dedup (a pair may collide in
+    * several bands) shuffles only (doc_a, doc_b, est) — the signature
+    * arrays stay on the map side.
+    *
+    * `portable=true` (the oracle-checked contract path) uses the md5-based
+    * signature family; `false` the cheaper xxhash64 family.
     */
-  def minhashPairs(docs: DataFrame, k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+  def minhashPairs(docs: DataFrame, k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                   maxBucket: Int = 100000, portable: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Materialize the shingle-hash array as a column before the minhash
-    // pass: an inlined subexpression would be re-evaluated once per hash
-    // function (numHashes×).
+    // Materialize the signature as a column before multi-pass consumption:
+    // an inlined subexpression would be re-evaluated once per band.
     val sigs = rebalance(docs)
-      .select(col("doc_id"), shingleHashes(tokens(col("text")), k).as("bh"))
-      .select(col("doc_id"), minhashSignature(col("bh"), numHashes).as("sig"))
-      .cache() // reused: once for banding, once (positionally) for verify
+      .select(col("doc_id"),
+        (if (portable) minhashSignaturePortable(shingles(tokens(col("text")), k), numHashes)
+         else minhashSignature(shingleHashes(tokens(col("text")), k), numHashes)).as("sig"))
+      .cache() // consumed by both sides of the bucket self-join
     val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val capped = capBuckets(banded, maxBucket)
+    val a = capped.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
-      .distinct() // a pair may collide in several bands
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
-          v => v === 1)).cast("double") / lit(bands * rowsPerBand)).as("est_jaccard"))
+          v => v === 1)).cast("double") / lit(numHashes)).as("est_jaccard"))
+      .groupBy(col("doc_a"), col("doc_b")) // band-collision dedup on ids only
+      .agg(max(col("est_jaccard")).as("est_jaccard")) // identical per pair
   }
 
-  /** Exact n-gram Jaccard similarity for given candidate pairs
-    * (doc_a, doc_b): |A∩B| / |A∪B| over word k-shingle sets. Used as the
-    * verify stage after LSH candidate generation.
+  /** Exact n-gram Jaccard similarity join: all pairs with
+    * jaccard(A, B) = |A∩B| / |A∪B| ≥ `minJaccard` over word k-shingle sets.
+    *
+    * Plan: inverted index on shingle hashes — explode (doc, shingle-hash),
+    * self-equi-join on the hash, count shared shingles per pair, finish with
+    * the inclusion–exclusion denominator. Exact for any `minJaccard > 0`
+    * (every qualifying pair shares ≥ 1 shingle), one pass over the corpus,
+    * and the shuffle carries (hash, doc_id, set-size) — never text. This is
+    * the verify-quality operator; MinHash banding above is the cheaper
+    * screen when an estimate suffices.
+    *
+    * `maxDf`: drop shingles occurring in more than `maxDf` documents from
+    * the *index* (a boilerplate shingle shared by everything makes the join
+    * quadratic). Dropping index entries can only lose candidate pairs whose
+    * every shared shingle is that common — report `0` (unbounded) for exact
+    * semantics, or pair a capped run with `hotShingles` accounting.
     */
-  def jaccardVerify(pairs: DataFrame, docs: DataFrame, k: Int = 3): DataFrame = {
-    // shingle-hash sets rather than string sets: same Jaccard up to 64-bit
-    // collisions, no string materialization; cached — both join sides scan it
-    val sh = rebalance(docs).select(col("doc_id"),
-      array_distinct(shingleHashes(tokens(col("text")), k)).as("sh"))
-      .cache()
-    pairs
-      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), Seq("doc_a"))
-      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), Seq("doc_b"))
+  def jaccardJoin(docs: DataFrame, k: Int = 3, minJaccard: Double = 0.5,
+                  maxDf: Long = 0L): DataFrame = {
+    val sh = rebalance(docs)
+      .select(col("doc_id"), array_distinct(shingleHashes(tokens(col("text")), k)).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      .cache() // exploded twice (both sides of the self-join)
+    val ex0 = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("h"))
+    val ex =
+      if (maxDf <= 0) ex0
+      else {
+        val hot = ex0.groupBy(col("h")).agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
+        ex0.join(hot, Seq("h"), "left_anti")
+      }
+    val a = ex.select(col("h"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val b = ex.select(col("h"), col("doc_id").as("doc_b"), col("n").as("n_b"))
+    a.join(b, Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        round(col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Accounting for `jaccardJoin(maxDf=…)`: shingle hashes whose document
+    * frequency exceeds the cap, with their frequency.
+    */
+  def hotShingles(docs: DataFrame, k: Int = 3, maxDf: Long = 100L): DataFrame =
+    rebalance(docs)
+      .select(col("doc_id"), explode(array_distinct(shingleHashes(tokens(col("text")), k))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
 
   /** 64-bit SimHash signature over a column of token hashes: bit i is set
     * iff more than half the token hashes have bit i set. Pure array HOFs —
@@ -166,27 +250,37 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** SimHash near-duplicate pairs: bucket by each of the four 16-bit bands
-    * (two signatures within Hamming distance 3 must agree on ≥1 band), then
-    * verify Hamming distance ≤ maxHamming via popcount of XOR.
+  /** SimHash near-duplicate pairs: bucket by each of the four 16-bit bands,
+    * then verify Hamming distance ≤ maxHamming via popcount of XOR. For
+    * `maxHamming ≤ 3` the banding is lossless (pigeonhole), so the result
+    * is *exactly* the set of pairs within the Hamming radius — which is why
+    * the DuckDB oracle can check it by brute force.
+    *
+    * Pair dedup shuffles (doc_a, doc_b, hamming) scalars only.
+    * `portable=true` hashes tokens with the md5-based portable hash (60
+    * effective bits); `false` uses xxhash64 (full 64).
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 100000, portable: Boolean = true): DataFrame = {
     // Token hashes materialized as a column first — simhash scans them 64
     // times (once per bit); inlining the tokenizer would re-tokenize 64×.
+    val th = if (portable) (t: Column) => PortableHash.hash60(t) else (t: Column) => xxhash64(t)
     val sigs = rebalance(docs)
-      .select(col("doc_id"), transform(tokens(col("text")), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"), transform(tokens(col("text")), th).as("th"))
       .select(col("doc_id"), simhash(col("th")).as("sig")).cache()
     val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(3)),
           b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val capped = capBuckets(banded, maxBucket)
+    val a = capped.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b")).distinct()
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .groupBy(col("doc_a"), col("doc_b")) // band-collision dedup on ids only
+      .agg(max(col("hamming")).as("hamming")) // identical per pair
   }
 }

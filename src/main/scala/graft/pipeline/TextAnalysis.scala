@@ -85,12 +85,15 @@ object TextAnalysis {
     * positional, order-sensitive — distinguishes permuted documents that a
     * bag-of-words digest would conflate. Computed with the `aggregate` HOF
     * so it stays codegen'd. Arithmetic kept inside a Mersenne-prime field so
-    * ANSI mode (Spark 4 default) never sees an overflow.
+    * ANSI mode (Spark 4 default) never sees an overflow; token hashes use
+    * the engine-portable md5-derived hash so the DuckDB oracle reproduces
+    * the exact fingerprint (`list_reduce` over the same fold).
     */
   def rollingFingerprint(docs: DataFrame): DataFrame = {
     val m = 2147483647L // 2^31 − 1
     docs.select(col("doc_id"),
       aggregate(Dedup.tokens(col("text")), lit(0L),
-        (acc, t) => pmod(acc * 1000003L + pmod(xxhash64(t), lit(m)), lit(m))).as("rolling_fp"))
+        (acc, t) => pmod(acc * 1000003L +
+          pmod(graft.functions.PortableHash.hash60(t), lit(m)), lit(m))).as("rolling_fp"))
   }
 }

@@ -32,14 +32,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
   }
 
-  test("jaccardVerify computes exact shingle-set jaccard") {
-    // doc1/doc2 share exactly half their 3-shingles:
-    // doc1 shingles {a b c, b c d}; doc2 {a b c, b c x}
-    val d = docs(1L -> "a b c d", 2L -> "a b c x")
-    val pairs = df(new StructType().add("doc_a", LongType).add("doc_b", LongType),
-      Seq(Row(1L, 2L)))
-    val r = Dedup.jaccardVerify(pairs, d).collect().head
-    assert(r.getDouble(2) == 1.0 / 3.0) // 1 shared of 3 distinct
+  test("jaccardJoin: exact shingle-set jaccard via inverted index") {
+    // doc1 shingles {a b c, b c d}; doc2 {a b c, b c x}: 1 shared of 3
+    val d = docs(1L -> "a b c d", 2L -> "a b c x", 3L -> "q r s t")
+    val r = Dedup.jaccardJoin(d, minJaccard = 0.3)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    assert(r == Map((1L, 2L) -> 0.333333)) // round(1/3, 6); doc3 shares nothing
+    // higher threshold excludes the pair entirely
+    assert(Dedup.jaccardJoin(d, minJaccard = 0.5).count() == 0)
+  }
+
+  test("jaccardJoin maxDf drops hot shingles from the index, with accounting") {
+    // "x y z" appears in every doc — a boilerplate shingle; docs 1/2 are
+    // near-dups beyond it, docs 3/4 share ONLY the boilerplate.
+    val d = docs(
+      1L -> "x y z a b c d", 2L -> "x y z a b c e",
+      3L -> "x y z p q r s", 4L -> "x y z t u v w")
+    val capped = Dedup.jaccardJoin(d, minJaccard = 0.05, maxDf = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(capped.contains((1L, 2L))) // survives: shares non-hot shingles
+    assert(!capped.contains((3L, 4L))) // dropped: only the hot shingle linked them
+    val hot = Dedup.hotShingles(d, maxDf = 3).collect()
+    assert(hot.length >= 1 && hot.forall(_.getLong(1) == 4L)) // accounted, not silent
+  }
+
+  test("minhash/simhash bucket cap bounds degenerate buckets with accounting") {
+    // 200 identical docs: every band maps them to one bucket — uncapped
+    // that is 19 900 pairs per band; capped, zero pairs, and the oversized
+    // bucket is reported. (Identical docs are Dedup.exact's job.)
+    val many = (1 to 200).map(i => i.toLong -> "same text in every doc here")
+    val d = docs(many: _*)
+    assert(Dedup.minhashPairs(d, maxBucket = 50).count() == 0)
+    assert(Dedup.simhashPairs(d, maxBucket = 50).count() == 0)
+    val sigs = d.select(col("doc_id"),
+      Dedup.minhashSignaturePortable(Dedup.shingles(Dedup.tokens(col("text")), 3), 32).as("sig"))
+    val banded = sigs.select(col("doc_id"),
+        posexplode(org.apache.spark.sql.functions.transform(
+          sequence(lit(0), lit(7)),
+          b => xxhash64(concat_ws("_", slice(col("sig"), b * 4 + 1, lit(4)))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val over = Dedup.oversizedBuckets(banded, 50).collect()
+    assert(over.length == 8 && over.forall(_.getLong(2) == 200L)) // one hot bucket per band
   }
 
   test("simhash: identical docs → hamming 0; disjoint docs don't pair") {
