@@ -331,6 +331,87 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
                 round(l_extendedprice * (1.0 + l_tax) * 100)::BIGINT / 100.0 AS taxed
          FROM lineitem WHERE l_quantity > 45.0 AND l_discount < 0.02""",
+    // Exact brute-force cosine top-k: DuckDB's list_dot_product on DOUBLE[]
+    // is the same sequential IEEE fold as the native CosineSimilarity
+    // expression, so scores are bit-identical before rounding.
+    "ann_topk" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         s AS (
+           SELECT query_id, vec_id,
+                  round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                             ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS cos_sim
+           FROM (SELECT q.query_id, c.vec_id,
+                        list_dot_product(q.qe, c.ce) AS dot,
+                        list_dot_product(q.qe, q.qe) AS na,
+                        list_dot_product(c.ce, c.ce) AS nb
+                 FROM q CROSS JOIN c WHERE c.vec_id <> q.query_id))
+         SELECT query_id, vec_id, cos_sim, rk FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, vec_id) AS rk FROM s)
+         WHERE rk <= 5""",
+    // Banded sign-LSH top-k: hyperplanes are md5-derived doubles
+    // (graft.pipeline.Similarity.plane), recomputed here; sign bits and
+    // scores are sequential double folds on both engines.
+    "ann_lsh" ->
+      """WITH pl AS (
+           SELECT p, [(('0x' || substring(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 15))::BIGINT
+                       % 2000001 - 1000000) / 1000000.0 for j in range(0, 64)] AS v
+           FROM range(0, 16) t(p)),
+         pls AS (SELECT list(v ORDER BY p) AS planes FROM pl),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         bk AS (
+           SELECT vec_id, ce,
+             [8 * (CASE WHEN list_dot_product(ce, planes[b*4+1]) > 0 THEN 1 ELSE 0 END)
+            + 4 * (CASE WHEN list_dot_product(ce, planes[b*4+2]) > 0 THEN 1 ELSE 0 END)
+            + 2 * (CASE WHEN list_dot_product(ce, planes[b*4+3]) > 0 THEN 1 ELSE 0 END)
+            +     (CASE WHEN list_dot_product(ce, planes[b*4+4]) > 0 THEN 1 ELSE 0 END)
+              for b in range(0, 4)] AS bks
+           FROM e CROSS JOIN pls),
+         s AS (
+           SELECT query_id, vec_id,
+                  round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                             ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS cos_sim
+           FROM (SELECT q.vec_id AS query_id, c.vec_id,
+                        list_dot_product(q.ce, c.ce) AS dot,
+                        list_dot_product(q.ce, q.ce) AS na,
+                        list_dot_product(c.ce, c.ce) AS nb
+                 FROM bk q JOIN bk c
+                   ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+                  AND len([b for b in range(1, 5) if q.bks[b] = c.bks[b]]) > 0))
+         SELECT query_id, vec_id, cos_sim, rk FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, vec_id) AS rk FROM s)
+         WHERE rk <= 5""",
+    // Sign-LSH near-duplicate pairs: candidates agree on ≥1 band, verified
+    // by exact cosine ≥ 0.4.
+    "embed_neardup" ->
+      """WITH pl AS (
+           SELECT p, [(('0x' || substring(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 15))::BIGINT
+                       % 2000001 - 1000000) / 1000000.0 for j in range(0, 64)] AS v
+           FROM range(0, 16) t(p)),
+         pls AS (SELECT list(v ORDER BY p) AS planes FROM pl),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         bk AS (
+           SELECT vec_id, ce,
+             [8 * (CASE WHEN list_dot_product(ce, planes[b*4+1]) > 0 THEN 1 ELSE 0 END)
+            + 4 * (CASE WHEN list_dot_product(ce, planes[b*4+2]) > 0 THEN 1 ELSE 0 END)
+            + 2 * (CASE WHEN list_dot_product(ce, planes[b*4+3]) > 0 THEN 1 ELSE 0 END)
+            +     (CASE WHEN list_dot_product(ce, planes[b*4+4]) > 0 THEN 1 ELSE 0 END)
+              for b in range(0, 4)] AS bks
+           FROM e CROSS JOIN pls)
+         SELECT id_a, id_b, cos_sim FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  round(CASE WHEN list_dot_product(a.ce, a.ce) = 0
+                               OR list_dot_product(b.ce, b.ce) = 0 THEN 0.0
+                             ELSE list_dot_product(a.ce, b.ce) /
+                                  (sqrt(list_dot_product(a.ce, a.ce)) *
+                                   sqrt(list_dot_product(b.ce, b.ce))) END, 6) AS cos_sim
+           FROM bk a JOIN bk b
+             ON a.vec_id < b.vec_id
+            AND len([i for i in range(1, 5) if a.bks[i] = b.bks[i]]) > 0)
+         WHERE cos_sim >= 0.4""",
     "text_langid" ->
       """WITH s AS (
            SELECT doc_id, ' ' || text || ' ' AS p FROM documents),

@@ -8,18 +8,27 @@ import org.apache.spark.sql.expressions.Window
   *
   *  - `bruteForceTopK`: exact cosine top-k of a (small, broadcast) query set
   *    against the full corpus — the correctness baseline. Dot products via
-  *    the `zip_with`/`aggregate` HOFs: codegen'd, no UDF, no shuffle except
-  *    the final per-query top-k.
+  *    the native fused `CosineSimilarity` expression: codegen'd, no UDF, no
+  *    shuffle except the final per-query top-k.
   *  - `lshTopK` / `embeddingNearDup`: the scale path — *banded* random-
   *    hyperplane (sign) LSH. Each vector gets `bands` bucket keys, one per
   *    group of `planesPerBand` sign bits; two vectors are candidates iff
   *    they agree on at least one band (OR-amplification, the same
   *    construction as MinHash banding). Candidate generation is a bucket
-  *    equi-join: linear in corpus size, quadratic only within a bucket.
+  *    equi-join: linear in corpus size, quadratic only within a bucket and
+  *    bounded by `maxBucket` (oversized buckets dropped with accounting —
+  *    see `Dedup.oversizedBuckets` for the reporting pattern).
   *
-  * At 100 TB the corpus side stays partitioned; only queries/hyperplanes are
-  * broadcast. An IVF variant (k-means coarse quantizer) has the same plan
-  * shape: assign → co-partition by centroid → per-cell scoring.
+  * The hyperplanes are md5-derived (`plane(p)(j)` below): a deterministic
+  * function of (plane, component) indices that the DuckDB correctness
+  * oracle recomputes bit-identically, embedded in the plan as literal
+  * arrays (16×64 doubles — bytes, not a broadcast). Cosine scores and sign
+  * bits are IEEE-double sequential folds on both engines, so LSH bucket
+  * membership and scores agree exactly — which is what lets the driver
+  * hash-compare these queries instead of row-counting them.
+  *
+  * At 100 TB the corpus side stays partitioned; only queries are broadcast.
+  * An IVF variant (k-means coarse quantizer) lives in [[Ivf]].
   */
 object Similarity {
 
@@ -57,51 +66,71 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: component j of plane p is a
-    * hash-derived value in [-1, 1]. Generated inside the expression so
-    * corpus and queries use identical planes without shipping literals.
+  /** Deterministic pseudo-random hyperplane component: a md5-derived value
+    * in [-1, 1], the portable-hash construction
+    * (`graft.functions.PortableHash`) evaluated at plan-build time —
+    * `plane(p)(j) = (md5_60("p_j") mod 2000001 − 10^6) / 10^6`. The DuckDB
+    * oracle computes the identical doubles from the same formula.
     */
-  private def planeComponent(p: Column, j: Column): Column =
-    (pmod(xxhash64(p, j), lit(2000001L)) - 1000000L).cast("double") / 1000000.0d
+  private[pipeline] def plane(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${p}_$j".getBytes("UTF-8"))
+      val hex = md.map(b => f"$b%02x").mkString.take(15)
+      ((java.lang.Long.parseLong(hex, 16) % 2000001L) - 1000000L).toDouble / 1000000.0d
+    }
 
-  /** Sign bit of the dot product with hyperplane `p`. */
-  private def signBit(emb: Column, p: Column): Column =
+  /** Sign bit of the dot product with hyperplane `p` (sequential double
+    * fold — same IEEE result as the oracle's `list_dot_product`).
+    */
+  private def signBit(emb: Column, p: Int, dim: Int): Column =
     when(aggregate(
-      zip_with(emb, sequence(lit(0), size(emb) - 1), (x, j) => x * planeComponent(p, j)),
+      zip_with(emb, typedlit(plane(p, dim).toSeq), (x, v) => x * v),
       lit(0.0d), (s, x) => s + x) > 0, lit(1L)).otherwise(lit(0L))
 
   /** Banded bucket keys: element b is the integer formed by the sign bits of
     * planes [b·planesPerBand, (b+1)·planesPerBand). Exploded by callers into
-    * (band, bucket) join keys.
+    * (band, bucket) join keys. `dim` must match the embedding width (the
+    * planes are plan literals).
     */
-  def lshBandBuckets(emb: Column, bands: Int, planesPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      aggregate(
-        transform(sequence(lit(0), lit(planesPerBand - 1)),
-          i => signBit(emb, b * planesPerBand + i)),
-        lit(0L), (acc, bit) => acc * 2 + bit))
+  def lshBandBuckets(emb: Column, bands: Int, planesPerBand: Int, dim: Int): Column =
+    array((0 until bands).map { b =>
+      (0 until planesPerBand).map(i => signBit(emb, b * planesPerBand + i, dim))
+        .reduceLeft((acc, bit) => acc * 2 + bit)
+    }: _*)
 
-  private def withBands(df: DataFrame, bands: Int, planesPerBand: Int): DataFrame =
+  private def withBands(df: DataFrame, bands: Int, planesPerBand: Int, dim: Int): DataFrame =
     df.select(col("*"),
-        posexplode(lshBandBuckets(col("embedding"), bands, planesPerBand)))
+        posexplode(lshBandBuckets(col("embedding"), bands, planesPerBand, dim)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val counts = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") <= maxBucket)
+    banded.join(counts, Seq("band", "bucket")).drop("__bucket_n")
+  }
 
   /** Approximate top-k: score only corpus vectors sharing ≥1 LSH band with
     * the query. bands=4 × planesPerBand=4 gives ~50% candidate recall at
     * cosine ≈ 0.4 and prunes ~94% of the corpus per query.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              bands: Int = 4, planesPerBand: Int = 4): DataFrame = {
-    val c = withBands(Dedup.rebalance(corpus.select(col("vec_id"), col("embedding"))),
-      bands, planesPerBand)
-    val q = broadcast(withBands(queries.select(col("vec_id"), col("embedding")), bands, planesPerBand)
+              bands: Int = 4, planesPerBand: Int = 4, dim: Int = 64,
+              maxBucket: Int = 100000): DataFrame = {
+    // banded corpus is scanned twice (bucket counts + the probe join):
+    // cache it so the 16 sign-bit dots per vector run once
+    val c = capBuckets(
+      withBands(Dedup.rebalance(corpus.select(col("vec_id"), col("embedding"))),
+        bands, planesPerBand, dim).cache(), maxBucket)
+    val q = broadcast(withBands(queries.select(col("vec_id"), col("embedding")), bands, planesPerBand, dim)
       .select(col("band"), col("bucket"), col("vec_id").as("query_id"), col("embedding").as("q_emb")))
-    val cand = c.join(q, Seq("band", "bucket"))
+    val scored = c.join(q, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
-      .distinct() // a pair may agree on several bands
-    val scored = cand.select(col("query_id"), col("vec_id"),
-      round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      .groupBy(col("query_id"), col("vec_id")) // band-collision dedup on ids only
+      .agg(max(col("cos_sim")).as("cos_sim")) // identical per pair
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
@@ -110,19 +139,24 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs above `threshold`: banded-LSH
     * self-join (candidates agree on ≥1 band), then exact cosine verify —
-    * never all-pairs.
+    * never all-pairs. Pair dedup shuffles (id_a, id_b, cos_sim) scalars;
+    * embeddings stay on the map side of the bucket join.
     */
   def embeddingNearDup(corpus: DataFrame, threshold: Double,
-                       bands: Int = 4, planesPerBand: Int = 4): DataFrame = {
-    val c = withBands(Dedup.rebalance(corpus.select(col("vec_id"), col("embedding"))),
-      bands, planesPerBand)
+                       bands: Int = 4, planesPerBand: Int = 4, dim: Int = 64,
+                       maxBucket: Int = 100000): DataFrame = {
+    // banded corpus feeds bucket counts + both self-join sides: cache it
+    val c = capBuckets(
+      withBands(Dedup.rebalance(corpus.select(col("vec_id"), col("embedding"))),
+        bands, planesPerBand, dim).cache(), maxBucket)
     val a = c.select(col("band"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = c.select(col("band"), col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b")).distinct()
       .select(col("id_a"), col("id_b"),
         round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+      .groupBy(col("id_a"), col("id_b")) // band-collision dedup on ids only
+      .agg(max(col("cos_sim")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

@@ -106,10 +106,16 @@ class PipelineSpec extends AnyFunSuite {
     val queries = corpus.filter(col("vec_id") < 2)
     val brute = Similarity.bruteForceTopK(corpus, queries, 50)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-    val lsh = Similarity.lshTopK(corpus, queries, 5)
+    val lsh = Similarity.lshTopK(corpus, queries, 5, dim = 8)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
     assert(lsh.nonEmpty)
     lsh.foreach { case (pair, score) => assert(brute(pair) == score) }
+    // buckets must actually partition the corpus (a dim mismatch would
+    // degenerate every sign bit to 0 and every vector to one bucket)
+    val buckets = corpus.select(explode(
+      Similarity.lshBandBuckets(col("embedding"), 4, 4, 8)).as("b"))
+      .distinct().count()
+    assert(buckets > 4, s"expected >4 distinct buckets, got $buckets")
   }
 
   test("quality stats and language id on constructed docs") {
