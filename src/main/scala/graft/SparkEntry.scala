@@ -93,9 +93,12 @@ object SparkEntry {
             ParquetScan(s"$d/lineitem.parquet")))))
         .withColumn("taxed", round(col("taxed") * 100).cast("long") / 100.0)
     }),
-    // --- multimodal columns: binary payload + stubbed decode plumbing ---
-    "media_features" -> ((s, _) =>
-      pipeline.Multimodal.extractFeatures(pipeline.Multimodal.syntheticMedia(s, 200), dim = 16)
+    // --- multimodal columns: binary payload + stubbed decode plumbing.
+    // Media derived deterministically from documents so the mapPartitions
+    // kernel's observable output (byte counts) is oracle-checkable. ---
+    "media_features" -> ((s, d) =>
+      pipeline.Multimodal.extractFeatures(
+        pipeline.Multimodal.mediaFromDocs(Tables.documents(s, d)), dim = 16)
         .select(col("media_id"), col("kind"), col("n_bytes"))),
   )
 
@@ -473,5 +476,12 @@ object SparkEntry {
                 round(quantile_cont(value, 0.95), 6) AS p95,
                 min(value) AS vmin, max(value) AS vmax
          FROM events GROUP BY event_type""",
+    // The decode kernel is a stub, but its observable contract — one output
+    // row per media row, byte count of the binary payload — is exact.
+    "media_features" ->
+      """SELECT doc_id AS media_id,
+                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                octet_length(encode(text))::BIGINT AS n_bytes
+         FROM documents""",
   )
 }

@@ -51,6 +51,27 @@ object Multimodal {
     spark.createDataFrame(rows, mediaSchema)
   }
 
+  /** Deterministic media table derived from a documents corpus: the binary
+    * payload is the UTF-8 encoding of the text (a stand-in for real codec
+    * bytes), kind cycles by doc_id, metadata is a pure function of doc_id.
+    * Because every column is a deterministic function of the source table,
+    * pipelines built on it (e.g. the media_features contract query) are
+    * checkable by the DuckDB oracle — `octet_length(encode(text))` must
+    * equal the byte count the partition-local kernel observes.
+    */
+  def mediaFromDocs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(typedlit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3).cast(IntegerType) + 1).as("kind"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      struct(
+        (lit(64) + (col("doc_id") % 3)).cast(IntegerType).as("width"),
+        lit(48).cast(IntegerType).as("height"),
+        lit(16000).cast(IntegerType).as("sample_rate"),
+        (lit(1000L) + col("doc_id")).as("duration_ms"))
+        .cast(mediaSchema("meta").dataType).as("meta"))
+
   /** STUB decode kernel: a real implementation would hand `bytes` to an
     * image/audio codec here. The fake is deterministic in the payload so
     * tests can assert on it: feature[j] = normalized byte statistics of

@@ -42,6 +42,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f2.forall(_.getAs[Array[Byte]](3).nonEmpty))
   }
 
+  test("mediaFromDocs: deterministic media from a documents corpus, UTF-8 byte counts") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructType, LongType, StringType}
+    val ds = new StructType().add("doc_id", LongType).add("text", StringType)
+    val d = graft.TestSpark.df(ds, Seq(Row(0L, "abc"), Row(1L, "héllo"), Row(2L, "xy")))
+    val m = Multimodal.mediaFromDocs(d)
+    assert(m.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq ==
+      Multimodal.mediaSchema.fields.map(f => (f.name, f.dataType.sql)).toSeq)
+    val feats = Multimodal.extractFeatures(m, dim = 4)
+      .select(col("media_id"), col("kind"), col("n_bytes")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // é is two UTF-8 bytes: the kernel must see encoded bytes, not chars
+    assert(feats == Map(0L -> ("image", 3L), 1L -> ("audio", 6L), 2L -> ("video", 2L)))
+  }
+
   test("resizeImages: images get new dims + payload, others untouched") {
     val m = Multimodal.syntheticMedia(spark, 6)
     val r = Multimodal.resizeImages(m, 32, 32)
