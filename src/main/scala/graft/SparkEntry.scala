@@ -93,6 +93,20 @@ object SparkEntry {
             ParquetScan(s"$d/lineitem.parquet")))))
         .withColumn("taxed", round(col("taxed") * 100).cast("long") / 100.0)
     }),
+    // --- Raco plan-text frontend (SURVEY §3.2, reference opt/raco/PTree.kt):
+    // a serialized Myria plan string parsed and lowered to Catalyst. ---
+    "raco_plan_text" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("public_adhoc_lineitem")
+      plans.Relational.lower(s, plans.RacoParser.parsePlan(
+        """Dump(Apply([('l_orderkey', NamedAttributeRef('l_orderkey')),
+             ('l_linenumber', NamedAttributeRef('l_linenumber')),
+             ('rate', DIVIDE(DIVIDE(NamedAttributeRef('l_extendedprice'), NamedAttributeRef('l_quantity')), NumericLiteral(1000.0))),
+             ('taxed_qty', TIMES(NamedAttributeRef('l_quantity'), PLUS(NumericLiteral(1.0), NamedAttributeRef('l_tax'))))],
+           Select(GT(UnnamedAttributeRef(4, None), NumericLiteral(45.0)),
+             Scan(RelationKey('public', 'adhoc', 'lineitem'),
+               Scheme([('l_orderkey', 'LONG_TYPE'), ('l_partkey', 'LONG_TYPE'), ('l_suppkey', 'LONG_TYPE'), ('l_linenumber', 'LONG_TYPE'), ('l_quantity', 'DOUBLE_TYPE'), ('l_extendedprice', 'DOUBLE_TYPE'), ('l_discount', 'DOUBLE_TYPE'), ('l_tax', 'DOUBLE_TYPE'), ('l_returnflag', 'STRING_TYPE'), ('l_linestatus', 'STRING_TYPE'), ('l_shipdate', 'DATETIME_TYPE')]), 10000,
+               RepresentationProperties(frozenset([]), None, None)))))"""))
+    }),
     // --- multimodal columns: binary payload + stubbed decode plumbing.
     // Media derived deterministically from documents so the mapPartitions
     // kernel's observable output (byte counts) is oracle-checkable. ---
@@ -476,6 +490,13 @@ object SparkEntry {
                 round(quantile_cont(value, 0.95), 6) AS p95,
                 min(value) AS vmin, max(value) AS vmax
          FROM events GROUP BY event_type""",
+    // Both engines evaluate the same IEEE double expression trees
+    // (div/div, mul of (1+tax)) in the same order — exact compare.
+    "raco_plan_text" ->
+      """SELECT l_orderkey, l_linenumber,
+                l_extendedprice / l_quantity / 1000.0 AS rate,
+                l_quantity * (1.0 + l_tax) AS taxed_qty
+         FROM lineitem WHERE l_quantity > 45.0""",
     // The decode kernel is a stub, but its observable contract — one output
     // row per media row, byte count of the binary payload — is exact.
     "media_features" ->

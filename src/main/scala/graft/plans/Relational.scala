@@ -27,23 +27,35 @@ object Relational {
       * (the reference hand-rolls LONG/DOUBLE coercion at
       * `opt/RacoToAccumulo.kt:70-85,170-186`).
       */
-    def toColumn: Column = this match {
+    def toColumn: Column = toColumnIn(Nil)
+
+    /** Lower with the child's column list in scope — required to resolve
+      * positional refs (reference `UnnamedAttributeRef`,
+      * `opt/raco/RacoOperators.kt:54-59`, resolved against the child scheme).
+      */
+    def toColumnIn(cols: Seq[String]): Column = this match {
       case Lit(v)         => lit(v)
       case Ref(name)      => col(name)
-      case Plus(a, b)     => a.toColumn + b.toColumn
-      case Minus(a, b)    => a.toColumn - b.toColumn
-      case Times(a, b)    => a.toColumn * b.toColumn
-      case Divide(a, b)   => a.toColumn / b.toColumn
-      case Gt(a, b)       => a.toColumn > b.toColumn
-      case Lt(a, b)       => a.toColumn < b.toColumn
-      case Eq(a, b)       => a.toColumn === b.toColumn
-      case And(a, b)      => a.toColumn && b.toColumn
-      case Or(a, b)       => a.toColumn || b.toColumn
-      case Not(a)         => !a.toColumn
+      case PosRef(i)      =>
+        require(cols.nonEmpty, s"positional ref $$$i needs a child schema in scope")
+        require(i >= 0 && i < cols.length, s"positional ref $$$i out of range for $cols")
+        col(cols(i))
+      case Plus(a, b)     => a.toColumnIn(cols) + b.toColumnIn(cols)
+      case Minus(a, b)    => a.toColumnIn(cols) - b.toColumnIn(cols)
+      case Times(a, b)    => a.toColumnIn(cols) * b.toColumnIn(cols)
+      case Divide(a, b)   => a.toColumnIn(cols) / b.toColumnIn(cols)
+      case Gt(a, b)       => a.toColumnIn(cols) > b.toColumnIn(cols)
+      case Lt(a, b)       => a.toColumnIn(cols) < b.toColumnIn(cols)
+      case Eq(a, b)       => a.toColumnIn(cols) === b.toColumnIn(cols)
+      case And(a, b)      => a.toColumnIn(cols) && b.toColumnIn(cols)
+      case Or(a, b)       => a.toColumnIn(cols) || b.toColumnIn(cols)
+      case Not(a)         => !a.toColumnIn(cols)
     }
   }
   final case class Lit(v: Any) extends Expr
   final case class Ref(name: String) extends Expr
+  /** Positional attribute ref (reference `UnnamedAttributeRef`). */
+  final case class PosRef(i: Int) extends Expr
   final case class Plus(a: Expr, b: Expr) extends Expr
   final case class Minus(a: Expr, b: Expr) extends Expr
   final case class Times(a: Expr, b: Expr) extends Expr
@@ -82,9 +94,12 @@ object Relational {
     case Scan(t)            => spark.table(t)
     case ParquetScan(p)     => spark.read.parquet(p)
     case FileScan(p, s, d, h) => graft.sources.Sources.csv(spark, p, s, d, header = h)
-    case Select(pred, c)    => lower(spark, c).filter(pred.toColumn)
+    case Select(pred, c)    =>
+      val child = lower(spark, c)
+      child.filter(pred.toColumnIn(child.columns.toSeq))
     case Apply(emitters, c) =>
-      lower(spark, c).select(emitters.map { case (n, e) => e.toColumn.as(n) }: _*)
+      val child = lower(spark, c)
+      child.select(emitters.map { case (n, e) => e.toColumnIn(child.columns.toSeq).as(n) }: _*)
     case Store(t, c) =>
       val d = lower(spark, c); d.write.mode("overwrite").saveAsTable(t); spark.table(t)
     case FileStore(p, h, c) =>
