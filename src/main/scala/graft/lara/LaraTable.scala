@@ -55,6 +55,45 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
     LaraTable(flat.select(out.allNames.map(col): _*), out)
   }
 
+  /** Ext with an *arbitrary* row function — the reference `ExtFun` in full
+    * generality (`api/Schema.kt:229-250`: any `Tuple -> List<Tuple>`), for
+    * logic no Catalyst generator expression can state (codec calls, stateful
+    * per-row expansion, external libraries). Parent keys are kept, `newKeys`
+    * are appended, values are replaced by `newVals`; `f` receives the full
+    * input row and emits rows carrying exactly `newKeys ++ newVals` in
+    * order.
+    *
+    * This is the DSL's escape hatch, and it is priced accordingly: the plan
+    * crosses a deserialize/serialize boundary (rows leave Tungsten format,
+    * whole-stage codegen is cut at this operator), so prefer `ext` with a
+    * generator Column whenever the expansion is expressible. Still fully
+    * distributed and pipelined — one pass per partition, no shuffle.
+    */
+  def extF(newKeys: Seq[(String, org.apache.spark.sql.types.DataType)], newVals: Seq[ValSpec])(
+      f: org.apache.spark.sql.Row => IterableOnce[org.apache.spark.sql.Row]): LaraTable = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    require(newKeys.map(_._1).intersect(schema.keys).isEmpty,
+      s"extF: new keys ${newKeys.map(_._1)} must be disjoint from parent keys ${schema.keys}")
+    val out = LaraSchema(schema.keys ++ newKeys.map(_._1), newVals)
+    val inStruct = df.schema
+    val keyIdx = schema.keys.map(inStruct.fieldIndex).toArray
+    val outStruct = StructType(
+      schema.keys.map(inStruct.apply) ++
+        newKeys.map { case (n, t) => StructField(n, t) } ++
+        newVals.map(v => StructField(v.name, v.dataType)))
+    val genWidth = newKeys.length + newVals.length
+    val flat = df.flatMap { row =>
+      val keyVals = keyIdx.map(row.get(_)).toSeq
+      f(row).iterator.map { gen =>
+        require(gen.length == genWidth,
+          s"extF: generated row has ${gen.length} fields, expected $genWidth")
+        Row.fromSeq(keyVals ++ gen.toSeq)
+      }
+    }(Encoders.row(outStruct))
+    LaraTable(flat.toDF(), out)
+  }
+
   /** Map: 1:1 value transform; keys unchanged. Reference `MapFun`
     * (`api/Schema.kt:255-261`) requires default↦default — callers declare the
     * new defaults in `newVals` and the ZeroDiscard rewrite relies on them.

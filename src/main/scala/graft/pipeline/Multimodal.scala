@@ -36,8 +36,6 @@ object Multimodal {
                             width: Int, height: Int, sample_rate: Int, duration_ms: Long)
   final case class FeatureRow(media_id: Long, kind: String, n_bytes: Long,
                               feature: Array[Float])
-  final case class FrameRow(media_id: Long, frame_idx: Int, frame_ms: Long,
-                            frame_bytes: Array[Byte])
 
   /** Deterministic synthetic media table (for tests/demos): payload bytes
     * are a seeded function of media_id, metadata plausible per kind.
@@ -105,24 +103,30 @@ object Multimodal {
     }.toDF()
   }
 
-  /** Frame-sample a video payload every `everyMs` ms: 1→n rows per input
-    * (the Ext shape), frame payload STUB-sliced from the source bytes.
+  /** Frame-sample a video payload every `everyMs` ms: 1→n rows per input —
+    * the Lara Ext shape, expressed through the DSL's typed escape hatch
+    * (`LaraTable.extF`, the reference `ExtFun` in full generality,
+    * `api/Schema.kt:229-250`): a real codec's frame extraction is arbitrary
+    * imperative logic no generator expression can state. Frame payload is
+    * STUB-sliced from the source bytes.
     */
   def sampleFrames(media: DataFrame, everyMs: Long = 250L): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    val ds = media.filter(col("kind") === "video").select(
-      col("media_id"), col("kind"), col("bytes"),
-      col("meta.width"), col("meta.height"), col("meta.sample_rate"), col("meta.duration_ms"))
-      .as[MediaRow]
-    ds.flatMap { m =>
-      val nFrames = math.max(1, (m.duration_ms / everyMs).toInt)
+    import graft.lara.{LaraTable, LaraSchema, ValSpec}
+    val videos = media.filter(col("kind") === "video")
+      .select(col("media_id"), col("bytes"), col("meta.duration_ms").as("duration_ms"))
+    val t = LaraTable(videos, LaraSchema(Seq("media_id"),
+      Seq(ValSpec("bytes", BinaryType, null), ValSpec("duration_ms", LongType, null))))
+    t.extF(Seq("frame_idx" -> IntegerType),
+      Seq(ValSpec("frame_ms", LongType, null), ValSpec("frame_bytes", BinaryType, null))) { row =>
+      val bytes = row.getAs[Array[Byte]]("bytes")
+      val durationMs = row.getAs[Long]("duration_ms")
+      val nFrames = math.max(1, (durationMs / everyMs).toInt)
       (0 until nFrames).iterator.map { f =>
-        val start = (f * m.bytes.length / nFrames) min (m.bytes.length - 1)
-        val end = ((f + 1) * m.bytes.length / nFrames) min m.bytes.length
-        FrameRow(m.media_id, f, f * everyMs, m.bytes.slice(start, end)) // STUB frame decode
+        val start = (f * bytes.length / nFrames) min (bytes.length - 1)
+        val end = ((f + 1) * bytes.length / nFrames) min bytes.length
+        Row(f, f * everyMs, bytes.slice(start, end)) // STUB frame decode
       }
-    }.toDF()
+    }.df
   }
 
   /** "Resize" images: STUB re-encode to a payload whose metadata reflects

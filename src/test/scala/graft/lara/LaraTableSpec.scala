@@ -152,6 +152,34 @@ class LaraTableSpec extends AnyFunSuite {
     assert(rowSet(back.df) == rowSet(a.df))
   }
 
+  test("extF: arbitrary row function Ext (reference ExtFun generality)") {
+    import org.apache.spark.sql.types.LongType
+    // wordcount as an arbitrary lambda — the reference's canonical ExtFun
+    // example (api/Schema.kt:229-250): emit (word, 1) per token
+    val st = new org.apache.spark.sql.types.StructType()
+      .add("doc", StringType).add("text", StringType)
+    val t = LaraTable(df(st, Seq(Row("d1", "a b a"), Row("d2", "b"))),
+      LaraSchema(Seq("doc"), Seq(ValSpec("text", StringType, ""))))
+    val ext = t.extF(Seq("word" -> StringType), Seq(ValSpec("cnt", LongType, 0L))) { row =>
+      row.getAs[String]("text").split(" ").iterator.map(w => Row(w, 1L))
+    }
+    assert(ext.schema.keys == Seq("doc", "word"))
+    assert(ext.df.count() == 4) // "a b a" → 3 rows, "b" → 1
+    assert(rowSet(ext.df) == Set(
+      Seq[Any]("d1", "a", 1L), Seq[Any]("d1", "b", 1L), Seq[Any]("d2", "b", 1L)))
+    // ⊕-aggregate over the expanded keys completes the wordcount
+    val counts = ext.agg(Seq("word"), Map("cnt" -> PlusFn.sumLong))
+    assert(rowSet(counts.df) == Set(Seq[Any]("a", 2L), Seq[Any]("b", 2L)))
+    // misshapen generated rows fail loudly
+    val bad = t.extF(Seq("w" -> StringType), Seq(ValSpec("c", LongType, 0L))) { _ =>
+      Iterator(Row("only-one-field"))
+    }
+    intercept[org.apache.spark.SparkException](bad.df.collect())
+    // new keys must stay disjoint from parent keys
+    intercept[IllegalArgumentException](
+      t.extF(Seq("doc" -> StringType), Seq(ValSpec("c", LongType, 0L)))(_ => Iterator()))
+  }
+
   test("store parallelism survives a low-cardinality leading key") {
     // 2-value leading key, 1000 secondary keys: hash-partitioning on the
     // leading key alone would collapse the write into ≤2 tasks; range
