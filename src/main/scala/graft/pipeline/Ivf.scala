@@ -51,6 +51,46 @@ object Ivf {
     centroids
   }
 
+  /** Distributed Lloyd training — the 100 TB path: each iteration assigns
+    * every vector to its nearest centroid *inside the plan* (the centroids
+    * ride along as literals, a few KB) and re-estimates centroids with one
+    * `groupBy(cell, dimension).avg` — k·dim rows (~1024 doubles) come back
+    * to the driver per iteration, never the corpus. Contrast
+    * [[trainCentroids]], which Lloyd-iterates a bounded driver-side sample:
+    * that caps quality at the sample; this sees every vector.
+    *
+    * Seeds: the `k` lowest vec_ids (deterministic). Empty cells keep their
+    * previous centroid.
+    */
+  def trainCentroidsDistributed(corpus: DataFrame, k: Int, iters: Int = 5): Array[Array[Float]] = {
+    // iters+1 scans over the same projection: cache it for training
+    val emb = corpus.select(col("vec_id"), col("embedding")).cache()
+    val seeds = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(seeds.nonEmpty, "ivf: empty corpus")
+    val dim = seeds.head.length
+    var centroids = seeds
+    for (_ <- 1 to iters) {
+      val means = emb
+        .select(assignCell(col("embedding"), centroids).as("cell"),
+          posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> {
+            val m = new Array[Float](dim)
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2).toFloat)
+            m
+          }
+        }
+      centroids = centroids.indices.map(c => means.getOrElse(c, centroids(c))).toArray
+    }
+    centroids
+  }
+
   private def nearest(centroids: Array[Array[Float]], v: Array[Float]): Int = {
     var best = 0; var bestSim = Double.MinValue
     for (c <- centroids.indices) {
@@ -72,6 +112,12 @@ object Ivf {
   private def centroidSims(emb: Column, centroids: Array[Array[Float]]): Column =
     array(centroids.toIndexedSeq.map(c => CosineSimilarity(emb, typedlit(c.toSeq))): _*)
 
+  /** The centroid vector for a (0-based) cell index column — for computing
+    * quantization objectives in plans.
+    */
+  def centroidOf(centroids: Array[Array[Float]], cell: Column): Column =
+    element_at(typedlit(centroids.map(_.toIndexedSeq).toIndexedSeq), cell + 1)
+
   /** Index of the best cell for each vector (distributed, no UDF). */
   def assignCell(emb: Column, centroids: Array[Array[Float]]): Column = {
     val sims = centroidSims(emb, centroids)
@@ -88,11 +134,16 @@ object Ivf {
   }
 
   /** Approximate top-k: corpus vectors tagged with their cell; each query
-    * explodes its nProbe probe cells and equi-joins on (cell).
+    * explodes its nProbe probe cells (multi-probe) and equi-joins on (cell).
+    * `distributedTrain` picks the full-corpus Lloyd (default — the scale
+    * path); `false` the bounded driver-sample variant.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
-    val centroids = trainCentroids(corpus, nCells, iters)
+              nCells: Int = 16, nProbe: Int = 4, iters: Int = 5,
+              distributedTrain: Boolean = true): DataFrame = {
+    val centroids =
+      if (distributedTrain) trainCentroidsDistributed(corpus, nCells, iters)
+      else trainCentroids(corpus, nCells, iters)
     val c = Dedup.rebalance(corpus.select(col("vec_id"), col("embedding")))
       .withColumn("cell", assignCell(col("embedding"), centroids))
     val q = broadcast(queries

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Hard quality gates for the approximate operators (the queries whose
+  * results the DuckDB oracle cannot recompute): recall floors vs exact
+  * brute force, sketch error bounds, and re-run determinism. These are the
+  * build-failing counterpart of CORRECTNESS's rows-only checks.
+  */
+class RecallGatesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("IVF (distributed Lloyd, multi-probe) recall@5 ≥ 0.9 on sf0.1 embeddings") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.1").cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ivf.ivfTopK(emb, queries, 5, nCells = 16, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall@5 = $recall < 0.9")
+    emb.unpersist()
+  }
+
+  test("distributed Lloyd strictly refines the driver-sample quantizer's objective") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01").cache()
+    def objective(cents: Array[Array[Float]]): Double =
+      emb.select(graft.functions.CosineSimilarity(col("embedding"),
+          Ivf.centroidOf(cents, Ivf.assignCell(col("embedding"), cents))).as("s"))
+        .agg(avg(col("s"))).collect().head.getDouble(0)
+    val sampled = Ivf.trainCentroids(emb, k = 16, sampleN = 64) // deliberately starved sample
+    val full = Ivf.trainCentroidsDistributed(emb, k = 16)
+    assert(objective(full) >= objective(sampled),
+      "full-corpus Lloyd must not be worse than a starved driver sample")
+    emb.unpersist()
+  }
+
+  test("minhash candidates contain every pair with true jaccard ≥ 0.9 (sf0.01)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val truth = Dedup.jaccardJoin(docs, minJaccard = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain high-jaccard near-dups")
+    val cand = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truth -- cand
+    assert(missed.isEmpty, s"LSH banding missed high-jaccard pairs: $missed")
+  }
+
+  test("approx_count_distinct stays within 10% of exact (sf0.01 events)") {
+    val r = graft.RelationalQueries.approxDistinct(spark, "/root/testdata/sf0.01").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val approx = row.getLong(1).toDouble
+      val exact = row.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"approx=$approx exact=$exact for ${row.getString(0)}")
+    }
+  }
+
+  test("covariance pipeline is re-run deterministic (byte-identical results)") {
+    // the Spark reading of the reference's stream-determinism assertion
+    // (Sensor_Lara_Standalone_Example.kt:38-52): same session, same input,
+    // two executions, identical collected output
+    def run() = graft.LaraQueries.covariance(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val a = run(); val b = run()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"rows differ: $x vs $y") }
+  }
+}
