@@ -240,8 +240,9 @@ object SparkEntry {
                         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          WHERE jaccard >= 0.5""",
-    // Portable MinHash (md5-derived 60-bit family, graft.functions
-    // .PortableHash): the oracle recomputes the identical signatures and
+    // Portable MinHash: md5-derived 60-bit base hash per shingle, then a
+    // universal-hash family (a_i·x + c_i mod 2³¹−1) with md5-derived
+    // coefficients — the oracle recomputes identical signatures and
     // brute-forces band agreement (8 bands × 4 rows).
     "dedup_minhash" ->
       """WITH toks AS (
@@ -257,7 +258,10 @@ object SparkEntry {
            FROM sh),
          sig AS (
            SELECT doc_id,
-             [list_min([('0x' || substring(md5(h::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
+             [list_min([((('0x' || substring(md5('a_' || i::VARCHAR), 1, 15))::BIGINT % 2147483646 + 1)
+                         * (h % 2147483647)
+                         + ('0x' || substring(md5('b_' || i::VARCHAR), 1, 15))::BIGINT % 2147483647)
+                        % 2147483647
                         for h in b])
               for i in range(0, 32)] AS sg
            FROM bs)

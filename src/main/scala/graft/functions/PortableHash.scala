@@ -36,4 +36,14 @@ object PortableHash {
     */
   def duckdbHash60(arg: String): String =
     s"('0x' || substring(md5($arg), 1, 15))::BIGINT"
+
+  /** Driver-side evaluation of the same 60-bit hash (for deriving plan
+    * constants — LSH hyperplanes, universal-hash coefficients — that the
+    * oracle re-derives with its md5).
+    */
+  def local60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(md.map(b => f"$b%02x").mkString.take(15), 16)
+  }
 }

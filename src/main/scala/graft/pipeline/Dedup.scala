@@ -109,16 +109,31 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(baseHashes, h => xxhash64(h, i))))
 
-  /** Engine-portable MinHash signature: base = portable 60-bit hash of each
-    * shingle string (computed once), family member i re-hashes the decimal
-    * base — h_i(s) = pHash60("<pHash60(s)>_<i>"). Two md5 passes per
-    * shingle-seed pair of *short fixed-size* strings; the DuckDB oracle
-    * recomputes the identical signature.
+  /** Engine-portable base hashes: one 60-bit md5 hash per shingle string.
+    * Materialize this as a column before feeding [[minhashSignaturePortable]]
+    * — an inlined subexpression would re-tokenize, re-shingle and re-hash
+    * the document once per family member (numHashes×).
     */
-  def minhashSignaturePortable(shingleStrings: Column, numHashes: Int): Column = {
-    val bases = transform(shingleStrings, s => PortableHash.hash60(s))
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(bases, b => PortableHash.seeded(b, i))))
+  def portableBaseHashes(shingleStrings: Column): Column =
+    transform(shingleStrings, s => PortableHash.hash60(s))
+
+  /** Engine-portable MinHash signature over *materialized* base hashes: a
+    * universal-hash family over the 2³¹−1 Mersenne field,
+    * h_i(x) = (a_i · (x mod p) + c_i) mod p, with md5-derived coefficients
+    * a_i = pHash60("a_i") mod (p−1) + 1 (nonzero), c_i = pHash60("b_i")
+    * mod p — plan constants the DuckDB oracle re-derives. One md5 per
+    * *shingle* total (the base hash); the 32 family members are two integer
+    * ops each, ~30× cheaper than an md5-per-seed family. All products stay
+    * under 2⁶² — no ANSI overflow.
+    */
+  def minhashSignaturePortable(baseHashes: Column, numHashes: Int): Column = {
+    val p = 2147483647L // 2^31 − 1
+    array((0 until numHashes).map { i =>
+      val a = PortableHash.local60(s"a_$i") % (p - 1) + 1
+      val c = PortableHash.local60(s"b_$i") % p
+      array_min(transform(baseHashes,
+        b => pmod(lit(a) * pmod(b, lit(p)) + lit(c), lit(p))))
+    }: _*)
   }
 
   /** Drop (band, bucket) groups larger than `maxBucket` before the
@@ -161,12 +176,16 @@ object Dedup {
   def minhashPairs(docs: DataFrame, k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                    maxBucket: Int = 100000, portable: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Materialize the signature as a column before multi-pass consumption:
-    // an inlined subexpression would be re-evaluated once per band.
+    // Materialize base hashes, then the signature, each as a column before
+    // the next multi-pass HOF consumes them: an inlined subexpression would
+    // re-tokenize/re-hash once per family member (numHashes×) or per band.
     val sigs = rebalance(docs)
       .select(col("doc_id"),
-        (if (portable) minhashSignaturePortable(shingles(tokens(col("text")), k), numHashes)
-         else minhashSignature(shingleHashes(tokens(col("text")), k), numHashes)).as("sig"))
+        (if (portable) portableBaseHashes(shingles(tokens(col("text")), k))
+         else shingleHashes(tokens(col("text")), k)).as("bh"))
+      .select(col("doc_id"),
+        (if (portable) minhashSignaturePortable(col("bh"), numHashes)
+         else minhashSignature(col("bh"), numHashes)).as("sig"))
       .cache() // consumed by both sides of the bucket self-join
     val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),

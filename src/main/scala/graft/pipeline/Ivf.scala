@@ -62,7 +62,7 @@ object Ivf {
     * Seeds: the `k` lowest vec_ids (deterministic). Empty cells keep their
     * previous centroid.
     */
-  def trainCentroidsDistributed(corpus: DataFrame, k: Int, iters: Int = 5): Array[Array[Float]] = {
+  def trainCentroidsDistributed(corpus: DataFrame, k: Int, iters: Int = 3): Array[Array[Float]] = {
     // iters+1 scans over the same projection: cache it for training
     val emb = corpus.select(col("vec_id"), col("embedding")).cache()
     val seeds = emb.orderBy(col("vec_id")).limit(k)
@@ -139,7 +139,7 @@ object Ivf {
     * path); `false` the bounded driver-sample variant.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4, iters: Int = 5,
+              nCells: Int = 16, nProbe: Int = 4, iters: Int = 3,
               distributedTrain: Boolean = true): DataFrame = {
     val centroids =
       if (distributedTrain) trainCentroidsDistributed(corpus, nCells, iters)

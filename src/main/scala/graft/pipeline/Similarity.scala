@@ -74,10 +74,8 @@ object Similarity {
     */
   private[pipeline] def plane(p: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { j =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"${p}_$j".getBytes("UTF-8"))
-      val hex = md.map(b => f"$b%02x").mkString.take(15)
-      ((java.lang.Long.parseLong(hex, 16) % 2000001L) - 1000000L).toDouble / 1000000.0d
+      ((graft.functions.PortableHash.local60(s"${p}_$j") % 2000001L) - 1000000L)
+        .toDouble / 1000000.0d
     }
 
   /** Sign bit of the dot product with hyperplane `p` (sequential double

@@ -65,7 +65,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.minhashPairs(d, maxBucket = 50).count() == 0)
     assert(Dedup.simhashPairs(d, maxBucket = 50).count() == 0)
     val sigs = d.select(col("doc_id"),
-      Dedup.minhashSignaturePortable(Dedup.shingles(Dedup.tokens(col("text")), 3), 32).as("sig"))
+        Dedup.portableBaseHashes(Dedup.shingles(Dedup.tokens(col("text")), 3)).as("bh"))
+      .select(col("doc_id"), Dedup.minhashSignaturePortable(col("bh"), 32).as("sig"))
     val banded = sigs.select(col("doc_id"),
         posexplode(org.apache.spark.sql.functions.transform(
           sequence(lit(0), lit(7)),
@@ -140,6 +141,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(fp(1L) == fp(2L))
     val rf = TextAnalysis.rollingFingerprint(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rf(2L) != rf(3L)) // same bag of words, different order
+  }
+
+  test("plan audit: dedup/similarity scans prune to the columns they use") {
+    // a scan that reads all columns for a 2-column operator is wrong at
+    // 100 TB — the parquet ReadSchema must carry only what the op consumes
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val jp = Dedup.jaccardJoin(docs).queryExecution.executedPlan.toString
+    assert(jp.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"jaccardJoin reads more than (doc_id, text):\n${jp.take(2000)}")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val np = Similarity.embeddingNearDup(emb, 0.4).queryExecution.executedPlan.toString
+    assert(np.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      s"embeddingNearDup reads more than (vec_id, embedding):\n${np.take(2000)}")
   }
 
   test("token counting: whitespace and BPE-ish") {
