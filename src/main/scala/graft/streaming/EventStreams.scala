@@ -46,6 +46,89 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  final case class BandedDoc(ts: Timestamp, doc_id: Long, band: Int,
+                             bucket: Long, sig: Seq[Long])
+  final case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
+  final case class BucketState(docs: List[(Long, Seq[Long])], dropped: Long)
+
+  /** Streaming *near*-duplicate detection at ingestion: the streaming twin
+    * of `pipeline.Dedup.minhashPairs`. Each arriving document is minhashed
+    * (the same portable signature family as the batch operator), exploded
+    * into its LSH band buckets, and matched against the per-bucket state of
+    * previously seen documents — emitting (doc_a, doc_b, est_jaccard) pairs
+    * with est ≥ `threshold` as they are discovered.
+    *
+    * State discipline (the 100 TB-feed concerns, all bounded):
+    *  - keyed by (band, bucket): the same shuffle key as the batch LSH
+    *    bucket join, so hot buckets spread over the cluster by bucket, and
+    *    state per key is small by LSH construction;
+    *  - per-bucket signature list capped at `maxPerBucket` — a degenerate
+    *    bucket (mass-duplicated boilerplate) stops *accumulating* but keeps
+    *    matching against what it holds; the drop count is carried in state
+    *    (no silent cap);
+    *  - the whole bucket's state is removed on event-time timeout once the
+    *    watermark passes `stateHorizon` past the bucket's last arrival.
+    *
+    * A pair colliding in several bands is emitted once per colliding band
+    * (at-least-once per discovery, like any log-structured dedup feed);
+    * downstream consumers dedup on (doc_a, doc_b) — a plain streaming
+    * `dropDuplicatesWithinWatermark` or the batch exact-dedup they already
+    * run.
+    */
+  def streamingMinhashPairs(docs: DataFrame, k: Int = 3, bands: Int = 8,
+                            rowsPerBand: Int = 4, threshold: Double = 0.5,
+                            watermark: String = "1 hour",
+                            stateHorizonMs: Long = 3600000L,
+                            maxPerBucket: Int = 64): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    import graft.pipeline.Dedup
+    val numHashes = bands * rowsPerBand
+    // stage-by-stage materialization (see Dedup.minhashPairs): base hashes,
+    // then signature, then band explosion
+    val sigged = docs
+      .select(col("ts"), col("doc_id"),
+        Dedup.portableBaseHashes(Dedup.shingles(Dedup.tokens(col("text")), k)).as("bh"))
+      .select(col("ts"), col("doc_id"),
+        Dedup.minhashSignaturePortable(col("bh"), numHashes).as("sig"))
+    val banded = sigged
+      .select(col("ts"), col("doc_id"), col("sig"),
+        posexplode(org.apache.spark.sql.functions.transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .select(col("ts"), col("doc_id"), col("pos").as("band"), col("col").as("bucket"), col("sig"))
+      .withWatermark("ts", watermark)
+      .as[BandedDoc]
+    banded
+      .groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(BucketState(Nil, 0L))
+            val out = List.newBuilder[NearDupPair]
+            var lastTs = 0L
+            // deterministic intra-batch order
+            for (d <- rows.toSeq.sortBy(x => (x.ts.getTime, x.doc_id))) {
+              lastTs = math.max(lastTs, d.ts.getTime)
+              for ((id0, sig0) <- st.docs if id0 != d.doc_id) {
+                val matches = sig0.iterator.zip(d.sig.iterator).count { case (x, y) => x == y }
+                val est = matches.toDouble / sig0.length
+                if (est >= threshold)
+                  out += NearDupPair(math.min(id0, d.doc_id), math.max(id0, d.doc_id), est)
+              }
+              if (st.docs.length < maxPerBucket)
+                st = st.copy(docs = (d.doc_id, d.sig) :: st.docs)
+              else
+                st = st.copy(dropped = st.dropped + 1) // accounted, not silent
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(lastTs + stateHorizonMs)
+            out.result().iterator
+          }
+      }
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp,

@@ -80,4 +80,29 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(texts.sorted == Seq("alpha doc", "beta doc", "gamma doc"))
     } finally q.stop()
   }
+
+  test("streamingMinhashPairs: near-dups pair across batches, state caps hold") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 36).map(i => s"tok$i").mkString(" ") + " x1 x2 x3 x4"
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = in.toDF().toDF("ts", "doc_id", "text")
+    val out = EventStreams.streamingMinhashPairs(docs, threshold = 0.3)
+    val q = out.writeStream.format("memory").queryName("near_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(60), 1L, base), (ts(61), 10L, other))
+      q.processAllAvailable()
+      // the near-dup arrives in a LATER batch: must match against state
+      in.addData((ts(65), 2L, base), (ts(66), 3L, near))
+      q.processAllAvailable()
+      val pairs = spark.table("near_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 1.0) // identical, cross-batch
+      assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
+      assert(!pairs.keySet.exists { case (a, b) => b == 10L || a == 10L }) // disjoint never pairs
+    } finally q.stop()
+  }
 }
