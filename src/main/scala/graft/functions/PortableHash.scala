@@ -1,7 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Engine-portable 60-bit hash: the first 15 hex digits of md5, read as an
   * integer. Every mainstream engine (and the DuckDB correctness oracle)
@@ -22,9 +26,35 @@ import org.apache.spark.sql.functions._
   */
 object PortableHash {
 
-  /** 60-bit md5-derived hash of the UTF-8 bytes of `c` (cast to string). */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+  /** 60-bit md5-derived hash of the UTF-8 bytes of `c` (cast to string).
+    * Backed by the fused native expression below: one digest call straight
+    * to a long, no hex-string materialization, no base-16 re-parse — the
+    * `md5 → substring → conv → cast` chain it replaces allocated two
+    * strings per call. Value identical to the SQL formulation (spec-pinned).
+    */
+  def hash60(c: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(PortableHash60(bridge.expression(c.cast("string"))))
+  }
+
+  /** The digest-prefix kernel: first 15 hex digits of md5 as an integer —
+    * bytes 0..6 in full plus the high nibble of byte 7, big-endian. Called
+    * from interpreted eval and generated code alike.
+    */
+  def md5Prefix60(bytes: Array[Byte]): Long = {
+    val md = localMd.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) & 0xFF) >>> 4)
+  }
+
+  private val localMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 
   /** Seeded family member i: hash of "<value>_<i>" — the construction the
     * DuckDB oracle mirrors with `x::VARCHAR || '_' || i::VARCHAR`.
@@ -41,9 +71,24 @@ object PortableHash {
     * constants — LSH hyperplanes, universal-hash coefficients — that the
     * oracle re-derives with its md5).
     */
-  def local60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(md.map(b => f"$b%02x").mkString.take(15), 16)
-  }
+  def local60(s: String): Long = md5Prefix60(s.getBytes("UTF-8"))
+}
+
+/** Native fused expression for [[PortableHash.hash60]]: UTF-8 string →
+  * 60-bit md5 prefix as a long, in one kernel call. Stays inside
+  * whole-stage codegen via `defineCodeGen`.
+  */
+case class PortableHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_hash60"
+
+  override def nullSafeEval(input: Any): Any =
+    PortableHash.md5Prefix60(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PortableHash.md5Prefix60(($c).getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
