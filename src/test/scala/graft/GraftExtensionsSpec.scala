@@ -14,4 +14,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |""".stripMargin).collect().head.getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12)
   }
+
+  test("portable_hash60 registered and matches the DuckDB golden value") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT portable_hash60('hello') AS h").collect().head.getLong(0)
+    assert(r == 419982666956583591L) // ('0x'||substring(md5('hello'),1,15))::BIGINT in DuckDB
+  }
 }
