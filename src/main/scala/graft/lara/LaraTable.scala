@@ -285,6 +285,15 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
   def store(path: String): Unit =
     sortedDf.write.mode("overwrite").parquet(path)
 
+  /** Append variant of [[store]] for incremental writers (micro-batches,
+    * backfills): each call adds access-path-sorted files; a reader sees the
+    * union. Global order across appends is not maintained — per-file order
+    * and range-partitioned parallelism are (parquet min-max row-group
+    * skipping still prunes key-range reads).
+    */
+  def appendStore(path: String): Unit =
+    sortedDf.write.mode("append").parquet(path)
+
   /** Store hive-partitioned by the leading key(s): the reference's manual
     * table-split management (`PropagatePartition`,
     * `sensor/SensorCalc.kt:159-173`) re-expressed as directory partitioning —

@@ -46,6 +46,18 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-to-store sink: every micro-batch lands in a Lara store as an
+    * access-path-sorted parquet append — `foreachBatch` bridges the
+    * streaming plan to the batch `LaraTable` sink, so a streaming ingest
+    * feeds the same stores the batch operators read. Caller starts the
+    * returned writer (checkpointing, trigger policy are theirs to choose).
+    */
+  def streamStore(stream: DataFrame, schema: graft.lara.LaraSchema, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) => graft.lara.LaraTable(batch, schema).appendStore(path)
+    }
+
   final case class BandedDoc(ts: Timestamp, doc_id: Long, band: Int,
                              bucket: Long, sig: Seq[Long])
   final case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)

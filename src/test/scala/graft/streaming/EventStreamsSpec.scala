@@ -81,6 +81,36 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamStore: micro-batches append access-path-sorted files to a Lara store") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.lara.{LaraSchema, LaraTable, ValSpec}
+    import org.apache.spark.sql.types.LongType
+    val in = MemoryStream[(Long, Long, Long)]
+    val docs = in.toDF().toDF("c", "j", "v")
+    val schema = LaraSchema(Seq("c", "j"), Seq(ValSpec("v", LongType, 0L)))
+    val dir = java.nio.file.Files.createTempDirectory("stream_store").toString + "/t"
+    val q = EventStreams.streamStore(docs, schema, dir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("stream_store_ck").toString)
+      .start()
+    try {
+      in.addData((2L, 20L, 1L), (1L, 10L, 2L))
+      q.processAllAvailable()
+      in.addData((1L, 5L, 3L))
+      q.processAllAvailable()
+      val back = LaraTable.load(spark, dir, Seq("c", "j"), Seq(ValSpec("v", LongType, 0L)))
+      assert(back.df.count() == 3)
+      // per-file access-path order holds (appends don't interleave files)
+      val perFile = back.df.select(col("c"), col("j"), input_file_name().as("f"))
+        .collect().groupBy(_.getString(2))
+      perFile.values.foreach { rs =>
+        val keys = rs.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(keys == keys.sorted)
+      }
+    } finally q.stop()
+  }
+
   test("streamingMinhashPairs: near-dups pair across batches, state caps hold") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
