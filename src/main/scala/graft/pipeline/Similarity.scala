@@ -112,16 +112,29 @@ object Similarity {
   /** Approximate top-k: score only corpus vectors sharing ≥1 LSH band with
     * the query. bands=4 × planesPerBand=4 gives ~50% candidate recall at
     * cosine ≈ 0.4 and prunes ~94% of the corpus per query.
+    *
+    * `multiProbe=true` also probes, per band, every bucket at Hamming
+    * distance 1 from the query's bucket (one sign bit flipped) — the
+    * standard multi-probe LSH recall boost: × (1 + planesPerBand) probe
+    * keys on the (broadcast) query side only; the corpus is indexed once
+    * either way.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               bands: Int = 4, planesPerBand: Int = 4, dim: Int = 64,
-              maxBucket: Int = 100000): DataFrame = {
+              maxBucket: Int = 100000, multiProbe: Boolean = false): DataFrame = {
     // banded corpus is scanned twice (bucket counts + the probe join):
     // cache it so the 16 sign-bit dots per vector run once
     val c = capBuckets(
       withBands(Dedup.rebalance(corpus.select(col("vec_id"), col("embedding"))),
         bands, planesPerBand, dim).cache(), maxBucket)
-    val q = broadcast(withBands(queries.select(col("vec_id"), col("embedding")), bands, planesPerBand, dim)
+    val qBanded = withBands(queries.select(col("vec_id"), col("embedding")), bands, planesPerBand, dim)
+    val qProbes =
+      if (!multiProbe) qBanded
+      else qBanded.select(col("vec_id"), col("embedding"), col("band"),
+        explode(array((col("bucket") +:
+          (0 until planesPerBand).map(i => col("bucket").bitwiseXOR(lit(1L << i)))): _*))
+          .as("bucket"))
+    val q = broadcast(qProbes
       .select(col("band"), col("bucket"), col("vec_id").as("query_id"), col("embedding").as("q_emb")))
     val scored = c.join(q, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -145,7 +145,10 @@ class PipelineSpec extends AnyFunSuite {
 
   test("plan audit: dedup/similarity scans prune to the columns they use") {
     // a scan that reads all columns for a 2-column operator is wrong at
-    // 100 TB — the parquet ReadSchema must carry only what the op consumes
+    // 100 TB — the parquet ReadSchema must carry only what the op consumes.
+    // Other suites may have cached these tables (which would swap the scan
+    // for InMemoryTableScan and hide the ReadSchema): audit the cold plan.
+    spark.sharedState.cacheManager.clearCache()
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val jp = Dedup.jaccardJoin(docs).queryExecution.executedPlan.toString
     assert(jp.contains("ReadSchema: struct<doc_id:bigint,text:string>"),

@@ -37,6 +37,23 @@ class RecallGatesSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("multi-probe LSH recall dominates single-probe at equal index cost (sf0.1)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.1").cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(multiProbe: Boolean): Double = {
+      val got = Similarity.lshTopK(emb, queries, 5, multiProbe = multiProbe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val single = recall(multiProbe = false)
+    val multi = recall(multiProbe = true)
+    assert(multi >= single, s"multi-probe recall $multi < single-probe $single")
+    assert(multi >= 0.5, s"multi-probe recall@5 = $multi below floor")
+    emb.unpersist()
+  }
+
   test("minhash candidates contain every pair with true jaccard ≥ 0.9 (sf0.01)") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
     val truth = Dedup.jaccardJoin(docs, minJaccard = 0.9).collect()
