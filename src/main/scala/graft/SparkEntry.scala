@@ -65,6 +65,10 @@ object SparkEntry {
     "text_langid" -> ((s, d) => pipeline.TextAnalysis.langId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => pipeline.TextAnalysis.fingerprint(Tables.documents(s, d))),
     "text_rolling_fp" -> ((s, d) => pipeline.TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
+    // --- training-data pipeline: dataset preparation ---
+    "corpus_split" -> ((s, d) => pipeline.TrainingData.splitAssign(Tables.documents(s, d))),
+    "seq_packing" -> ((s, d) => pipeline.TrainingData.packSequences(Tables.documents(s, d))),
+    "embed_quantize" -> ((s, d) => pipeline.TrainingData.quantizeEmbeddings(Tables.embeddings(s, d))),
     // --- training-data pipeline: similarity search ---
     "ann_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -352,6 +356,48 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
                 round(l_extendedprice * (1.0 + l_tax) * 100)::BIGINT / 100.0 AS taxed
          FROM lineitem WHERE l_quantity > 45.0 AND l_discount < 0.02""",
+    // Deterministic portable-hash split: same md5 bucket formula.
+    "corpus_split" ->
+      """SELECT doc_id,
+                CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 ('0x' || substring(md5('split_' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+               FROM documents)""",
+    // Concat-then-chunk packing: global token offsets in doc_id order and
+    // the chunks each doc spans (integer arithmetic — exact). The oracle
+    // uses the plain global window; the engine computes the same running
+    // sum with the scalable bucketed two-level plan.
+    "seq_packing" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))::BIGINT AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+                  (sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::BIGINT AS start_token
+           FROM t)
+         SELECT doc_id, n_tokens, start_token,
+                start_token // 512 AS first_chunk,
+                (start_token + n_tokens - 1) // 512 AS last_chunk
+         FROM c""",
+    // Symmetric int8 quantization: identical double formula both engines
+    // (floor(x/scale + 0.5) — explicit tie rule), scalar digests compared.
+    "embed_quantize" ->
+      """WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         s AS (
+           SELECT vec_id, e,
+                  CASE WHEN m = 0.0 THEN 1.0 ELSE m / 127.0 END AS scale
+           FROM (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m FROM e)),
+         q AS (
+           SELECT vec_id, scale,
+                  list_transform(e, x -> floor(x / scale + 0.5)::BIGINT) AS qv
+           FROM s)
+         SELECT vec_id, scale,
+                list_sum(qv)::BIGINT AS q_sum,
+                list_min(qv) AS q_min, list_max(qv) AS q_max
+         FROM q""",
     // Exact brute-force cosine top-k: DuckDB's list_dot_product on DOUBLE[]
     // is the same sequential IEEE fold as the native CosineSimilarity
     // expression, so scores are bit-identical before rounding.

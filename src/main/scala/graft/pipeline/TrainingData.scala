@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.PortableHash
+
+/** Dataset-preparation operators for LLM training pipelines: deterministic
+  * split assignment, sequence packing, embedding quantization. All pure
+  * Catalyst plans, all deterministic functions of the input (so the DuckDB
+  * oracle recomputes them exactly).
+  */
+object TrainingData {
+
+  /** Deterministic train/val/test assignment: a portable hash of the
+    * document id buckets each row into [0, 100); `trainPct` go to train,
+    * the next `valPct` to val, the rest to test. Hash-based (not random):
+    * the split is stable across runs, machines and engines, and any join
+    * against it reproduces membership — the property a training pipeline
+    * actually needs from a split.
+    */
+  def splitAssign(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val bucket = pmod(PortableHash.hash60(concat(lit("split_"), col("doc_id"))), lit(100L))
+    docs.select(col("doc_id"), bucket.as("bucket"))
+      .select(col("doc_id"),
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+  }
+
+  /** Sequence packing, concat-then-chunk style: documents are laid out
+    * end-to-end in doc_id order and the token stream is cut every `budget`
+    * tokens — each doc reports its global start offset and the first/last
+    * chunk it lands in (the standard pretraining packing layout).
+    *
+    * The global running sum is computed scalably: docs are bucketed by
+    * `doc_id div bucketSize`, the cumulative sum runs *within* buckets
+    * (windows partitioned by bucket — parallel), and only the per-bucket
+    * totals (corpus/bucketSize rows) pass through the tiny global prefix
+    * window before being broadcast back. No single-partition window over
+    * the corpus — the naive `Window.orderBy(doc_id)` formulation would
+    * serialize 100 TB through one task.
+    */
+  def packSequences(docs: DataFrame, budget: Long = 512L, bucketSize: Long = 1024L): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id div $bucketSize"))
+    val wLocal = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = toks.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+    // per-bucket totals: |corpus| / bucketSize rows — small enough for the
+    // global prefix window and the broadcast join back
+    val wPrefix = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("bucket_offset", coalesce(sum(col("btot")).over(wPrefix), lit(0L)))
+      .select(col("bucket"), col("bucket_offset"))
+    local.join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("bucket_offset") + col("local_cum") - col("n_tokens")).as("start_token"))
+      .withColumn("first_chunk", expr(s"start_token div $budget"))
+      .withColumn("last_chunk", expr(s"(start_token + n_tokens - 1) div $budget"))
+  }
+
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * maxabs/127, q_j = floor(x_j / scale + 0.5) (explicit tie rule — both
+    * engines evaluate the identical double formula). Emits scalar digests
+    * of the quantized vector (sum/min/max) alongside the scale, so results
+    * stay hash-comparable; `quantizedVector` returns the array itself for
+    * pipeline use.
+    */
+  def quantizeEmbeddings(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("maxabs", array_max(transform(col("e"), x => abs(x))))
+      .withColumn("scale", when(col("maxabs") === 0.0d, 1.0d).otherwise(col("maxabs") / 127.0d))
+      .withColumn("q", quantized(col("e"), col("scale")))
+      .select(col("vec_id"), col("scale"), // identical doubles both engines: no rounding needed
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"))
+
+  /** The quantized int vector itself (array<long> in [-127, 127]). */
+  def quantizedVector(e: Column, scale: Column): Column = quantized(e, scale)
+
+  private def quantized(e: Column, scale: Column): Column =
+    transform(e, x => floor(x / scale + 0.5d).cast("long"))
+}

@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Dataset-preparation operators: split determinism, packing arithmetic
+  * (incl. the bucketed prefix sum vs the naive global window), quantization.
+  */
+class TrainingDataSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val docSchema = new StructType().add("doc_id", LongType).add("text", StringType)
+
+  test("splitAssign: deterministic, complete, roughly proportional") {
+    val d = df(docSchema, (0L until 1000L).map(i => Row(i, s"doc $i")))
+    val s1 = TrainingData.splitAssign(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = TrainingData.splitAssign(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2) // hash-based: stable across runs
+    val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 50 && counts("val") < 180)
+  }
+
+  test("packSequences: concat-then-chunk offsets; bucketed plan == naive window") {
+    // doc i has i+1 tokens: offsets are triangular numbers
+    val d = df(docSchema, (0L until 50L).map(i =>
+      Row(i, (0 to i.toInt).map(j => s"t$j").mkString(" "))))
+    val packed = TrainingData.packSequences(d, budget = 16L, bucketSize = 8L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 0: 1 token at offset 0 → chunk 0..0
+    assert(packed(0L) == ((1L, 0L, 0L, 0L)))
+    // doc 7: 8 tokens, start = 1+2+..+7 = 28 → chunks 1..2 (28/16=1, 35/16=2)
+    assert(packed(7L) == ((8L, 28L, 1L, 2L)))
+    // cross-bucket correctness: equals the naive single-window formulation
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = d.select(col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n"))
+      .withColumn("start", sum(col("n")).over(w) - col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    packed.foreach { case (id, (_, start, _, _)) => assert(start == naive(id), s"doc $id") }
+  }
+
+  test("quantizeEmbeddings: digests of the int8 vector, zero-vector safe") {
+    val es = new StructType().add("vec_id", LongType).add("embedding", ArrayType(FloatType))
+    val d = df(es, Seq(
+      Row(1L, Seq(1.0f, -0.5f, 0.25f)), // maxabs 1.0 → scale 1/127 → q = 127, -63, 32
+      Row(2L, Seq(0.0f, 0.0f, 0.0f)))) // zero vector → scale 1.0, all zero
+    val r = TrainingData.quantizeEmbeddings(d).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    val (scale1, sum1, min1, max1) = r(1L)
+    assert(math.abs(scale1 - 1.0 / 127) < 1e-12)
+    assert(max1 == 127L && min1 == -63L && sum1 == (127L - 63L + 32L))
+    assert(r(2L) == ((1.0d, 0L, 0L, 0L)))
+  }
+}
