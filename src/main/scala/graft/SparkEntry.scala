@@ -65,6 +65,21 @@ object SparkEntry {
     "text_langid" -> ((s, d) => pipeline.TextAnalysis.langId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => pipeline.TextAnalysis.fingerprint(Tables.documents(s, d))),
     "text_rolling_fp" -> ((s, d) => pipeline.TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
+    // --- as-of (point-in-time) join: each click joined to the user's
+    // latest purchase at-or-before it — operators.AsOf composition ---
+    "asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("tms", unix_millis(col("ts")))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("tms"))
+      // one row per (user, instant): latest purchase wins, deterministically
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("tms").as("p_tms"))
+        .agg(max(col("event_id")).as("p_event_id"),
+             max_by(col("value"), col("event_id")).as("p_value"))
+      operators.AsOf.asOfJoin(clicks, purchases, Seq("user_id"),
+        leftTime = "tms", rightTime = "p_tms",
+        rightVals = Seq("p_event_id", "p_value"))
+    }),
     // --- training-data pipeline: dataset preparation ---
     "corpus_split" -> ((s, d) => pipeline.TrainingData.splitAssign(Tables.documents(s, d))),
     "seq_packing" -> ((s, d) => pipeline.TrainingData.packSequences(Tables.documents(s, d))),
@@ -356,6 +371,17 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
                 round(l_extendedprice * (1.0 + l_tax) * 100)::BIGINT / 100.0 AS taxed
          FROM lineitem WHERE l_quantity > 45.0 AND l_discount < 0.02""",
+    // DuckDB's native ASOF JOIN is the oracle for the union+window
+    // composition (ties at equal time count; left-join nulls).
+    "asof_join" ->
+      """WITH e AS (
+           SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000000 AS tms, value FROM events),
+         c AS (SELECT user_id, event_id, tms FROM e WHERE event_type = 'click'),
+         p AS (SELECT user_id, tms AS p_tms, max(event_id) AS p_event_id,
+                      arg_max(value, event_id) AS p_value
+               FROM e WHERE event_type = 'purchase' GROUP BY user_id, tms)
+         SELECT c.user_id, c.event_id, c.tms, p.p_event_id, p.p_value
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tms >= p.p_tms""",
     // Deterministic portable-hash split: same md5 bucket formula.
     "corpus_split" ->
       """SELECT doc_id,

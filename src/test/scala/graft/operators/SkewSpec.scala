@@ -37,6 +37,29 @@ class SkewSpec extends AnyFunSuite {
     assert(spread == 8, s"expected all 8 sub-keys used, got $spread")
   }
 
+  test("asOfJoin: latest right row at-or-before each left row, per key") {
+    val ls = new StructType().add("u", LongType).add("cid", LongType).add("t", LongType)
+    val rs = new StructType().add("u", LongType).add("pid", LongType)
+      .add("pt", LongType).add("v", DoubleType)
+    val clicks = df(ls, Seq(Row(1L, 100L, 10L), Row(1L, 101L, 20L), Row(2L, 102L, 5L)))
+    val purchases = df(rs, Seq(
+      Row(1L, 200L, 10L, 1.5), // exactly at click 100's time → matches it (tie counts)
+      Row(1L, 201L, 15L, 2.5), // latest ≤ 20 → matches click 101
+      Row(3L, 202L, 1L, 9.0))) // other key: never matches
+    val out = AsOf.asOfJoin(clicks, purchases, Seq("u"),
+      leftTime = "t", rightTime = "pt", rightVals = Seq("pid", "v"), rightOrder = Seq("pid"))
+      .collect().map(r => r.getLong(1) -> (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(out(100L) == ((Some(200L), Some(1.5))))
+    assert(out(101L) == ((Some(201L), Some(2.5))))
+    assert(out(102L) == ((None, None))) // left-join semantics
+    // deterministic tie-break: two right rows at the same (key, time) —
+    // the one last in rightOrder wins
+    val dupP = df(rs, Seq(Row(1L, 300L, 10L, 1.0), Row(1L, 301L, 10L, 2.0)))
+    val tied = AsOf.asOfJoin(clicks.filter(col("cid") === 100L), dupP, Seq("u"),
+      "t", "pt", Seq("pid", "v"), rightOrder = Seq("pid")).collect().head
+    assert(tied.getLong(3) == 301L && tied.getDouble(4) == 2.0)
+  }
+
   test("storePartitioned: key filter prunes partitions at read") {
     import graft.lara._
     val st = new StructType().add("k", StringType).add("j", IntegerType).add("v", IntegerType)
