@@ -80,6 +80,18 @@ object SparkEntry {
         leftTime = "tms", rightTime = "p_tms",
         rightVals = Seq("p_event_id", "p_value"))
     }),
+    // --- range (interval) join: parts bucketed into price bands via the
+    // bucketized-prefilter equi-join (operators.Ranges) ---
+    "range_join" -> ((s, d) => {
+      val bands = s.range(0, 10).select(col("id").as("band"),
+        (lit(900.0) + col("id") * 10.0).as("lo"),
+        (lit(910.0) + col("id") * 10.0).as("hi"))
+      operators.Ranges.rangeJoin(Tables.part(s, d), broadcast(bands),
+        point = "p_retailprice", lo = "lo", hi = "hi", bucketWidth = 10.0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_parts"), min(col("p_retailprice")).as("min_price"),
+          max(col("p_retailprice")).as("max_price"))
+    }),
     // --- training-data pipeline: dataset preparation ---
     "corpus_split" -> ((s, d) => pipeline.TrainingData.splitAssign(Tables.documents(s, d))),
     "seq_packing" -> ((s, d) => pipeline.TrainingData.packSequences(Tables.documents(s, d))),
@@ -382,6 +394,15 @@ object SparkEntry {
                FROM e WHERE event_type = 'purchase' GROUP BY user_id, tms)
          SELECT c.user_id, c.event_id, c.tms, p.p_event_id, p.p_value
          FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tms >= p.p_tms""",
+    "range_join" ->
+      """WITH bands AS (
+           SELECT i AS band, 900.0 + i * 10.0 AS lo, 910.0 + i * 10.0 AS hi
+           FROM range(0, 10) t(i))
+         SELECT b.band, count(*)::BIGINT AS n_parts,
+                min(p.p_retailprice) AS min_price, max(p.p_retailprice) AS max_price
+         FROM part p JOIN bands b
+           ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+         GROUP BY b.band""",
     // Deterministic portable-hash split: same md5 bucket formula.
     "corpus_split" ->
       """SELECT doc_id,

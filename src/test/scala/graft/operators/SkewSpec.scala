@@ -60,6 +60,22 @@ class SkewSpec extends AnyFunSuite {
     assert(tied.getLong(3) == 301L && tied.getDouble(4) == 2.0)
   }
 
+  test("rangeJoin: bucketized prefilter equals the naive theta-join, no duplicates") {
+    val ps = new StructType().add("pid", LongType).add("x", DoubleType)
+    val is = new StructType().add("iid", LongType).add("lo", DoubleType).add("hi", DoubleType)
+    val points = df(ps, Seq(Row(1L, 0.5), Row(2L, 10.0), Row(3L, 25.0), Row(4L, 99.0)))
+    val intervals = df(is, Seq(
+      Row(10L, 0.0, 10.0),   // pid 1 inside; pid 2 at hi → excluded (half-open)
+      Row(11L, 10.0, 30.0),  // spans 3 buckets at width 8: pids 2 (at lo) and 3
+      Row(12L, 20.0, 26.0))) // overlapping interval: pid 3 matches two intervals
+    val got = Ranges.rangeJoin(points, intervals, "x", "lo", "hi", bucketWidth = 8.0)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val naive = points.join(intervals, col("x") >= col("lo") && col("x") < col("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got.sorted == naive.sorted) // same multiset: complete AND duplicate-free
+    assert(got.toSet == Set((1L, 10L), (2L, 11L), (3L, 11L), (3L, 12L)))
+  }
+
   test("storePartitioned: key filter prunes partitions at read") {
     import graft.lara._
     val st = new StructType().add("k", StringType).add("j", IntegerType).add("v", IntegerType)
