@@ -39,6 +39,17 @@ class PortableHashSpec extends AnyFunSuite {
     assert(PortableHash.local60("hello") > 0) // 60 bits: always positive
   }
 
+  test("range property: always in [0, 2^60) over random inputs") {
+    val rnd = new scala.util.Random(11)
+    val strs = (1 to 500).map(_ => rnd.nextString(rnd.nextInt(40)))
+    strs.foreach { s =>
+      val v = PortableHash.local60(s)
+      assert(v >= 0L && v < (1L << 60), s"out of range for '$s': $v")
+    }
+    // 60 bits over 500 draws: no collisions expected
+    assert(strs.distinct.map(PortableHash.local60).distinct.size == strs.distinct.size)
+  }
+
   test("codegen and interpreted paths agree") {
     val d = df(new StructType().add("s", StringType), samples.map(Row(_)))
     val expr = PortableHash.hash60(col("s"))
