@@ -123,10 +123,17 @@ object Dedup {
     * a_i = pHash60("a_i") mod (p−1) + 1 (nonzero), c_i = pHash60("b_i")
     * mod p — plan constants the DuckDB oracle re-derives. One md5 per
     * *shingle* total (the base hash); the 32 family members are two integer
-    * ops each, ~30× cheaper than an md5-per-seed family. All products stay
-    * under 2⁶² — no ANSI overflow.
+    * ops each. Backed by the fused single-pass kernel
+    * (graft.functions.MinHashSig); [[minhashSignaturePortableHof]] is the
+    * HOF formulation kept as its differential-testing oracle.
     */
   def minhashSignaturePortable(baseHashes: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.MinHashSig(bridge.expression(baseHashes), numHashes))
+  }
+
+  /** HOF formulation of [[minhashSignaturePortable]] (identical values). */
+  def minhashSignaturePortableHof(baseHashes: Column, numHashes: Int): Column = {
     val p = 2147483647L // 2^31 − 1
     array((0 until numHashes).map { i =>
       val a = PortableHash.local60(s"a_$i") % (p - 1) + 1
@@ -255,11 +262,20 @@ object Dedup {
       .filter(col("df") > maxDf)
 
   /** 64-bit SimHash signature over a column of token hashes: bit i is set
-    * iff more than half the token hashes have bit i set. Pure array HOFs —
-    * stays in whole-stage codegen. Pass an *attribute* (materialized array),
-    * not a nested expression — the body scans it 64 times.
+    * iff more than half the token hashes have bit i set. Backed by the
+    * fused single-pass kernel (graft.functions.SimHash64) — the HOF
+    * formulation ([[simhashHof]]) scans the hash array once per bit.
     */
   def simhash(hashes: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.SimHash64(bridge.expression(hashes)))
+  }
+
+  /** HOF formulation of [[simhash]] (identical values) — differential
+    * oracle for the kernel. Pass an *attribute* (materialized array), not a
+    * nested expression — the body scans it 64 times.
+    */
+  def simhashHof(hashes: Column): Column = {
     val nTok = size(hashes)
     val bitsSet = transform(sequence(lit(0), lit(63)),
       i => size(filter(hashes, h => call_function("shiftright", h, i).bitwiseAND(1) === 1)))

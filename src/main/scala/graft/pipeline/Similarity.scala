@@ -72,7 +72,7 @@ object Similarity {
     * `plane(p)(j) = (md5_60("p_j") mod 2000001 − 10^6) / 10^6`. The DuckDB
     * oracle computes the identical doubles from the same formula.
     */
-  private[pipeline] def plane(p: Int, dim: Int): Array[Double] =
+  private[graft] def plane(p: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { j =>
       ((graft.functions.PortableHash.local60(s"${p}_$j") % 2000001L) - 1000000L)
         .toDouble / 1000000.0d
@@ -89,9 +89,18 @@ object Similarity {
   /** Banded bucket keys: element b is the integer formed by the sign bits of
     * planes [b·planesPerBand, (b+1)·planesPerBand). Exploded by callers into
     * (band, bucket) join keys. `dim` must match the embedding width (the
-    * planes are plan literals).
+    * planes are plan constants). Backed by the fused one-pass kernel
+    * (graft.functions.LshBuckets); [[lshBandBucketsHof]] is the HOF
+    * differential oracle.
     */
-  def lshBandBuckets(emb: Column, bands: Int, planesPerBand: Int, dim: Int): Column =
+  def lshBandBuckets(emb: Column, bands: Int, planesPerBand: Int, dim: Int): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.LshBuckets(
+      bridge.expression(emb.cast("array<float>")), bands, planesPerBand, dim))
+  }
+
+  /** HOF formulation of [[lshBandBuckets]] (identical values). */
+  def lshBandBucketsHof(emb: Column, bands: Int, planesPerBand: Int, dim: Int): Column =
     array((0 until bands).map { b =>
       (0 until planesPerBand).map(i => signBit(emb, b * planesPerBand + i, dim))
         .reduceLeft((acc, bit) => acc * 2 + bit)
