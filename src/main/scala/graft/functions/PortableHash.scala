@@ -56,11 +56,6 @@ object PortableHash {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** Seeded family member i: hash of "<value>_<i>" — the construction the
-    * DuckDB oracle mirrors with `x::VARCHAR || '_' || i::VARCHAR`.
-    */
-  def seeded(c: Column, i: Column): Column = hash60(concat_ws("_", c, i))
-
   /** SQL fragment (DuckDB dialect) computing the same value as `hash60`,
     * for building oracle queries: substitute the argument expression.
     */
