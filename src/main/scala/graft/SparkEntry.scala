@@ -65,6 +65,13 @@ object SparkEntry {
     "text_langid" -> ((s, d) => pipeline.TextAnalysis.langId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => pipeline.TextAnalysis.fingerprint(Tables.documents(s, d))),
     "text_rolling_fp" -> ((s, d) => pipeline.TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
+    // --- skew-salted join: result contract = the plain equi-join, which
+    // is exactly what the oracle computes ---
+    "salted_join" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val r = Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      operators.Skew.saltedJoin(l, r, Seq("l_orderkey"), saltFactor = 8)
+    }),
     // --- as-of (point-in-time) join: each click joined to the user's
     // latest purchase at-or-before it — operators.AsOf composition ---
     "asof_join" -> ((s, d) => {
@@ -383,6 +390,9 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
                 round(l_extendedprice * (1.0 + l_tax) * 100)::BIGINT / 100.0 AS taxed
          FROM lineitem WHERE l_quantity > 45.0 AND l_discount < 0.02""",
+    "salted_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
     // DuckDB's native ASOF JOIN is the oracle for the union+window
     // composition (ties at equal time count; left-join nulls).
     "asof_join" ->
