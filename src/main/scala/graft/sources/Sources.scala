@@ -59,4 +59,26 @@ object Sources {
   /** CSV sink with optional header (reference `OpFileStoreIterator`). */
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header).csv(path)
+
+  /** JSONL (one JSON object per line) scan — the de-facto interchange
+    * format for training corpora; same explicit-schema + bad-row
+    * accounting stance as the CSV scan: returns (good rows, bad raw
+    * lines). Multi-file globs parallelize natively; at 100 TB bad rows get
+    * sampled, not collected.
+    */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // corrupt-record column requires a single materialization pass
+    val good = withCorrupt.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = withCorrupt.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record"))
+    (good, bad)
+  }
+
+  /** JSONL sink (one object per line, schema carried in the data). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 }

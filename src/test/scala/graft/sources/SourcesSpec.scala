@@ -36,6 +36,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(bad.count() == 2)
   }
 
+  test("jsonl: good rows split from corrupt lines; sink round-trips") {
+    import org.apache.spark.sql.types._
+    val js = new StructType().add("doc_id", LongType).add("text", StringType)
+    val p = writeTemp(Seq(
+      """{"doc_id": 1, "text": "hello"}""",
+      """not json at all""",
+      """{"doc_id": 2, "text": "world"}""",
+      """{"doc_id": "x?", "text": 3}"""))
+    val (good, bad) = Sources.jsonl(spark, p, js)
+    assert(rowSet(good) == Set(Seq[Any](1L, "hello"), Seq[Any](2L, "world")))
+    assert(bad.count() == 2) // broken syntax + type mismatch both accounted
+    val out = java.nio.file.Files.createTempDirectory("jsonl_out").toString + "/t"
+    Sources.writeJsonl(good, out)
+    val (back, backBad) = Sources.jsonl(spark, out, js)
+    assert(rowSet(back) == rowSet(good) && backBad.count() == 0)
+  }
+
   test("csv sink with header round-trips") {
     val p = writeTemp(Seq("a,1,1.5"))
     val d = Sources.csv(spark, p, schema)
