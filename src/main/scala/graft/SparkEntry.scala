@@ -65,6 +65,7 @@ object SparkEntry {
     "text_langid" -> ((s, d) => pipeline.TextAnalysis.langId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => pipeline.TextAnalysis.fingerprint(Tables.documents(s, d))),
     "text_rolling_fp" -> ((s, d) => pipeline.TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
+    "text_repetition" -> ((s, d) => pipeline.TextAnalysis.repetitionStats(Tables.documents(s, d))),
     // --- skew-salted join: result contract = the plain equi-join, which
     // is exactly what the oracle computes ---
     "salted_join" -> ((s, d) => {
@@ -390,6 +391,20 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
                 round(l_extendedprice * (1.0 + l_tax) * 100)::BIGINT / 100.0 AS taxed
          FROM lineitem WHERE l_quantity > 45.0 AND l_discount < 0.02""",
+    "text_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))] END AS s
+           FROM toks),
+         bg AS (SELECT doc_id, unnest(s) AS b FROM sh),
+         c AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+         SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c)::BIGINT AS top_bigram_n,
+                round(max(c)::DOUBLE / sum(c), 6) AS top_share
+         FROM c GROUP BY doc_id""",
     "salted_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",

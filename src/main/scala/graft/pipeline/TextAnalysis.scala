@@ -74,6 +74,21 @@ object TextAnalysis {
         array_max(array(scores: _*)).getField("lang")).otherwise("und").as("lang_pred"))
   }
 
+  /** Repetition statistics — the standard web-crawl quality signal (share
+    * of the document taken by its most frequent word bigram; heavily
+    * repeated boilerplate scores high and gets filtered before training).
+    * Relational formulation (explode → two-level aggregate), so it scales
+    * as an ordinary pair of keyed aggregations.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(Dedup.shingles(Dedup.tokens(col("text")), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+        round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6).as("top_share"))
+
   /** Content fingerprint: digest of whitespace-normalized lowercased text —
     * stable under formatting noise; the key for exact-ish dedup joins.
     */

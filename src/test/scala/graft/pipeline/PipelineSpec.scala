@@ -159,6 +159,17 @@ class PipelineSpec extends AnyFunSuite {
       s"embeddingNearDup reads more than (vec_id, embedding):\n${np.take(2000)}")
   }
 
+  test("repetitionStats: top-bigram share flags repeated boilerplate") {
+    val ds = new StructType().add("doc_id", LongType).add("text", StringType)
+    val d = df(ds, Seq(
+      Row(1L, "buy now buy now buy now"),   // bigrams: (buy now)x3, (now buy)x2 → top 3/5
+      Row(2L, "a b c d e")))                // all 4 bigrams distinct → top 1/4
+    val r = TextAnalysis.repetitionStats(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((5L, 3L, 0.6)))
+    assert(r(2L) == ((4L, 1L, 0.25)))
+  }
+
   test("token counting: whitespace and BPE-ish") {
     val ds = new StructType().add("doc_id", LongType).add("text", StringType)
     val d = df(ds, Seq(Row(1L, "don't stop, 42 times!")))
