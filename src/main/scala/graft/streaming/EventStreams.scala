@@ -147,6 +147,78 @@ object EventStreams {
                            session_end: Timestamp, n_events: Int, total_value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)
 
+  final case class CovRow(win_start: Timestamp, c: String, c2: String, cov: Double)
+  final case class CovState(sums: Map[(Long, String), (Double, Long)])
+
+  /** Streaming twin of the flagship covariance pipeline
+    * (`LaraQueries.covariance`): per event-time window, the covariance
+    * matrix of per-(bin, event_type) mean values — emitted once the
+    * watermark closes the window.
+    *
+    * Semantics per window match the batch pipeline exactly (bin averages,
+    * per-type means over present bins, Σ over bins where both types are
+    * present, / (nBins − 1), c ≤ c2). Global (all-time) covariance needs
+    * the full table's means and is inherently batch; the windowed form is
+    * the streaming-native reading.
+    *
+    * State per window is the (bin, type) → (sum, count) table —
+    * windowSec/binSec × |types| entries, independent of event volume —
+    * and is removed on event-time timeout. One stateful operator, no
+    * stream-stream join.
+    */
+  def windowedCovariance(events: Dataset[Event],
+                         windowSec: Long = 21600L,
+                         binSec: Long = 3600L,
+                         watermark: String = "1 hour"): Dataset[CovRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.ts.getTime / 1000 / windowSec) * windowSec)
+      .flatMapGroupsWithState[CovState, CovRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (winStart: Long, rows: Iterator[Event], state: GroupState[CovState]) =>
+          if (state.hasTimedOut) {
+            val sums = state.get.sums
+            state.remove()
+            covFromSums(winStart, sums).iterator
+          } else {
+            var sums = state.getOption.map(_.sums).getOrElse(Map.empty)
+            for (e <- rows) {
+              val key = ((e.ts.getTime / 1000 / binSec) * binSec, e.event_type)
+              val (s, n) = sums.getOrElse(key, (0.0d, 0L))
+              sums = sums.updated(key, (s + e.value, n + 1))
+            }
+            state.update(CovState(sums))
+            // close the window once the watermark passes its end
+            val closeAt = (winStart + windowSec) * 1000
+            state.setTimeoutTimestamp(math.max(closeAt, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  private def covFromSums(winStart: Long, sums: Map[(Long, String), (Double, Long)]): Seq[CovRow] = {
+    // bin averages → per-type means over present bins → pairwise Σ u·u'
+    val x: Map[(Long, String), Double] = sums.map { case (k, (s, n)) => k -> s / n }
+    val types = x.keys.map(_._2).toSeq.distinct.sorted
+    val nBins = x.keys.map(_._1).toSeq.distinct.size
+    if (nBins < 2) return Seq.empty // covariance undefined for a single bin
+    val mean: Map[String, Double] = types.map { c =>
+      val vs = x.collect { case ((_, `c`), v) => v }
+      c -> vs.sum / vs.size
+    }.toMap
+    for {
+      c <- types; c2 <- types if c <= c2
+      shared = x.keys.collect { case (t, `c`) => t }.toSet &
+        x.keys.collect { case (t, `c2`) => t }.toSet
+      if shared.nonEmpty
+    } yield {
+      val sp = shared.toSeq.sorted.map(t => (x((t, c)) - mean(c)) * (x((t, c2)) - mean(c2))).sum
+      CovRow(new Timestamp(winStart * 1000), c, c2,
+        math.rint(sp / (nBins - 1) * 1e6) / 1e6)
+    }
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * when no event arrives within `gapMs` of the last one (event time,
     * enforced by watermark timeout). Custom keyed state — the

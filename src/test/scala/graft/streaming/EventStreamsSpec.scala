@@ -81,6 +81,33 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowedCovariance: per-window covariance matrix matches hand-computed batch values") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val cov = EventStreams.windowedCovariance(in.toDS(), windowSec = 21600L, binSec = 3600L)
+    val q = cov.writeStream.format("memory").queryName("cov_stream")
+      .outputMode("append").start()
+    try {
+      def ev(id: Long, sec: Long, c: String, v: Double) =
+        Event(id, new Timestamp(sec * 1000), 1L, c, v)
+      // window [21600, 43200): A bins avg (2, 4, 6); B bins (10, 20, absent)
+      in.addData(
+        ev(1, 21700, "A", 1.0), ev(2, 21800, "A", 3.0), ev(3, 25300, "A", 4.0),
+        ev(4, 28900, "A", 6.0), ev(5, 21650, "B", 10.0), ev(6, 25400, "B", 20.0))
+      q.processAllAvailable()
+      in.addData(ev(7, 90000, "A", 0.0)) // advance watermark far past the window
+      q.processAllAvailable()
+      in.addData(ev(8, 95000, "A", 0.0)) // one more batch to fire the timeout
+      q.processAllAvailable()
+      val got = spark.table("cov_stream")
+        .filter(col("win_start") === new Timestamp(21600L * 1000))
+        .collect().map(r => (r.getString(1), r.getString(2)) -> r.getDouble(3)).toMap
+      // means: A=4, B=15; nBins=3 → cov(A,A)=4, cov(A,B)=5 (shared bins), cov(B,B)=25
+      assert(got == Map(("A", "A") -> 4.0, ("A", "B") -> 5.0, ("B", "B") -> 25.0), s"got $got")
+    } finally q.stop()
+  }
+
   test("streamStore: micro-batches append access-path-sorted files to a Lara store") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
