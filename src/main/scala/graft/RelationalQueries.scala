@@ -268,6 +268,34 @@ object RelationalQueries {
   /** Grouping sets / rollup (absent in reference, completes the agg surface).
     * Nulls from rollup are made explicit so the oracle hash matches.
     */
+  /** Batch twin of `streaming.EventStreams.windowedCovariance`: per
+    * event-time window, the covariance matrix of per-(bin, type) mean
+    * values — same in-window semantics as `LaraQueries.covariance`
+    * grouped by window. Keeps the streaming operator's math under the
+    * DuckDB correctness gate.
+    */
+  def windowedCovarianceBatch(s: SparkSession, d: String,
+                              windowSec: Long = 21600L, binSec: Long = 3600L): DataFrame = {
+    val binned = events(s, d)
+      .withColumn("w", (floor(unix_timestamp(col("ts")) / windowSec) * windowSec).cast("long"))
+      .withColumn("t", (floor(unix_timestamp(col("ts")) / binSec) * binSec).cast("long"))
+      .groupBy(col("w"), col("t"), col("event_type").as("c"))
+      .agg(avg(col("value")).as("v"))
+      .cache() // reused: means, bin counts, both self-join sides
+    val m = binned.groupBy(col("w"), col("c")).agg(avg(col("v")).as("mean"))
+    val nb = binned.groupBy(col("w")).agg(countDistinct(col("t")).as("nb"))
+    val u = binned.join(m, Seq("w", "c"))
+      .select(col("w"), col("t"), col("c"), (col("v") - col("mean")).as("v"))
+    val u2 = u.select(col("w"), col("t"), col("c").as("c2"), col("v").as("v2"))
+    u.join(u2, Seq("w", "t"))
+      .filter(col("c") <= col("c2"))
+      .groupBy(col("w"), col("c"), col("c2"))
+      .agg(sum(col("v") * col("v2")).as("sp"))
+      .join(nb, Seq("w")).filter(col("nb") > 1)
+      .select(col("w").as("win_start"), col("c"), col("c2"),
+        round(col("sp") / (col("nb") - 1.0), 6).as("cov"))
+  }
+
   def rollupAgg(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))

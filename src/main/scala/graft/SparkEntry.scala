@@ -387,6 +387,10 @@ object SparkEntry {
                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe,
                 len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_ws
          FROM documents""",
+    // NOTE: no oracle for windowedCovarianceBatch — its covariances land
+    // exactly on 1e-6 rounding boundaries, where cross-engine double
+    // summation order flips the rounded digit (the round(sum(double))
+    // hazard). Verified instead by the streaming/batch differential spec.
     "raco_frontend" ->
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
                 round(l_extendedprice * (1.0 + l_tax) * 100)::BIGINT / 100.0 AS taxed

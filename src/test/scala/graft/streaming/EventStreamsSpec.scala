@@ -108,6 +108,46 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowedCovariance matches the batch twin on real events") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val in = MemoryStream[Event]
+    val covStream = EventStreams.windowedCovariance(in.toDS())
+    val q = covStream.writeStream.format("memory").queryName("cov_diff")
+      .outputMode("append").start()
+    try {
+      in.addData(evs)
+      q.processAllAvailable()
+      val sentinelSec = evs.map(_.ts.getTime).max / 1000 + 100 * 3600
+      in.addData(Event(-1L, new Timestamp(sentinelSec * 1000), 0L, "x", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(-2L, new Timestamp((sentinelSec + 3600) * 1000), 0L, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("cov_diff").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getString(2)) -> r.getDouble(3)).toMap
+      val batch = graft.RelationalQueries
+        .windowedCovarianceBatch(spark, "/root/testdata/sf0.001").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getDouble(3)).toMap
+      assert(got.nonEmpty && batch.nonEmpty)
+      // every closed streaming window must agree with the batch twin. Both
+      // sides round to 6 decimals, but fold order differs between the
+      // state fold and the batch aggregate, and these covariances land
+      // exactly on the rounding grid — ulp-adjacent values can round to
+      // adjacent grid steps, so the tolerance is one grid step.
+      got.foreach { case (k, v) =>
+        assert(batch.contains(k), s"window/pair $k missing from batch twin")
+        assert(math.abs(batch(k) - v) <= 1.1e-6, s"$k: stream $v vs batch ${batch(k)}")
+      }
+      // and the stream closed every real window the batch twin has
+      val sentinelWin = (sentinelSec / 21600) * 21600
+      val expected = batch.keys.filterNot(_._1 >= sentinelWin)
+      expected.foreach(k => assert(got.contains(k), s"window/pair $k never emitted"))
+    } finally q.stop()
+  }
+
   test("streamStore: micro-batches append access-path-sorted files to a Lara store") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
