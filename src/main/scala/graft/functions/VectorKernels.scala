@@ -24,6 +24,14 @@ object VectorKernels {
   /** Portable minhash signature — one pass over base hashes, all
     * `numHashes` universal-hash minima maintained simultaneously.
     * Empty input yields all-null elements (list_min-of-empty semantics).
+    *
+    * `floorMod` (not signed `%`) keeps the kernel identical to the HOF
+    * twin and the DuckDB oracle, which both use positive (pmod)
+    * arithmetic: the public `minhashSignaturePortable` accepts any
+    * `array<long>`, and a negative base hash (e.g. from the xxhash64
+    * family) must not silently diverge from that contract. For the
+    * md5-derived 60-bit bases the pipelines feed it, the two operators
+    * agree and nothing changes.
     */
   def minhashSig(bases: ArrayData, a: Array[Long], c: Array[Long]): ArrayData = {
     val n = a.length
@@ -33,10 +41,10 @@ object VectorKernels {
     var t = 0
     val m = bases.numElements()
     while (t < m) {
-      val b31 = bases.getLong(t) % P31 // bases are 60-bit positive
+      val b31 = java.lang.Math.floorMod(bases.getLong(t), P31)
       var i = 0
       while (i < n) {
-        val v = (a(i) * b31 + c(i)) % P31
+        val v = java.lang.Math.floorMod(a(i) * b31 + c(i), P31)
         if (v < sig(i)) sig(i) = v
         i += 1
       }
@@ -72,28 +80,32 @@ object VectorKernels {
 
   /** Banded sign-LSH bucket keys — one pass per hyperplane (sequential
     * double fold, the IEEE order the oracle reproduces), all bands fused.
-    * A dim mismatch yields bucket 0 everywhere, mirroring the HOF
-    * formulation's null-propagating zip_with (differential specs rely on
-    * exact equivalence).
+    *
+    * A plane/embedding dimension mismatch FAILS FAST: a wrong `dim`
+    * argument would otherwise map every vector to bucket 0, and the
+    * bucket-size cap downstream would then drop the single oversized
+    * bucket — an empty result with no error. (The HOF formulation keeps
+    * its null-propagating zip_with semantics; the differential spec
+    * compares the two only on matching dimensions.)
     */
   def lshBuckets(emb: ArrayData, planes: Array[Array[Double]],
                  bands: Int, planesPerBand: Int): ArrayData = {
     val out = new Array[Long](bands)
     val n = emb.numElements()
-    val dimOk = planes.length == 0 || planes(0).length == n
+    if (planes.length > 0 && planes(0).length != n)
+      throw new IllegalArgumentException(
+        s"lsh_buckets: hyperplane dim ${planes(0).length} != embedding dim $n — " +
+        "check the `dim` argument against the embedding column")
     var b = 0
     while (b < bands) {
       var bucket = 0L
       var i = 0
       while (i < planesPerBand) {
-        var bit = 0L
-        if (dimOk) {
-          val plane = planes(b * planesPerBand + i)
-          var dot = 0.0d
-          var j = 0
-          while (j < n) { dot += emb.getFloat(j).toDouble * plane(j); j += 1 }
-          if (dot > 0) bit = 1L
-        }
+        val plane = planes(b * planesPerBand + i)
+        var dot = 0.0d
+        var j = 0
+        while (j < n) { dot += emb.getFloat(j).toDouble * plane(j); j += 1 }
+        val bit = if (dot > 0) 1L else 0L
         bucket = bucket * 2 + bit
         i += 1
       }

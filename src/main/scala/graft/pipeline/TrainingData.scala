@@ -29,6 +29,51 @@ object TrainingData {
           .otherwise("test").as("split"))
   }
 
+  /** Exclusive prefix sum over a keyed frame (`keyCol` non-negative long,
+    * `valCol` long) with NO unbounded single-partition window anywhere in
+    * the plan: each level groups keys by `key div fan`, computes the
+    * within-parent exclusive sum through a window *partitioned* by the
+    * parent (parallel across the cluster), and recurses on the per-parent
+    * totals — a frame `fan`× smaller each level. After `depth` levels the
+    * remaining frame has ≤ |keys|/fan^depth rows; the base case runs one
+    * bounded window over it (constant partition key — the caller sizes
+    * `fan`/`depth` so this is at most ~`fan` rows, e.g. fan=4096, depth=2
+    * covers 4096³ ≈ 6.9e10 keys).
+    *
+    * Returns (`keyCol`, `outCol`) where `outCol` = Σ value over all keys
+    * strictly below `keyCol`.
+    */
+  private[pipeline] def exclusivePrefixSum(df: DataFrame, keyCol: String, valCol: String,
+                                           outCol: String, fan: Long = 4096L,
+                                           depth: Int = 2): DataFrame = {
+    if (depth == 0) {
+      // bounded base case: ≤ ~fan rows by the caller's sizing contract.
+      // The constant-valued partition key (pmod(key, 1) ≡ 0, but not
+      // foldable — a literal would be optimized away) keeps the partition
+      // spec non-empty: this is a deliberate single SMALL partition, not
+      // an accidental data-proportional one.
+      val w = Window.partitionBy(pmod(col(keyCol), lit(1L))).orderBy(col(keyCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn(outCol, coalesce(sum(col(valCol)).over(w), lit(0L)))
+        .select(col(keyCol), col(outCol))
+    } else {
+      val parent = df.withColumn("__parent", expr(s"$keyCol div $fan"))
+      val wLocal = Window.partitionBy(col("__parent")).orderBy(col(keyCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = parent.withColumn("__local",
+        coalesce(sum(col(valCol)).over(wLocal), lit(0L)))
+      val parentTotals = parent.groupBy(col("__parent"))
+        .agg(sum(col(valCol)).as("__ptot"))
+      val parentOffsets = exclusivePrefixSum(
+        parentTotals.withColumnRenamed("__parent", "__pkey"),
+        "__pkey", "__ptot", "__poff", fan, depth - 1)
+        // fresh names: at depth ≥ 2 the recursion's own key is "__pkey" too
+        .select(col("__pkey").as("__okey"), col("__poff").as("__ooff"))
+      local.join(parentOffsets, local("__parent") === col("__okey"))
+        .select(col(keyCol), (col("__ooff") + col("__local")).as(outCol))
+    }
+  }
+
   /** Sequence packing, concat-then-chunk style: documents are laid out
     * end-to-end in doc_id order and the token stream is cut every `budget`
     * tokens — each doc reports its global start offset and the first/last
@@ -36,11 +81,12 @@ object TrainingData {
     *
     * The global running sum is computed scalably: docs are bucketed by
     * `doc_id div bucketSize`, the cumulative sum runs *within* buckets
-    * (windows partitioned by bucket — parallel), and only the per-bucket
-    * totals (corpus/bucketSize rows) pass through the tiny global prefix
-    * window before being broadcast back. No single-partition window over
-    * the corpus — the naive `Window.orderBy(doc_id)` formulation would
-    * serialize 100 TB through one task.
+    * (windows partitioned by bucket — parallel), and the per-bucket totals
+    * go through [[exclusivePrefixSum]] — a hierarchical prefix sum whose
+    * every window is partitioned, so NO data-proportional frame ever
+    * passes through a single task (the naive `Window.orderBy(doc_id)`
+    * formulation would serialize 100 TB through one; so would a flat
+    * global window over the corpus/bucketSize bucket totals).
     */
   def packSequences(docs: DataFrame, budget: Long = 512L, bucketSize: Long = 1024L): DataFrame = {
     val toks = docs.select(col("doc_id"),
@@ -49,14 +95,13 @@ object TrainingData {
     val wLocal = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = toks.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
-    // per-bucket totals: |corpus| / bucketSize rows — small enough for the
-    // global prefix window and the broadcast join back
-    val wPrefix = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = toks.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btot"))
-      .withColumn("bucket_offset", coalesce(sum(col("btot")).over(wPrefix), lit(0L)))
-      .select(col("bucket"), col("bucket_offset"))
-    local.join(broadcast(offsets), Seq("bucket"))
+    val offsets = exclusivePrefixSum(
+      toks.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btot")),
+      "bucket", "btot", "bucket_offset")
+    // plain equi-join on bucket (both sides already keyed by it); at 100 TB
+    // the offsets side has corpus/bucketSize rows — too big to broadcast,
+    // fine to shuffle. AQE may still elect broadcast when it is small.
+    local.join(offsets, Seq("bucket"))
       .select(col("doc_id"), col("n_tokens"),
         (col("bucket_offset") + col("local_cum") - col("n_tokens")).as("start_token"))
       .withColumn("first_chunk", expr(s"start_token div $budget"))

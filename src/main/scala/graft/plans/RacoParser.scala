@@ -236,7 +236,14 @@ object RacoParser {
     case PNode("FileStore", List(PStr(file), PStr(format), _, child)) =>
       if (format.toUpperCase != "CSV") fail(s"unsupported FileStore format $format")
       FileStore(file, header = true, toOp(child))
-    case PNode("Scan", List(rk, _, _, _)) => Scan(relationName(rk))
+    case PNode("Scan", List(rk, sch, _, _)) =>
+      // the plan-declared Scheme travels with the Scan: positional refs
+      // bind to ITS order, not the backing table's physical column order
+      val declared = sch match {
+        case s @ PNode("Scheme", _) => Some(scheme(s))
+        case _ => None
+      }
+      Scan(relationName(rk), declared)
     case other => fail(s"unexpected operator node: $other")
   }
 

@@ -69,8 +69,14 @@ object Relational {
 
   // ---- relational operator tree (reference RacoOperator) ----
   sealed trait Op
-  /** Catalog table scan (reference `Scan`/`OpAccumuloBase`). */
-  final case class Scan(table: String) extends Op
+  /** Catalog table scan (reference `Scan`/`OpAccumuloBase`). When the plan
+    * declares a `scheme`, its column ORDER is authoritative: positional
+    * refs resolve against the operator scheme (reference
+    * `RacoOperators.kt:156`), so a backing table whose physical column
+    * order differs must be re-projected into declared order — otherwise
+    * `PosRef` would silently bind to the wrong columns.
+    */
+  final case class Scan(table: String, scheme: Option[StructType] = None) extends Op
   /** Parquet path scan. */
   final case class ParquetScan(path: String) extends Op
   /** CSV file scan with declared scheme (reference `FileScan`/`OpCSVScan`). */
@@ -91,7 +97,13 @@ object Relational {
 
   /** Lower an op-tree to a DataFrame (sinks execute and return their input). */
   def lower(spark: SparkSession, op: Op): DataFrame = op match {
-    case Scan(t)            => spark.table(t)
+    case Scan(t, None)      => spark.table(t)
+    case Scan(t, Some(s))   =>
+      val d = spark.table(t)
+      val missing = s.fieldNames.filterNot(d.columns.contains)
+      require(missing.isEmpty,
+        s"Scan($t): declared scheme columns ${missing.mkString(",")} absent from table (has ${d.columns.mkString(",")})")
+      d.select(s.fieldNames.map(col).toSeq: _*)
     case ParquetScan(p)     => spark.read.parquet(p)
     case FileScan(p, s, d, h) => graft.sources.Sources.csv(spark, p, s, d, header = h)
     case Select(pred, c)    =>

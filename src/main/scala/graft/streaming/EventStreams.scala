@@ -214,8 +214,12 @@ object EventStreams {
       if shared.nonEmpty
     } yield {
       val sp = shared.toSeq.sorted.map(t => (x((t, c)) - mean(c)) * (x((t, c2)) - mean(c2))).sum
+      // same tie rule as the batch twin's round(_, 6): Spark's Round on
+      // doubles is BigDecimal(valueOf semantics).setScale(6, HALF_UP) —
+      // math.rint would round half-even and disagree by one grid step on
+      // values landing exactly on the 1e-6 grid
       CovRow(new Timestamp(winStart * 1000), c, c2,
-        math.rint(sp / (nBins - 1) * 1e6) / 1e6)
+        BigDecimal(sp / (nBins - 1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }
 

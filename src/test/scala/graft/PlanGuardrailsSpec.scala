@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guardrails over the ENTIRE contract-query surface — the
+  * anti-scale-killer gate. A window with no partition spec moves the whole
+  * frame through one task ("WindowExec: No Partition Defined" at runtime);
+  * fine on 60k rows, fatal at 100 TB. Every contract query must be free of
+  * them — bounded frames must use a constant partition key (see
+  * `TrainingData.exclusivePrefixSum`) to make the boundedness explicit.
+  */
+class PlanGuardrailsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("no contract query plans an unpartitioned (single-task) window") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      val bad = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      if (bad.nonEmpty) Some(s"$name (${bad.size} unpartitioned window(s))") else None
+    }
+    assert(offenders.isEmpty,
+      s"queries with single-partition windows:\n  ${offenders.mkString("\n  ")}")
+  }
+}

@@ -13,10 +13,14 @@ import graft.pipeline.{Dedup, Similarity}
 class VectorKernelsSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("MinHashSig kernel == HOF universal-hash formulation") {
+  test("MinHashSig kernel == HOF universal-hash formulation (incl. negative bases)") {
     val rnd = new scala.util.Random(3)
     val rows = (1 to 60).map { i =>
-      Row(i.toLong, (1 to (1 + rnd.nextInt(30))).map(_ => rnd.nextLong(1L << 60)).toSeq)
+      // mix of 60-bit positive bases (the pipeline contract) and raw
+      // negative longs (the xxhash64 family) — floorMod in the kernel
+      // must match the HOF/pmod arithmetic on both
+      Row(i.toLong, (1 to (1 + rnd.nextInt(30))).map(_ =>
+        if (rnd.nextBoolean()) rnd.nextLong(1L << 60) else -rnd.nextLong(1L << 60)).toSeq)
     }
     val st = new StructType().add("id", LongType).add("bh", ArrayType(LongType))
     val d = df(st, rows)
@@ -47,5 +51,17 @@ class VectorKernelsSpec extends AnyFunSuite {
       .collect()
     assert(cmp.nonEmpty)
     cmp.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("LshBuckets fails fast on a hyperplane/embedding dim mismatch") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // dim=32 against 64-element embeddings: must throw, not bucket-0 everything
+    val ex = intercept[org.apache.spark.SparkException] {
+      emb.select(Similarity.lshBandBuckets(col("embedding"), 4, 4, 32).as("k")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(e => e +: causes(e.getCause))
+    assert(causes(ex).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("lsh_buckets")), s"unexpected failure: $ex")
   }
 }

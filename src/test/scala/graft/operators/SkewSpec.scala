@@ -24,17 +24,23 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.count() == 1001) // 500*2 hot + 1
   }
 
-  test("saltedJoin spreads fully-duplicate rows (degenerate-salt regression)") {
-    val st = new StructType().add("k", StringType).add("x", IntegerType)
-    // 500 byte-identical rows: a content-hash salt would put them all in one
-    // sub-key and the skew would survive
-    val left = df(st, Seq.fill(500)(Row("hot", 7)))
+  test("saltedJoin spreads fully-duplicate rows via uniqueId (degenerate-salt regression)") {
+    val st = new StructType().add("k", StringType).add("x", IntegerType).add("uid", LongType)
+    // 500 rows identical except for the unique id: the content hash of
+    // (k, x) alone would put them all in one sub-key; hashing the caller's
+    // unique id spreads them while staying retry-stable
+    val left = df(st, (1 to 500).map(i => Row("hot", 7, i.toLong)))
     val right = df(new StructType().add("k", StringType).add("y", IntegerType),
       Seq(Row("hot", 10), Row("hot", 20)))
-    val salted = Skew.saltedJoin(left, right, Seq("k"), saltFactor = 8)
+    val salted = Skew.saltedJoin(left, right, Seq("k"), saltFactor = 8, uniqueId = Some("uid"))
     assert(salted.count() == 1000)
-    val spread = left.select(Skew.salt(8).as("s")).agg(countDistinct(col("s"))).head.getLong(0)
+    val spread = left.select(Skew.salt(Seq(col("uid")), 8).as("s"))
+      .agg(countDistinct(col("s"))).head.getLong(0)
     assert(spread == 8, s"expected all 8 sub-keys used, got $spread")
+    // without a uniqueId the result is still exactly the plain join —
+    // only the spread of byte-identical rows degrades (documented)
+    val noUid = Skew.saltedJoin(left.drop("uid"), right, Seq("k"), saltFactor = 8)
+    assert(noUid.count() == 1000)
   }
 
   test("asOfJoin: latest right row at-or-before each left row, per key") {

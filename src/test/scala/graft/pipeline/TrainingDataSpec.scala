@@ -45,6 +45,22 @@ class TrainingDataSpec extends AnyFunSuite {
     packed.foreach { case (id, (_, start, _, _)) => assert(start == naive(id), s"doc $id") }
   }
 
+  test("exclusivePrefixSum: hierarchical == naive at every recursion depth") {
+    // fan=4, depth=2 over 100 sparse keys → both recursion levels and the
+    // bounded base case are exercised (100 → 25 → 7 rows)
+    val st = new StructType().add("k", LongType).add("v", LongType)
+    val rows = (0L until 100L).map(i => Row(i * 3, i % 7 + 1)) // sparse, nonuniform
+    val d = df(st, rows)
+    val got = TrainingData.exclusivePrefixSum(d, "k", "v", "off", fan = 4L, depth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      assert(got(r.getLong(0)) == acc, s"key ${r.getLong(0)}")
+      acc += r.getLong(1)
+    }
+    assert(got.size == rows.size)
+  }
+
   test("quantizeEmbeddings: digests of the int8 vector, zero-vector safe") {
     val es = new StructType().add("vec_id", LongType).add("embedding", ArrayType(FloatType))
     val d = df(es, Seq(

@@ -88,4 +88,28 @@ class RacoParserSpec extends AnyFunSuite {
     val got = Relational.lower(spark, op).collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == Set(("b", 6L), ("c", 10L)))
   }
+
+  test("Scan scheme order is authoritative for positional refs (permuted backing table)") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    // backing table's PHYSICAL order is (v, k) — the declared Scheme says
+    // (k, v); positions must bind to the scheme (reference
+    // RacoOperators.kt:156), so $1 is v, not k
+    TestSpark.df(new StructType().add("v", LongType).add("k", StringType),
+      Seq(Row(1L, "a"), Row(5L, "b"), Row(9L, "c")))
+      .createOrReplaceTempView("public_adhoc_perm")
+    val op = RacoParser.parsePlan(
+      """Dump(Select(GT(UnnamedAttributeRef(1, None), NumericLiteral(3)),
+             Scan(RelationKey('public','adhoc','perm'),
+               Scheme([('k', 'STRING_TYPE'), ('v', 'LONG_TYPE')]), 10000,
+               RepresentationProperties(frozenset([]), None, None))))""")
+    val got = Relational.lower(spark, op).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("b", 5L), ("c", 9L)))
+    // a scheme column missing from the table fails loudly, not silently
+    val bad = Relational.Scan("public_adhoc_perm",
+      Some(new StructType().add("nope", LongType)))
+    intercept[IllegalArgumentException](Relational.lower(spark, bad))
+  }
 }
