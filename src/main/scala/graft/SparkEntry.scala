@@ -59,6 +59,9 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => pipeline.Dedup.minhashPairs(Tables.documents(s, d))),
     "dedup_jaccard" -> ((s, d) => pipeline.Dedup.jaccardJoin(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => pipeline.Dedup.simhashPairs(Tables.documents(s, d))),
+    // --- near-dup pairs resolved into clusters (connected components):
+    // the keep/drop decision a dedup pipeline actually ships ---
+    "dedup_clusters" -> ((s, d) => pipeline.Components.duplicateClusters(Tables.documents(s, d))),
     // --- training-data pipeline: text analysis ---
     "text_quality" -> ((s, d) => pipeline.TextAnalysis.qualityStats(Tables.documents(s, d))),
     "text_quality_score" -> ((s, d) => pipeline.TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -309,6 +312,45 @@ object SparkEntry {
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          WHERE len([bb for bb in range(0, 8)
                     if a.sg[bb*4+1 : bb*4+4] = b.sg[bb*4+1 : bb*4+4]]) > 0""",
+    // Same portable minhash pair derivation as dedup_minhash, resolved
+    // into connected components by a recursive CTE (min reachable id per
+    // node ≡ the engine's min-label fixpoint).
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END AS s
+           FROM toks),
+         bs AS (
+           SELECT doc_id, [('0x' || substring(md5(x), 1, 15))::BIGINT for x in s] AS b
+           FROM sh),
+         sig AS (
+           SELECT doc_id,
+             [list_min([((('0x' || substring(md5('a_' || i::VARCHAR), 1, 15))::BIGINT % 2147483646 + 1)
+                         * (h % 2147483647)
+                         + ('0x' || substring(md5('b_' || i::VARCHAR), 1, 15))::BIGINT % 2147483647)
+                        % 2147483647
+                        for h in b])
+              for i in range(0, 32)] AS sg
+           FROM bs),
+         pairs AS (
+           SELECT a.doc_id AS da, b.doc_id AS db
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           WHERE len([bb for bb in range(0, 8)
+                      if a.sg[bb*4+1 : bb*4+4] = b.sg[bb*4+1 : bb*4+4]]) > 0),
+         edges AS (
+           SELECT da AS s, db AS t FROM pairs
+           UNION ALL SELECT db, da FROM pairs),
+         walk(id, lab) AS (
+           SELECT s, s FROM edges
+           UNION
+           SELECT e.s, w.lab FROM edges e JOIN walk w ON w.id = e.t)
+         SELECT id AS doc_id, MIN(lab) AS cluster_id,
+                (id = MIN(lab)) AS is_canonical
+         FROM walk GROUP BY id""",
     // Portable SimHash; for maxHamming=3 the 16-bit banding is lossless
     // (pigeonhole), so brute-force pairs within the Hamming radius are the
     // exact expected result.

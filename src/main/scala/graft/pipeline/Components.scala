@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over an undirected edge list — the
+  * missing last step of near-duplicate removal: candidate pairs from
+  * MinHash/SimHash/Jaccard say "a ~ b", but dropping duplicates needs the
+  * transitive closure (a~b, b~c ⇒ keep ONE of {a,b,c}), i.e. one canonical
+  * document per connected component of the similarity graph.
+  *
+  * Algorithm: iterative min-label propagation with POINTER JUMPING —
+  * each round every node takes the min label over itself and its
+  * neighbors (one join + partial-agg'd groupBy), then replaces its label
+  * with its label's label (one self-join). The jump halves label-chain
+  * depth, so convergence is O(log diameter) rounds rather than
+  * O(diameter): a 1M-long chain of chained near-dups — the adversarial
+  * case for plain propagation — finishes in ~20 rounds. Every round is
+  * shuffle-keyed on node/label ids only (three longs wide); signatures,
+  * text and embeddings never enter the loop.
+  *
+  * The driver sees one scalar per round (the changed-label count — the
+  * reference's Reducer side-channel pattern, `opt/Reducer.kt:25-59`).
+  * Each round's label frame is EAGERLY `localCheckpoint`ed: the pointer
+  * jump references the round's frame twice, so without truncation the
+  * logical plan doubles every round (2^rounds nodes — the classic
+  * iterative-DataFrame blow-up); the checkpoint materializes the round and
+  * cuts lineage to a leaf, after which the previous round's storage is
+  * released. `localCheckpoint` trades executor-loss tolerance for speed —
+  * a long-running production job on a flaky cluster should switch to
+  * reliable `checkpoint()` with a checkpoint dir, same structure.
+  */
+object Components {
+
+  /** Connected components of the undirected graph given as a pair list.
+    * Returns one row per participating node:
+    * (`doc_id`, `cluster_id` = min node id in its component,
+    *  `is_canonical` = doc_id == cluster_id — the row to KEEP when
+    * deduplicating).
+    *
+    * `maxIter` bounds the rounds (diameter up to 2^maxIter thanks to the
+    * pointer jump); the loop exits early as soon as a round changes no
+    * label, so the bound only matters for adversarially deep graphs.
+    */
+  def connectedComponents(pairs: DataFrame, srcCol: String = "doc_a",
+                          dstCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("t"))
+      .union(pairs.select(col(dstCol).cast("long").as("s"), col(srcCol).cast("long").as("t")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // 1. neighbor-min: for each node, the smallest label in its closed
+      //    neighborhood (partial aggregation makes this a map-side combine)
+      val nbrMin = edges.join(labels, edges("t") === labels("id"))
+        .groupBy(col("s").as("id")).agg(min(col("label")).as("nbr"))
+      val prop = labels.join(nbrMin.withColumnRenamed("id", "nid"),
+          labels("id") === col("nid"), "left")
+        .select(labels("id"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // 2. pointer jump: label := label(label) — halves chain depth
+      val byId = prop.select(col("id").as("jid"), col("label").as("jlabel"))
+      // materialized + lineage cut HERE (see scaladoc); prop is referenced
+      // twice above, so an uncheckpointed plan would double every round
+      val jumped = prop.join(byId, prop("label") === col("jid"), "left")
+        .select(prop("id"), coalesce(col("jlabel"), col("label")).as("label"))
+        .localCheckpoint(true)
+      // one scalar to the driver per round; labels only ever decrease
+      val changed = jumped.join(labels.withColumnsRenamed(Map("id" -> "oid", "label" -> "olabel")),
+        col("id") === col("oid")).filter(col("label") < col("olabel")).count()
+      labels.unpersist() // jumped is materialized — the old round can go
+      labels = jumped
+      converged = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("is_canonical"))
+  }
+
+  /** Near-duplicate clusters of a document corpus: MinHash/LSH candidate
+    * pairs (the oracle-checkable portable family) resolved into components.
+    * One row per document that has at least one near-duplicate.
+    */
+  def duplicateClusters(docs: DataFrame, k: Int = 3, bands: Int = 8,
+                        rowsPerBand: Int = 4): DataFrame =
+    connectedComponents(Dedup.minhashPairs(docs, k, bands, rowsPerBand))
+
+  /** Apply the keep/drop decision: the corpus with non-canonical members
+    * of every near-dup cluster removed (singleton docs — never paired —
+    * are kept untouched via the left-anti path).
+    */
+  def dropDuplicates(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val drop = clusters.filter(!col("is_canonical")).select(col("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+}
