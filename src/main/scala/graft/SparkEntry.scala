@@ -69,6 +69,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => pipeline.TextAnalysis.fingerprint(Tables.documents(s, d))),
     "text_rolling_fp" -> ((s, d) => pipeline.TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => pipeline.TextAnalysis.repetitionStats(Tables.documents(s, d))),
+    "bm25_score" -> ((s, d) =>
+      pipeline.Ranking.bm25(Tables.documents(s, d), Seq("spark", "join", "vector"))),
     // --- skew-salted join: result contract = the plain equi-join, which
     // is exactly what the oracle computes ---
     "salted_join" -> ((s, d) => {
@@ -378,6 +380,31 @@ object SparkEntry {
                    list_filter(string_split_regex(text, '\s+'), w -> w <> '')]),
                   (a, h) -> (a * 1000003 + h) % 2147483647) AS rolling_fp
          FROM documents""",
+    // BM25: avgdl from an exact integer sum; per-doc total folds term
+    // scores in sorted-term order (both engines sequential-fold — SUM()
+    // combine order would not be portable); round(6) absorbs ln() ulps.
+    "bm25_score" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents),
+         stats AS (SELECT count(*)::BIGINT AS n, sum(len(t))::BIGINT AS sdl FROM toks),
+         postings AS (
+           SELECT doc_id, len(t)::BIGINT AS dl, x AS term, count(*)::BIGINT AS tf
+           FROM toks, unnest(t) AS u(x)
+           WHERE x IN ('spark', 'join', 'vector')
+           GROUP BY 1, 2, 3),
+         dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+         sc AS (
+           SELECT p.doc_id, p.term,
+             ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * (1.2 + 1.0))
+               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / (s.sdl::DOUBLE / s.n))) AS sc
+           FROM postings p JOIN dfreq d USING (term) CROSS JOIN stats s)
+         SELECT doc_id, count(*)::BIGINT AS n_matched,
+           round(list_reduce(list_prepend(0.0::DOUBLE,
+               [z.sc for z in list_sort(list(struct_pack(term := term, sc := sc)))]),
+             (a, h) -> a + h), 6) AS bm25
+         FROM sc GROUP BY doc_id""",
     "text_quality" ->
       """SELECT doc_id, length(text)::BIGINT AS n_chars_m,
                 len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens,

@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 relevance scoring over a document corpus — the retrieval-side
+  * text operator (quality filtering's sibling): score docs for a query
+  * term set from corpus statistics only (term frequency, document
+  * frequency, document length). Pure Catalyst plans.
+  *
+  * Scale shape: the corpus is scanned twice, once for the two global
+  * scalars (N, Σdl — a one-row aggregate, broadcast via crossJoin like
+  * the covariance pipeline's n), once tokenized+exploded with the
+  * query-term filter applied BEFORE any shuffle — only postings of the
+  * query's terms (|terms| · df rows) ever leave the map side, not the
+  * corpus's full posting list.
+  *
+  * Cross-engine determinism (DuckDB-oracle-checkable): avgdl derives from
+  * an exact integer sum; per-(doc,term) scores are closed-form doubles;
+  * the per-doc total folds the term scores in sorted-term order
+  * (`aggregate(array_sort(collect_list(...)))`) — a sequential IEEE fold
+  * both engines reproduce bit-identically, unlike SUM() whose combine
+  * order is nondeterministic. The final round(6) absorbs libm ulp
+  * differences in ln().
+  */
+object Ranking {
+
+  /** BM25 score per document for `queryTerms` (docs matching ≥1 term).
+    * idf is the Lucene-style ln(1 + (N − df + ½)/(df + ½)) — always
+    * positive; tf saturation k1, length normalization b.
+    * Output: (doc_id, n_matched, bm25).
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: at least one query term")
+    val toks = Dedup.rebalance(docs).select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+    // global scalars from ONE aggregate row: exact integer arithmetic, so
+    // avgdl is combine-order-independent
+    val stats = toks.select(size(col("t")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    // postings of the query terms only — the isin filter runs map-side,
+    // before the (doc_id, term) shuffle
+    val postings = toks
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = postings.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats)) // one row
+      .withColumn("idf", log(lit(1.0) +
+        (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("sc", col("idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") /
+          (col("sdl").cast("double") / col("n")))))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        round(aggregate(
+          array_sort(collect_list(struct(col("term"), col("sc")))),
+          lit(0.0d), (acc, x) => acc + x.getField("sc")), 6).as("bm25"))
+  }
+
+  /** Global top-k by BM25 (ties broken by doc_id) — compiles to
+    * TakeOrdered: per-partition heads, no full sort.
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25(docs, queryTerms, k1, b)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+}

@@ -1,0 +1,42 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** BM25 against hand-computed values on a 3-doc corpus, plus top-k order. */
+class RankingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val docSchema = new StructType().add("doc_id", LongType).add("text", StringType)
+
+  test("bm25 matches the closed-form hand computation") {
+    // corpus: N=3, dl = 4, 4, 2, avgdl = 10/3
+    val d = df(docSchema, Seq(
+      Row(1L, "cat dog cat fish"),
+      Row(2L, "dog bird bird bird"),
+      Row(3L, "fish whale")))
+    val got = Ranking.bm25(d, Seq("cat", "fish")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val (k1, b) = (1.2, 0.75)
+    val avgdl = 10.0 / 3
+    def idf(df: Long) = math.log(1.0 + (3 - df + 0.5) / (df + 0.5))
+    def term(tf: Long, dl: Long, df: Long) =
+      idf(df) * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: cat tf=2 df=1, fish tf=1 df=2 — fold in sorted term order
+    assert(got(1L) == ((2L, r6(term(2, 4, 1) + term(1, 4, 2)))))
+    // doc 2 matches nothing; doc 3: fish tf=1 df=2
+    assert(!got.contains(2L))
+    assert(got(3L) == ((1L, r6(term(1, 2, 2)))))
+  }
+
+  test("bm25TopK: descending score, doc_id tie-break, limit k") {
+    val d = df(docSchema, Seq(
+      Row(1L, "x y"), Row(2L, "x y"), Row(3L, "x x x"), Row(4L, "z")))
+    val top = Ranking.bm25TopK(d, Seq("x"), k = 2).collect().map(_.getLong(0)).toSeq
+    // doc 3 highest (tf=3, short? dl=3 vs 2 — tf dominates); docs 1,2 tie → doc 1
+    assert(top.head == 3L && top(1) == 1L)
+  }
+}
