@@ -71,6 +71,15 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => pipeline.TextAnalysis.repetitionStats(Tables.documents(s, d))),
     "bm25_score" -> ((s, d) =>
       pipeline.Ranking.bm25(Tables.documents(s, d), Seq("spark", "join", "vector"))),
+    // --- decontamination: eval-set docs (every 50th) vs the training rest ---
+    "decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      pipeline.Dedup.crossCorpusOverlap(
+        docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0))
+    }),
+    // --- per-source quota sampling (hash-ranked, engine-portable) ---
+    "quota_sample" -> ((s, d) =>
+      pipeline.TrainingData.quotaSample(Tables.documents(s, d), "source", 50)),
     // --- skew-salted join: result contract = the plain equi-join, which
     // is exactly what the oracle computes ---
     "salted_join" -> ((s, d) => {
@@ -380,6 +389,38 @@ object SparkEntry {
                    list_filter(string_split_regex(text, '\s+'), w -> w <> '')]),
                   (a, h) -> (a * 1000003 + h) % 2147483647) AS rolling_fp
          FROM documents""",
+    // Cross-corpus 5-shingle overlap; the engine joins on 64-bit shingle
+    // hashes, the oracle on shingle strings — equal counts (same reliance
+    // on collision-freedom as dedup_jaccard).
+    "decontaminate" ->
+      """WITH tr AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents WHERE doc_id % 50 <> 0),
+         ev AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents WHERE doc_id % 50 = 0),
+         tsh AS (
+           SELECT doc_id AS train_doc,
+             unnest(list_distinct(CASE WHEN len(t) <= 5 THEN [array_to_string(t, ' ')]
+               ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)] END)) AS g
+           FROM tr),
+         esh0 AS (
+           SELECT doc_id AS eval_doc,
+             list_distinct(CASE WHEN len(t) <= 5 THEN [array_to_string(t, ' ')]
+               ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)] END) AS sh
+           FROM ev),
+         esh AS (SELECT eval_doc, len(sh)::BIGINT AS n_eval, unnest(sh) AS g FROM esh0)
+         SELECT eval_doc, train_doc, count(*)::BIGINT AS shared,
+                round(count(*)::DOUBLE / n_eval, 6) AS contamination
+         FROM tsh JOIN esh USING (g)
+         GROUP BY eval_doc, train_doc, n_eval""",
+    "quota_sample" ->
+      """SELECT doc_id, source, rk FROM (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY ('0x' || substring(md5('quota_' || doc_id::VARCHAR), 1, 15))::BIGINT
+                        % 1000000007, doc_id) AS rk
+           FROM documents) WHERE rk <= 50""",
     // BM25: avgdl from an exact integer sum; per-doc total folds term
     // scores in sorted-term order (both engines sequential-fold — SUM()
     // combine order would not be portable); round(6) absorbs ln() ulps.

@@ -59,21 +59,23 @@ object Components {
       //    neighborhood (partial aggregation makes this a map-side combine)
       val nbrMin = edges.join(labels, edges("t") === labels("id"))
         .groupBy(col("s").as("id")).agg(min(col("label")).as("nbr"))
+      // the round-start label rides along as `prev`, so the convergence
+      // check below costs no extra join
       val prop = labels.join(nbrMin.withColumnRenamed("id", "nid"),
           labels("id") === col("nid"), "left")
-        .select(labels("id"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .select(labels("id"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
       // 2. pointer jump: label := label(label) — halves chain depth
       val byId = prop.select(col("id").as("jid"), col("label").as("jlabel"))
       // materialized + lineage cut HERE (see scaladoc); prop is referenced
       // twice above, so an uncheckpointed plan would double every round
-      val jumped = prop.join(byId, prop("label") === col("jid"), "left")
-        .select(prop("id"), coalesce(col("jlabel"), col("label")).as("label"))
+      val withPrev = prop.join(byId, prop("label") === col("jid"), "left")
+        .select(prop("id"), col("prev"), coalesce(col("jlabel"), col("label")).as("label"))
         .localCheckpoint(true)
       // one scalar to the driver per round; labels only ever decrease
-      val changed = jumped.join(labels.withColumnsRenamed(Map("id" -> "oid", "label" -> "olabel")),
-        col("id") === col("oid")).filter(col("label") < col("olabel")).count()
-      labels.unpersist() // jumped is materialized — the old round can go
-      labels = jumped
+      val changed = withPrev.filter(col("label") < col("prev")).count()
+      labels.unpersist() // withPrev is materialized — the old round can go
+      labels = withPrev.drop("prev")
       converged = changed == 0L
       iter += 1
     }

@@ -252,6 +252,36 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Cross-corpus n-gram overlap — DECONTAMINATION: for each eval-set
+    * document, every training document sharing ≥ `minShared` distinct word
+    * k-shingles, with the shared count and the contamination ratio
+    * (shared / |eval shingles|). The canonical pre-training hygiene pass:
+    * benchmark/eval text leaked into the training corpus inflates scores;
+    * this finds it before training does.
+    *
+    * Plan: inverted index on the TRAINING side (the big one — stays
+    * partitioned, shuffled once on shingle hash), eval side exploded the
+    * same way; equi-join on the hash, count shared per (eval, train) pair.
+    * Shuffles carry (hash, id, set-size) — never text. Same asymptotics as
+    * [[jaccardJoin]]: linear in both corpora + pairs actually overlapping.
+    */
+  def crossCorpusOverlap(train: DataFrame, eval: DataFrame, k: Int = 5,
+                         minShared: Long = 1L): DataFrame = {
+    val t = rebalance(train)
+      .select(col("doc_id").as("train_doc"),
+        explode(array_distinct(shingleHashes(tokens(col("text")), k))).as("h"))
+    val e = rebalance(eval)
+      .select(col("doc_id").as("eval_doc"),
+        array_distinct(shingleHashes(tokens(col("text")), k)).as("sh"))
+      .select(col("eval_doc"), size(col("sh")).cast("long").as("n_eval"), explode(col("sh")).as("h"))
+    t.join(e, Seq("h"))
+      .groupBy(col("eval_doc"), col("train_doc"), col("n_eval"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("eval_doc"), col("train_doc"), col("shared"),
+        round(col("shared").cast("double") / col("n_eval"), 6).as("contamination"))
+  }
+
   /** Accounting for `jaccardJoin(maxDf=…)`: shingle hashes whose document
     * frequency exceeds the cap, with their frequency.
     */

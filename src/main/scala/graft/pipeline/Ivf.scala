@@ -88,6 +88,7 @@ object Ivf {
         }
       centroids = centroids.indices.map(c => means.getOrElse(c, centroids(c))).toArray
     }
+    emb.unpersist() // training-only cache — don't hold it into the probe phase
     centroids
   }
 

@@ -33,16 +33,22 @@ object Ranking {
   def bm25(docs: DataFrame, queryTerms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25: at least one query term")
-    val toks = Dedup.rebalance(docs).select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+    // ONE tokenization pass: per doc keep only its length and the tokens
+    // matching the query (filtered before materialization — a few tokens,
+    // not the document). Cached: both the stats aggregate and the postings
+    // explode read it.
+    val base = Dedup.rebalance(docs)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        filter(col("t"), x => x.isin(queryTerms: _*)).as("mt"))
+      .cache()
     // global scalars from ONE aggregate row: exact integer arithmetic, so
     // avgdl is combine-order-independent
-    val stats = toks.select(size(col("t")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
-    // postings of the query terms only — the isin filter runs map-side,
-    // before the (doc_id, term) shuffle
-    val postings = toks
-      .select(col("doc_id"), size(col("t")).cast("long").as("dl"), explode(col("t")).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
+    val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    // postings of the query terms only — filtered map-side above, so only
+    // |terms|·df rows enter the (doc_id, term) shuffle
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("mt")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))

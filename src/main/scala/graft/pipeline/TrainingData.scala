@@ -108,6 +108,25 @@ object TrainingData {
       .withColumn("last_chunk", expr(s"(start_token + n_tokens - 1) div $budget"))
   }
 
+  /** Per-group quota sampling: keep at most `quota` rows per `groupCol`
+    * value, chosen by a deterministic portable-hash ranking — caps any one
+    * source/domain's contribution to a training mix (the anti-boilerplate
+    * quota of web-crawl curation). Hash-ranked, not random: membership is
+    * stable across runs and engines, and a re-run with a larger quota is a
+    * superset of the smaller one (the ranking never reshuffles).
+    *
+    * One shuffle on the group key; the per-group window never sees more
+    * than one group per task after it. Output: (doc_id, group, rk ≤ quota).
+    */
+  def quotaSample(docs: DataFrame, groupCol: String, quota: Int): DataFrame = {
+    require(quota > 0, "quotaSample: quota must be positive")
+    val r = pmod(PortableHash.hash60(concat(lit("quota_"), col("doc_id"))), lit(1000000007L))
+    val w = Window.partitionBy(col(groupCol)).orderBy(r, col("doc_id"))
+    docs.select(col("doc_id"), col(groupCol))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= quota)
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector scale
     * maxabs/127, q_j = floor(x_j / scale + 0.5) (explicit tie rule — both
     * engines evaluate the identical double formula). Emits scalar digests

@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Corpus-curation operators: decontamination overlap counts and
+  * per-source quota sampling (determinism, caps, superset monotonicity).
+  */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val docSchema = new StructType().add("doc_id", LongType).add("text", StringType)
+
+  test("crossCorpusOverlap: shared shingle counts and contamination ratio") {
+    // k=3 shingles; eval doc 100 = "a b c d" → shingles {abc, bcd}, n_eval=2
+    val train = df(docSchema, Seq(
+      Row(1L, "a b c d e"),   // shares both abc and bcd
+      Row(2L, "x b c d y"),   // shares bcd only... (shingles xbc bcd cdy)
+      Row(3L, "p q r s t")))  // shares nothing
+    val eval = df(docSchema, Seq(Row(100L, "a b c d")))
+    val got = Dedup.crossCorpusOverlap(train, eval, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      (100L, 1L) -> ((2L, 1.0)),
+      (100L, 2L) -> ((1L, 0.5))))
+  }
+
+  test("quotaSample: per-group cap, determinism, quota monotonicity") {
+    val st = new StructType().add("doc_id", LongType).add("source", StringType)
+    val rows = (0L until 40L).map(i => Row(i, if (i < 30) "big" else "small"))
+    val d = df(st, rows)
+    val s5 = TrainingData.quotaSample(d, "source", 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // cap respected per group; the small group (10 docs) keeps min(10, 5)
+    assert(s5.count(_._2 == "big") == 5 && s5.count(_._2 == "small") == 5)
+    assert(s5.forall(_._3 <= 5))
+    // deterministic across runs
+    val again = TrainingData.quotaSample(d, "source", 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(s5.sorted.toSeq == again.sorted.toSeq)
+    // monotone: quota=5 membership ⊂ quota=8 membership
+    val s8 = TrainingData.quotaSample(d, "source", 8).collect().map(_.getLong(0)).toSet
+    assert(s5.map(_._1).forall(s8.contains))
+  }
+}
