@@ -80,6 +80,9 @@ object SparkEntry {
     // --- per-source quota sampling (hash-ranked, engine-portable) ---
     "quota_sample" -> ((s, d) =>
       pipeline.TrainingData.quotaSample(Tables.documents(s, d), "source", 50)),
+    // --- the capstone composition: lang filter → exact dedup → near-dup
+    // clusters → split, end-to-end as ONE oracle-checked plan ---
+    "corpus_prepare" -> ((s, d) => pipeline.TrainingData.prepareCorpus(Tables.documents(s, d))),
     // --- skew-salted join: result contract = the plain equi-join, which
     // is exactly what the oracle computes ---
     "salted_join" -> ((s, d) => {
@@ -389,6 +392,56 @@ object SparkEntry {
                    list_filter(string_split_regex(text, '\s+'), w -> w <> '')]),
                   (a, h) -> (a * 1000003 + h) % 2147483647) AS rolling_fp
          FROM documents""",
+    // The full preparation chain in one recursive query: English docs,
+    // exact-dedup canonical survivors, minhash-pair components (same sig
+    // family as dedup_minhash/dedup_clusters), cluster-canonical keeps,
+    // hash split.
+    "corpus_prepare" ->
+      """WITH RECURSIVE en AS (
+           SELECT doc_id, text FROM documents WHERE lang = 'en'),
+         ex AS (SELECT min(doc_id) AS doc_id FROM en GROUP BY md5(text)),
+         sv AS (SELECT en.doc_id, en.text FROM en JOIN ex USING (doc_id)),
+         toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM sv),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END AS s
+           FROM toks),
+         bs AS (
+           SELECT doc_id, [('0x' || substring(md5(x), 1, 15))::BIGINT for x in s] AS b
+           FROM sh),
+         sig AS (
+           SELECT doc_id,
+             [list_min([((('0x' || substring(md5('a_' || i::VARCHAR), 1, 15))::BIGINT % 2147483646 + 1)
+                         * (h % 2147483647)
+                         + ('0x' || substring(md5('b_' || i::VARCHAR), 1, 15))::BIGINT % 2147483647)
+                        % 2147483647
+                        for h in b])
+              for i in range(0, 32)] AS sg
+           FROM bs),
+         pairs AS (
+           SELECT a.doc_id AS da, b.doc_id AS db
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           WHERE len([bb for bb in range(0, 8)
+                      if a.sg[bb*4+1 : bb*4+4] = b.sg[bb*4+1 : bb*4+4]]) > 0),
+         edges AS (
+           SELECT da AS s, db AS t FROM pairs
+           UNION ALL SELECT db, da FROM pairs),
+         walk(id, lab) AS (
+           SELECT s, s FROM edges
+           UNION
+           SELECT e.s, w.lab FROM edges e JOIN walk w ON w.id = e.t),
+         cl AS (SELECT id, MIN(lab) AS cid FROM walk GROUP BY id),
+         kept AS (
+           SELECT sv.doc_id FROM sv
+           WHERE sv.doc_id NOT IN (SELECT id FROM cl WHERE id <> cid))
+         SELECT doc_id,
+                CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 ('0x' || substring(md5('split_' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+               FROM kept)""",
     // Cross-corpus 5-shingle overlap; the engine joins on 64-bit shingle
     // hashes, the oracle on shingle strings — equal counts (same reliance
     // on collision-freedom as dedup_jaccard).

@@ -45,8 +45,12 @@ object Components {
     */
   def connectedComponents(pairs: DataFrame, srcCol: String = "doc_a",
                           dstCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("t"))
-      .union(pairs.select(col(dstCol).cast("long").as("s"), col(srcCol).cast("long").as("t")))
+    // materialize the pair list BEFORE mirroring it: union branches get no
+    // CSE, so an unpersisted `pairs` would run its whole candidate-
+    // generation plan (an LSH bucket join upstream) once per direction
+    val p = pairs.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p.union(p.select(col("t").as("s"), col("s").as("t")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("s").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
@@ -80,6 +84,7 @@ object Components {
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
       (col("id") === col("label")).as("is_canonical"))
   }

@@ -149,4 +149,26 @@ object TrainingData {
 
   private def quantized(e: Column, scale: Column): Column =
     transform(e, x => floor(x / scale + 0.5d).cast("long"))
+
+  /** End-to-end corpus preparation — the operators composed the way a
+    * training pipeline actually runs them:
+    *
+    *   language filter → exact dedup (keep min doc_id per content digest)
+    *   → near-dup clustering (MinHash/LSH pairs → connected components,
+    *     keep each cluster's canonical doc) → deterministic split.
+    *
+    * Every stage is deterministic and engine-portable, so the WHOLE chain
+    * is one oracle-checkable query — the composition proof that the
+    * pieces plug together. Output: (doc_id, split) for the surviving
+    * corpus.
+    */
+  def prepareCorpus(docs: DataFrame, lang: String = "en"): DataFrame = {
+    val inLang = docs.filter(col("lang") === lang)
+    val canonicalIds = inLang
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val survivors = inLang.join(canonicalIds, Seq("doc_id"), "left_semi")
+    val clusters = Components.duplicateClusters(survivors)
+    splitAssign(Components.dropDuplicates(survivors, clusters))
+  }
 }

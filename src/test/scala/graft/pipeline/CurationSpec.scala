@@ -27,6 +27,28 @@ class CurationSpec extends AnyFunSuite {
       (100L, 2L) -> ((1L, 0.5))))
   }
 
+  test("prepareCorpus: lang filter, exact dedup, near-dup clusters, split — composed") {
+    val st = new StructType().add("doc_id", LongType).add("text", StringType).add("lang", StringType)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = df(st, Seq(
+      Row(1L, base, "en"),
+      Row(2L, base, "en"),                       // exact duplicate of 1 → dropped
+      Row(3L, base.replace("upsilon", "omega"), "en"), // near-dup of 1 (19/20 tokens)
+      Row(4L, base, "fr"),                       // wrong language → dropped
+      Row(5L, "completely different text entirely unrelated content here", "en")))
+    val out = TrainingData.prepareCorpus(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!out.contains(2L), "exact duplicate must be dropped")
+    assert(!out.contains(4L), "non-target-language doc must be dropped")
+    assert(out.contains(1L) && out.contains(5L))
+    // near-dup resolution is deterministic under the fixed portable hash
+    // family: docs 1 and 3 share 17/21 3-shingles and collide in ≥1 of the
+    // 8 bands, so doc 3 resolves into doc 1's cluster and is dropped
+    assert(!out.contains(3L), "near-duplicate must resolve to canonical doc 1")
+    assert(out.values.forall(Set("train", "val", "test").contains))
+  }
+
   test("quotaSample: per-group cap, determinism, quota monotonicity") {
     val st = new StructType().add("doc_id", LongType).add("source", StringType)
     val rows = (0L until 40L).map(i => Row(i, if (i < 30) "big" else "small"))
