@@ -81,4 +81,14 @@ object Sources {
   /** JSONL sink (one object per line, schema carried in the data). */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** ORC scan — the other columnar interchange format (built into Spark;
+    * predicate pushdown and column pruning work as with parquet).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

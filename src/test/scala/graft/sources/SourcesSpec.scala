@@ -61,4 +61,18 @@ class SourcesSpec extends AnyFunSuite {
     val back = spark.read.schema(schema).option("header", true).csv(out)
     assert(rowSet(back) == rowSet(d))
   }
+
+  test("orc sink/scan round-trips and pushes filters to the scan") {
+    val p = writeTemp(Seq("a,1,1.5", "b,2,2.5", "c,3,3.5"))
+    val d = Sources.csv(spark, p, schema)
+    val out = java.nio.file.Files.createTempDirectory("orc_out").toString + "/t"
+    Sources.writeOrc(d, out)
+    val back = Sources.orc(spark, out)
+    assert(rowSet(back) == rowSet(d))
+    val filtered = back.filter(org.apache.spark.sql.functions.col("n") > 1)
+    val plan = filtered.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan"),
+      s"no pushed filter in ORC scan:\n$plan")
+    assert(filtered.count() == 2)
+  }
 }
