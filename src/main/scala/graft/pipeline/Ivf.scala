@@ -154,9 +154,9 @@ object Ivf {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(CosineSimilarity(col("q_emb"), col("embedding")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+    // (query, vector) pairs are unique by construction — a vector lives in
+    // exactly one cell and the probe cells are distinct — so the heap
+    // aggregate ranks directly, no pair dedup needed
+    Similarity.topKTail(scored, k)
   }
 }

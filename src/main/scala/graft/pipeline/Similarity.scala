@@ -49,6 +49,33 @@ object Similarity {
     when(na === 0 || nb === 0, 0.0d).otherwise(dot / (na * nb))
   }
 
+  /** Per-query top-k tail over a (query_id, vec_id, cos_sim) frame via the
+    * typed heap aggregate (graft.functions.TopKByScore): partial heaps
+    * combine map-side, so only k rows per query cross the shuffle — the
+    * window formulation ([[topKTailWindow]], kept as the differential
+    * twin) shuffles and sorts EVERY candidate row first. Same output
+    * contract: (score desc, id asc), rk = 1-based rank.
+    */
+  private[graft] def topKTail(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val tk = bridge.column(graft.functions.TopKByScore(
+      bridge.expression(struct(col("cos_sim"), col("vec_id"))), k).toAggregateExpression())
+    scored.groupBy(col("query_id")).agg(tk.as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col").getField("id").as("vec_id"),
+        col("col").getField("score").as("cos_sim"), (col("pos") + 1).cast("long").as("rk"))
+  }
+
+  /** Window (row_number) formulation of [[topKTail]] — identical results,
+    * kept as its differential oracle.
+    */
+  private[graft] def topKTailWindow(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+  }
+
   /** Exact top-k by cosine: each vector in `queries` (must be small — it is
     * broadcast) against every corpus vector. Ties broken by vec_id for
     * determinism.
@@ -60,10 +87,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+    topKTail(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component: a md5-derived value
@@ -151,10 +175,7 @@ object Similarity {
         round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
       .groupBy(col("query_id"), col("vec_id")) // band-collision dedup on ids only
       .agg(max(col("cos_sim")).as("cos_sim")) // identical per pair
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+    topKTail(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`: banded-LSH
