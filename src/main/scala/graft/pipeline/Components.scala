@@ -52,8 +52,11 @@ object Components {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = p.union(p.select(col("t").as("s"), col("s").as("t")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("s").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // init = the first propagation round for free: one groupBy gives each
+    // node its closed-neighborhood min (replaces a distinct() that would
+    // have cost the same shuffle for labels == id)
+    var labels = edges.groupBy(col("s").as("id")).agg(min(col("t")).as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("label"))
       .localCheckpoint(true)
 
     var iter = 0
