@@ -55,4 +55,47 @@ object GraphLoader {
       .sortKeys(Seq("row", "col2", "mid"))
       .agg(Seq("row", "col2"), Map("v" -> PlusFn(0, c => sum(c).cast("int"), _ + _)))
   }
+
+  /** PageRank over an edge list (src, dst) — fixed damping power
+    * iteration, the repeated sparse TableMult the reference's Graphulo
+    * layer exists for, expressed as the iterative-DataFrame pattern
+    * proven in `pipeline.Components`: per round one join + one
+    * aggregation (rank mass along out-edges), eager `localCheckpoint`
+    * cutting the per-round lineage, previous round's storage released.
+    * Dangling mass is redistributed uniformly (the standard correction),
+    * so ranks sum to ~1 every round.
+    *
+    * Returns (id, rank) for every vertex after `iters` rounds. Spec-gated
+    * against an in-memory power iteration (no DuckDB oracle: float SUM
+    * combine order is engine-local).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val n = verts.count()
+    val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var ranks = verts.select(col("id"), lit(1.0d / n).as("rank")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val withDeg = ranks.join(outDeg, Seq("id"), "left")
+      // dangling vertices (no out-edges) spread their mass uniformly
+      val danglingMass = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0d))).head().getDouble(0)
+      val contribs = withDeg.filter(col("deg").isNotNull)
+        .join(e, col("id") === e("src"))
+        .select(e("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("in_mass"))
+      val next = verts.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("in_mass"), lit(0.0d)) + lit(danglingMass / n))).as("rank"))
+        .localCheckpoint(true)
+      ranks.unpersist()
+      ranks = next
+    }
+    e.unpersist()
+    ranks
+  }
 }
