@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, PortableHash60}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.{CosineSimilarity, LshBuckets, MinHashSig, PortableHash60, SimHash64, TopKByScore}
 
 /** Session extension: registers the engine's native functions for SQL use.
   *
@@ -35,7 +36,38 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "portable_hash60 expects 1 argument")
         PortableHash60(children.head)
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "minhash_sig expects (array<long>, k)")
+        MinHashSig(children.head, intLit(children(1), "minhash_sig k"))
+      }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash64 expects 1 argument")
+        SimHash64(children.head)
+      }),
+    (FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4, "lsh_buckets expects (embedding, bands, planesPerBand, dim)")
+        LshBuckets(children.head, intLit(children(1), "bands"),
+          intLit(children(2), "planesPerBand"), intLit(children(3), "dim"))
+      }),
+    (FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "topk_by_score expects (struct<score,id>, k)")
+        TopKByScore(children.head, intLit(children(1), "topk_by_score k"))
       }))
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 
   /** Imperative registration for an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
