@@ -49,6 +49,35 @@ object RelationalQueries {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
               Num.e4Exact(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
 
+  /** TPC-H Q6 family: the canonical single-scan forecast query — every
+    * predicate reaches the parquet scan, the aggregate is one global
+    * (sum, count) pair, zero joins. At 100 TB the cost is exactly one
+    * pruned columnar read.
+    */
+  def q6Forecast(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(Num.e4SumExact(col("l_extendedprice") * col("l_discount")).as("revenue"),
+           count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q4 family: orders (in a quarter) having at least one
+    * high-discount line, counted per priority — EXISTS as a left-semi
+    * join, so the fact table contributes only distinct matching keys to
+    * the shuffle.
+    */
+  def q4PriorityExists(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+    val l = lineitem(s, d).filter(col("l_discount") >= 0.08).select(col("l_orderkey"))
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
   /** Customer–orders–lineitem 3-way join + aggregate (TPC-H Q3 family).
     * Build side (customer filtered to one segment) is small → broadcast.
     */

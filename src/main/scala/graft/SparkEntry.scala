@@ -36,6 +36,8 @@ object SparkEntry {
     "filter_pushdown" -> RelationalQueries.filterPushdown _,
     "q3_join" -> RelationalQueries.q3Join _,
     "q5_multijoin" -> RelationalQueries.q5MultiJoin _,
+    "q6_forecast" -> RelationalQueries.q6Forecast _,
+    "q4_priority" -> RelationalQueries.q4PriorityExists _,
     "semi_anti_join" -> RelationalQueries.semiAntiJoin _,
     "window_topk" -> RelationalQueries.windowTopk _,
     "window_running" -> RelationalQueries.windowRunning _,
@@ -238,6 +240,18 @@ object SparkEntry {
          JOIN nation n ON c.c_nationkey = n.n_nationkey
          JOIN region r ON n.n_regionkey = r.r_regionkey
          GROUP BY n.n_name""",
+    "q6_forecast" ->
+      """SELECT sum(round(l_extendedprice * l_discount * 10000)::BIGINT) / 10000.0 AS revenue,
+                count(*)::BIGINT AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+           AND o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.08)
+         GROUP BY o_orderpriority""",
     "semi_anti_join" ->
       """SELECT c_custkey, TRUE AS has_orders FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders)

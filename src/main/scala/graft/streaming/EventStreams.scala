@@ -58,6 +58,35 @@ object EventStreams {
       (batch: DataFrame, _: Long) => graft.lara.LaraTable(batch, schema).appendStore(path)
     }
 
+  /** Streaming decontamination at ingest: every arriving document is
+    * checked against a STATIC eval-set shingle index — the streaming twin
+    * of `pipeline.Dedup.crossCorpusOverlap` with the training side
+    * unbounded. The eval index is a static frame in a stream-static join
+    * (planned once, broadcast when small — the usual case for an eval
+    * set); overlap is aggregated per (window, doc, eval_doc) with the
+    * watermark bounding state, and emitted when the window closes.
+    * Output: (win_start, doc_id, eval_doc, shared, contamination).
+    */
+  def streamingDecontaminate(docs: DataFrame, evalDocs: DataFrame, k: Int = 5,
+                             windowDur: String = "10 minutes",
+                             watermark: String = "1 hour"): DataFrame = {
+    import graft.pipeline.Dedup
+    val evalIdx = evalDocs
+      .select(col("doc_id").as("eval_doc"),
+        array_distinct(Dedup.shingleHashes(Dedup.tokens(col("text")), k)).as("sh"))
+      .select(col("eval_doc"), size(col("sh")).cast("long").as("n_eval"),
+        explode(col("sh")).as("h"))
+    val streamSh = docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("doc_id"),
+        explode(array_distinct(Dedup.shingleHashes(Dedup.tokens(col("text")), k))).as("h"))
+    streamSh.join(evalIdx, Seq("h"))
+      .groupBy(window(col("ts"), windowDur), col("doc_id"), col("eval_doc"), col("n_eval"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("window.start").as("win_start"), col("doc_id"), col("eval_doc"),
+        col("shared"), round(col("shared").cast("double") / col("n_eval"), 6).as("contamination"))
+  }
+
   final case class BandedDoc(ts: Timestamp, doc_id: Long, band: Int,
                              bucket: Long, sig: Seq[Long])
   final case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)

@@ -81,6 +81,36 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingDecontaminate matches the batch crossCorpusOverlap on the same docs") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val evalDocs = TestSpark.df(
+      new StructType().add("doc_id", LongType).add("text", StringType),
+      Seq(Row(100L, "a b c d e f"), Row(101L, "z z z unrelated words here")))
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = in.toDF().toDF("ts", "doc_id", "text")
+    val out = EventStreams.streamingDecontaminate(docs, evalDocs, k = 3)
+    val q = out.writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(10), 1L, "a b c d e f g"), (ts(11), 2L, "totally different content"))
+      q.processAllAvailable()
+      in.addData((ts(200), 3L, "advance the watermark"))
+      q.processAllAvailable()
+      val got = spark.table("decon_stream").collect()
+        .map(r => (r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getDouble(4))).toMap
+      val batch = graft.pipeline.Dedup.crossCorpusOverlap(
+          TestSpark.df(new StructType().add("doc_id", LongType).add("text", StringType),
+            Seq(Row(1L, "a b c d e f g"), Row(2L, "totally different content"))),
+          evalDocs, k = 3).collect()
+        .map(r => (r.getLong(1), r.getLong(0)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got.contains((1L, 100L)) && !got.exists(_._1._1 == 2L))
+    } finally q.stop()
+  }
+
   test("windowedCovariance: per-window covariance matrix matches hand-computed batch values") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
