@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSimilarity, LshBuckets, MinHashSig, PortableHash60, SimHash64, TopKByScore}
+import graft.functions.{CosineSimilarity, ImageHeader, LshBuckets, MinHashSig, PortableHash60, SimHash64, TopKByScore}
 
 /** Session extension: registers the engine's native functions for SQL use.
   *
@@ -55,6 +55,12 @@ object GraftExtensions {
         require(children.length == 4, "lsh_buckets expects (embedding, bands, planesPerBand, dim)")
         LshBuckets(children.head, intLit(children(1), "bands"),
           intLit(children(2), "planesPerBand"), intLit(children(3), "dim"))
+      }),
+    (FunctionIdentifier("image_header"),
+      new ExpressionInfo(classOf[ImageHeader].getName, "image_header"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "image_header expects 1 binary argument")
+        ImageHeader(children.head)
       }),
     (FunctionIdentifier("topk_by_score"),
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),

@@ -70,6 +70,22 @@ object Multimodal {
         (lit(1000L) + col("doc_id")).as("duration_ms"))
         .cast(mediaSchema("meta").dataType).as("meta"))
 
+  /** REAL header inspection (not a stub — pure byte parsing, see
+    * `graft.functions.MediaKernels`): container format + pixel dimensions
+    * from PNG/JPEG/GIF/BMP headers, null for unrecognized payloads. The
+    * triage/validation projection a multimodal ingest runs in the scan
+    * stage — reject or route blobs before any expensive decode.
+    * Output: (media_id, kind, format, width, height, recognized).
+    */
+  def imageInfo(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val hdr = bridge.column(graft.functions.ImageHeader(bridge.expression(col("bytes"))))
+    media.select(col("media_id"), col("kind"), hdr.as("h"))
+      .select(col("media_id"), col("kind"),
+        col("h.format").as("format"), col("h.width").as("width"),
+        col("h.height").as("height"), col("h").isNotNull.as("recognized"))
+  }
+
   /** STUB decode kernel: a real implementation would hand `bytes` to an
     * image/audio codec here. The fake is deterministic in the payload so
     * tests can assert on it: feature[j] = normalized byte statistics of
