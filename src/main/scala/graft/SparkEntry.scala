@@ -151,6 +151,15 @@ object SparkEntry {
             ParquetScan(s"$d/lineitem.parquet")))))
         .withColumn("taxed", round(col("taxed") * 100).cast("long") / 100.0)
     }),
+    // --- direct SQL frontend with the engine's native functions
+    // registered into the session — the spark.sql migration path ---
+    "sql_surface" -> ((s, d) => {
+      GraftExtensions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+      s.sql("""SELECT doc_id, portable_hash60(text) AS h,
+                      CAST(length(text) AS BIGINT) AS n
+               FROM graft_documents WHERE doc_id % 7 = 0""")
+    }),
     // --- Raco plan-text frontend (SURVEY §3.2, reference opt/raco/PTree.kt):
     // a serialized Myria plan string parsed and lowered to Catalyst. ---
     "raco_plan_text" -> ((s, d) => {
@@ -793,6 +802,10 @@ object SparkEntry {
                 round(quantile_cont(value, 0.95), 6) AS p95,
                 min(value) AS vmin, max(value) AS vmax
          FROM events GROUP BY event_type""",
+    "sql_surface" ->
+      """SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS h,
+                length(text)::BIGINT AS n
+         FROM documents WHERE doc_id % 7 = 0""",
     // Both engines evaluate the same IEEE double expression trees
     // (div/div, mul of (1+tax)) in the same order — exact compare.
     "raco_plan_text" ->
