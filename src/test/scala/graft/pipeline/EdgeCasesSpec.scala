@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Degenerate-input robustness: every pipeline operator must handle an
+  * EMPTY corpus and a ONE-DOC corpus without throwing — the first thing a
+  * new user hits when pointing the library at a not-yet-populated table.
+  */
+class EdgeCasesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val docSchema = new StructType()
+    .add("doc_id", LongType).add("text", StringType)
+    .add("lang", StringType).add("source", StringType)
+
+  private def docs(rows: Row*) = df(docSchema, rows)
+  private val empty = docs()
+  private val one = docs(Row(1L, "just one single document here", "en", "s1"))
+
+  test("dedup family: empty and single-doc corpora") {
+    for (d <- Seq(empty, one)) {
+      assert(Dedup.exact(d).count() == d.count())
+      assert(Dedup.minhashPairs(d).count() == 0)
+      assert(Dedup.simhashPairs(d).count() == 0)
+      assert(Dedup.jaccardJoin(d).count() == 0)
+      assert(Components.duplicateClusters(d).count() == 0)
+      assert(Dedup.crossCorpusOverlap(d, one).count() == (if (d.count() > 0) 1 else 0))
+      assert(Dedup.crossCorpusOverlap(one, empty).count() == 0)
+    }
+  }
+
+  test("ranking/curation: empty and single-doc corpora") {
+    for (d <- Seq(empty, one)) {
+      assert(Ranking.bm25(d, Seq("single")).count() == (if (d.count() > 0) 1L else 0L))
+      assert(TrainingData.splitAssign(d).count() == d.count())
+      assert(TrainingData.packSequences(d).count() == d.count())
+      assert(TrainingData.quotaSample(d, "source", 5).count() == d.count())
+      assert(TrainingData.prepareCorpus(d).count() == d.count())
+    }
+  }
+
+  test("text analysis: empty corpus and empty text") {
+    val blank = docs(Row(1L, "", "en", "s1"), Row(2L, "   ", "en", "s1"))
+    for (d <- Seq(empty, blank)) {
+      assert(TextAnalysis.qualityStats(d).count() == d.count())
+      assert(TextAnalysis.fingerprint(d).count() == d.count())
+      assert(TextAnalysis.rollingFingerprint(d).count() == d.count())
+    }
+  }
+
+  test("embeddings: empty corpus top-k and near-dup") {
+    val es = new StructType().add("vec_id", LongType).add("embedding", ArrayType(FloatType))
+    val noVecs = df(es, Nil)
+    val oneVec = df(es, Seq(Row(1L, (1 to 64).map(_.toFloat))))
+    assert(Similarity.bruteForceTopK(noVecs, noVecs, 5).count() == 0)
+    assert(Similarity.bruteForceTopK(oneVec, oneVec, 5).count() == 0) // self excluded
+    assert(Similarity.embeddingNearDup(noVecs, 0.5).count() == 0)
+    assert(Similarity.embeddingNearDup(oneVec, 0.5).count() == 0)
+    assert(TrainingData.quantizeEmbeddings(noVecs).count() == 0)
+  }
+}
