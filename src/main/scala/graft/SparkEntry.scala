@@ -152,7 +152,10 @@ object SparkEntry {
         .withColumn("taxed", round(col("taxed") * 100).cast("long") / 100.0)
     }),
     // --- direct SQL frontend with the engine's native functions
-    // registered into the session — the spark.sql migration path ---
+    // registered into the session — the spark.sql migration path.
+    // register() is idempotent (re-registration overwrites with the same
+    // builders), needed here because the driver's bare session was built
+    // without `spark.sql.extensions=graft.GraftExtensions`. ---
     "sql_surface" -> ((s, d) => {
       GraftExtensions.register(s)
       Tables.documents(s, d).createOrReplaceTempView("graft_documents")
