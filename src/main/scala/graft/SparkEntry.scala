@@ -73,6 +73,26 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => pipeline.TextAnalysis.repetitionStats(Tables.documents(s, d))),
     "bm25_score" -> ((s, d) =>
       pipeline.Ranking.bm25(Tables.documents(s, d), Seq("spark", "join", "vector"))),
+    // --- cross-document duplicated-trigram fraction (boilerplate signal) ---
+    "ngram_dupfrac" -> ((s, d) =>
+      pipeline.Dedup.duplicatedNgramStats(Tables.documents(s, d))),
+    // --- PII scrub: counts on deterministic synthetic PII (the corpus has
+    // none) + digest of the redacted text; both engines build and redact
+    // the identical string ---
+    "pii_redact" -> ((s, d) =>
+      pipeline.TextAnalysis.piiStats(
+        Tables.documents(s, d).select(col("doc_id"), concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com from 10."),
+          pmod(col("doc_id"), lit(200L)), lit(".0."), pmod(col("doc_id") * 7, lit(250L)),
+          lit(" call 555-"), lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"),
+          lit("-"), lpad(pmod(col("doc_id") * 3, lit(10000L)).cast("string"), 4, "0")
+        ).as("text")))),
+    // --- weighted mixture sampling: per-source ppm rates, hash-determined ---
+    "mixture_sample" -> ((s, d) =>
+      pipeline.TrainingData.mixtureSample(Tables.documents(s, d), "source",
+        Map("src0" -> 1000000L, "src1" -> 500000L, "src2" -> 250000L, "src3" -> 125000L),
+        defaultPpm = 50000L)),
     // --- decontamination: eval-set docs (every 50th) vs the training rest ---
     "decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -525,6 +545,54 @@ object SparkEntry {
                [z.sc for z in list_sort(list(struct_pack(term := term, sc := sc)))]),
              (a, h) -> a + h), 6) AS bm25
          FROM sc GROUP BY doc_id""",
+    // Cross-doc duplicated-trigram fraction: identical portable trigram
+    // hashes on both engines (collisions included), exact integer division.
+    "ngram_dupfrac" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS s
+           FROM toks),
+         ng AS (SELECT doc_id, ('0x' || substring(md5(x), 1, 15))::BIGINT AS ng
+                FROM sh, unnest(s) AS u(x)),
+         dfreq AS (SELECT ng, count(*)::BIGINT AS df FROM ng GROUP BY ng)
+         SELECT doc_id, count(*)::BIGINT AS n_ngrams,
+                sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+                sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS dup_frac
+         FROM ng JOIN dfreq USING (ng)
+         GROUP BY doc_id""",
+    // PII scrub on deterministically synthesized PII: both engines build
+    // the same string, match the same RE2/java.util.regex-common patterns,
+    // and digest the same redacted text. DuckDB regexp_replace needs the
+    // explicit 'g' flag to match Spark's replace-all semantics.
+    "pii_redact" ->
+      """WITH pii AS (
+           SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.' ||
+             (doc_id % 200)::VARCHAR || '.0.' || ((doc_id * 7) % 250)::VARCHAR ||
+             ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+             lpad(((doc_id * 3) % 10000)::VARCHAR, 4, '0') AS t
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+           len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_digest
+         FROM pii""",
+    // Mixture sampling: integer ppm thresholds (float rates would round
+    // differently across engines); hash is positive so % ≡ pmod.
+    "mixture_sample" ->
+      """SELECT doc_id, source FROM documents
+         WHERE ('0x' || substring(md5('mix_' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 <
+               CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+                           WHEN 'src2' THEN 250000 WHEN 'src3' THEN 125000
+                           ELSE 50000 END""",
     "text_quality" ->
       """SELECT doc_id, length(text)::BIGINT AS n_chars_m,
                 len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens,

@@ -291,6 +291,41 @@ object Dedup {
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
 
+  /** Inter-document duplicated n-gram statistics — the cross-corpus
+    * companion of [[graft.pipeline.TextAnalysis.repetitionStats]] (which is
+    * intra-document): for each document, the fraction of its distinct word
+    * n-grams that also occur in at least one OTHER document. High values
+    * flag boilerplate (navigation chrome, licence headers, templated spam)
+    * that per-document quality scores cannot see.
+    *
+    * Shape: explode distinct n-gram hashes → global document-frequency
+    * aggregation → join frequencies back → per-document fraction.
+    * The df aggregation partial-aggregates map-side, so a stop-n-gram that
+    * appears in every document costs one combiner cell per task, not a
+    * skewed reducer; the join back is keyed on the 60-bit hash with AQE
+    * skew-split as the backstop. Per-pair shuffle rows are (doc_id, hash) —
+    * two longs — never text. n-grams are hashed with the portable md5
+    * family so the DuckDB oracle reproduces the result exactly (collisions
+    * included); at 100 TB a 128-bit digest would drive collision expectation
+    * below one, same plan shape.
+    *
+    * Output: (doc_id, n_ngrams, n_dup, dup_frac). Documents with ≤ n tokens
+    * participate via their single whole-document shingle (token-less text
+    * degenerates to one empty-string shingle — same on both engines).
+    */
+  def duplicatedNgramStats(docs: DataFrame, n: Int = 3): DataFrame = {
+    val ng = rebalance(docs).select(col("doc_id"),
+      explode(array_distinct(portableBaseHashes(shingles(tokens(col("text")), n)))).as("ng"))
+    val dfreq = ng.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+    ng.join(dfreq, Seq("ng"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+      // single division of exact integers: bit-identical across engines
+      .select(col("doc_id"), col("n_ngrams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_ngrams")).as("dup_frac"))
+  }
+
   /** 64-bit SimHash signature over a column of token hashes: bit i is set
     * iff more than half the token hashes have bit i set. Backed by the
     * fused single-pass kernel (graft.functions.SimHash64) — the HOF

@@ -111,4 +111,35 @@ object TextAnalysis {
         (acc, t) => pmod(acc * 1000003L +
           pmod(graft.functions.PortableHash.hash60(t), lit(m)), lit(m))).as("rolling_fp"))
   }
+
+  /** PII patterns shared by [[redactPii]] and [[piiStats]]. Deliberately
+    * restricted to syntax valid in BOTH java.util.regex and RE2 (no
+    * lookaround, no backreferences) so the DuckDB oracle — and any RE2-based
+    * production scrubber — matches the identical spans.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII redaction: emails, dotted-quad IPs, and NNN-NNN-NNNN phone numbers
+    * replaced by typed placeholders. Email redaction runs first so an
+    * address like `ops@10.0.0.1` is scrubbed whole rather than leaving a
+    * bare `<at>`-less IP fragment. Pure per-row codegen'd expressions —
+    * zero shuffle at any scale.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
+
+  /** Per-document PII accounting: match counts per category (on the
+    * original text) plus a digest of the redacted text — the audit record a
+    * compliance pipeline keeps when the redacted corpus itself ships
+    * elsewhere.
+    */
+  def piiStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ipv4"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+      md5(redactPii(col("text"))).as("redacted_digest"))
 }

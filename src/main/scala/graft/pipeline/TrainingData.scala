@@ -127,6 +127,31 @@ object TrainingData {
       .filter(col("rk") <= quota)
   }
 
+  /** Deterministic weighted mixture sampling — the "data mixing" step of a
+    * training pipeline: each group (source/domain) is downsampled at its own
+    * rate, expressed in parts-per-million. Rates are INTEGERS by design:
+    * `rate * 1e6` in floating point truncates/rounds differently across
+    * engines (Spark casts double→long by truncation, DuckDB by rounding),
+    * which would flip membership of boundary documents; integer thresholds
+    * compare exactly everywhere.
+    *
+    * Hash-based like [[splitAssign]]/[[quotaSample]]: membership is a pure
+    * function of doc_id, so re-runs, engines and downstream joins agree,
+    * and raising a group's rate yields a superset of the smaller sample
+    * (the ticket never changes). Pure per-row filter — zero shuffle.
+    */
+  def mixtureSample(docs: DataFrame, groupCol: String, ratesPpm: Map[String, Long],
+                    defaultPpm: Long = 0L): DataFrame = {
+    require((defaultPpm +: ratesPpm.values.toSeq).forall(r => r >= 0L && r <= 1000000L),
+      "mixtureSample: rates are parts-per-million in [0, 1000000]")
+    // sorted for a deterministic plan (Map iteration order is not stable)
+    val threshold = ratesPpm.toSeq.sortBy(_._1).foldLeft(lit(defaultPpm)) {
+      case (acc, (k, ppm)) => when(col(groupCol) === k, lit(ppm)).otherwise(acc)
+    }
+    val ticket = pmod(PortableHash.hash60(concat(lit("mix_"), col("doc_id"))), lit(1000000L))
+    docs.filter(ticket < threshold).select(col("doc_id"), col(groupCol))
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector scale
     * maxabs/127, q_j = floor(x_j / scale + 0.5) (explicit tie rule — both
     * engines evaluate the identical double formula). Emits scalar digests

@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Corpus-level curation signals added in round 3: cross-document
+  * duplicated-n-gram fraction, PII redaction, and weighted mixture sampling.
+  * Expectations are hand-computed on crafted corpora.
+  */
+class CorpusSignalsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val docSchema = new StructType()
+    .add("doc_id", LongType).add("text", StringType).add("source", StringType)
+
+  private def docs(rows: (Long, String)*) =
+    df(new StructType().add("doc_id", LongType).add("text", StringType),
+      rows.map(r => Row(r._1, r._2)))
+
+  // --- duplicatedNgramStats ---
+
+  test("dup-ngram fraction: shared trigram counted, unique ones not") {
+    // A: "a b c" "b c d"; B: "a b c" "b c x"; C: "q w e" "w e r"
+    val d = docs(1L -> "a b c d", 2L -> "a b c x", 3L -> "q w e r")
+    val got = Dedup.duplicatedNgramStats(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+  }
+
+  test("dup-ngram fraction: identical docs are 100% duplicated, short docs whole-shingle") {
+    val d = docs(1L -> "x y", 2L -> "x y", 3L -> "lone wolf")
+    val got = Dedup.duplicatedNgramStats(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // "x y" (≤ 3 tokens) → single whole-doc shingle, shared by 1 and 2
+    assert(got(1L) == 1.0 && got(2L) == 1.0)
+    assert(got(3L) == 0.0)
+  }
+
+  // --- PII redaction ---
+
+  test("redactPii scrubs emails, IPs and phones with typed placeholders") {
+    val d = docs(1L -> "mail bob.smith+x@example.co.uk or 10.1.2.3 tel 555-123-4567 end")
+    val red = d.select(TextAnalysis.redactPii(col("text"))).head().getString(0)
+    assert(red == "mail <EMAIL> or <IP> tel <PHONE> end")
+  }
+
+  test("piiStats counts per category and digests the redacted text") {
+    val d = docs(
+      1L -> "a@b.com c@d.org plain 192.168.0.1",
+      2L -> "no pii here at all",
+      3L -> "call 555-000-1111 or 555-222-3333 at 8.8.8.8")
+    val got = TextAnalysis.piiStats(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 0L)))
+    assert(got(2L) == ((0L, 0L, 0L)))
+    assert(got(3L) == ((0L, 1L, 2L)))
+    // digest of doc 2 = digest of its unchanged text
+    val dig = TextAnalysis.piiStats(d).filter(col("doc_id") === 2L)
+      .head().getString(4)
+    val want = d.filter(col("doc_id") === 2L).select(md5(col("text"))).head().getString(0)
+    assert(dig == want)
+  }
+
+  test("redaction does not fire on near-miss text") {
+    // no TLD, word chars around digits, 5-digit groups: none should match
+    val d = docs(1L -> "user@host v1.2.3 12345-678-90123 a-b-c 999.999")
+    val got = TextAnalysis.piiStats(d).head()
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) == ((0L, 0L, 0L)))
+  }
+
+  // --- mixture sampling ---
+
+  private val srcDocs = df(docSchema,
+    (0L until 400L).map(i => Row(i, s"text $i", s"src${i % 4}")))
+
+  test("mixtureSample: rate 1.0 keeps all, 0 keeps none, default applies") {
+    val all = TrainingData.mixtureSample(srcDocs, "source",
+      Map("src0" -> 1000000L, "src1" -> 0L), defaultPpm = 0L).collect()
+    assert(all.length == 100)
+    assert(all.forall(_.getString(1) == "src0"))
+  }
+
+  test("mixtureSample: raising a rate yields a superset (stable tickets)") {
+    def ids(ppm: Long) = TrainingData.mixtureSample(srcDocs, "source",
+      Map("src2" -> ppm), defaultPpm = 0L).collect().map(_.getLong(0)).toSet
+    val s30 = ids(300000L); val s60 = ids(600000L)
+    assert(s30.subsetOf(s60))
+    assert(s30.nonEmpty && s60.size > s30.size && s60.size < 100)
+  }
+
+  test("mixtureSample rejects out-of-range rates") {
+    intercept[IllegalArgumentException] {
+      TrainingData.mixtureSample(srcDocs, "source", Map("src0" -> 2000000L))
+    }
+  }
+}
