@@ -92,7 +92,7 @@ object SparkEntry {
     "mixture_sample" -> ((s, d) =>
       pipeline.TrainingData.mixtureSample(Tables.documents(s, d), "source",
         Map("src0" -> 1000000L, "src1" -> 500000L, "src2" -> 250000L, "src3" -> 125000L),
-        defaultPpm = 50000L)),
+        defaultPpm = 50000L).select(col("doc_id"), col("source"))),
     // --- decontamination: eval-set docs (every 50th) vs the training rest ---
     "decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)

@@ -314,8 +314,13 @@ object Dedup {
     * degenerates to one empty-string shingle — same on both engines).
     */
   def duplicatedNgramStats(docs: DataFrame, n: Int = 3): DataFrame = {
+    // consumed by BOTH the df aggregation and the join-back; the partial
+    // agg in front of the groupBy's exchange blocks ReuseExchange, so an
+    // unpersisted frame would tokenize+hash the corpus twice. The cached
+    // rows are two longs — the text never enters the cache.
     val ng = rebalance(docs).select(col("doc_id"),
       explode(array_distinct(portableBaseHashes(shingles(tokens(col("text")), n)))).as("ng"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = ng.groupBy(col("ng")).agg(count(lit(1)).as("df"))
     ng.join(dfreq, Seq("ng"))
       .groupBy(col("doc_id"))

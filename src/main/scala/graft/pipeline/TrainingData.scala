@@ -149,7 +149,10 @@ object TrainingData {
       case (acc, (k, ppm)) => when(col(groupCol) === k, lit(ppm)).otherwise(acc)
     }
     val ticket = pmod(PortableHash.hash60(concat(lit("mix_"), col("doc_id"))), lit(1000000L))
-    docs.filter(ticket < threshold).select(col("doc_id"), col(groupCol))
+    // full input schema preserved: the sampled rows (text included) are what
+    // flows on to tokenization/packing. Works unchanged on streaming frames
+    // (pure stateless filter).
+    docs.filter(ticket < threshold)
   }
 
   /** Symmetric int8 quantization of an embedding column: per-vector scale

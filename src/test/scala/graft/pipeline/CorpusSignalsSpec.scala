@@ -78,11 +78,13 @@ class CorpusSignalsSpec extends AnyFunSuite {
   private val srcDocs = df(docSchema,
     (0L until 400L).map(i => Row(i, s"text $i", s"src${i % 4}")))
 
-  test("mixtureSample: rate 1.0 keeps all, 0 keeps none, default applies") {
+  test("mixtureSample: rate 1.0 keeps all, 0 keeps none, schema preserved") {
     val all = TrainingData.mixtureSample(srcDocs, "source",
-      Map("src0" -> 1000000L, "src1" -> 0L), defaultPpm = 0L).collect()
-    assert(all.length == 100)
-    assert(all.forall(_.getString(1) == "src0"))
+      Map("src0" -> 1000000L, "src1" -> 0L), defaultPpm = 0L)
+    assert(all.columns.toSeq == Seq("doc_id", "text", "source"))
+    val rows = all.collect()
+    assert(rows.length == 100)
+    assert(rows.forall(_.getString(2) == "src0"))
   }
 
   test("mixtureSample: raising a rate yields a superset (stable tickets)") {

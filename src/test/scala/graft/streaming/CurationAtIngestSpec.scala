@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.pipeline.{TextAnalysis, TrainingData}
+
+/** The per-row curation operators (PII scrub, mixture sampling) are pure
+  * stateless expressions, so they run UNCHANGED on a streaming frame — the
+  * scrub-at-ingest deployment a privacy pipeline wants (redact before
+  * anything persists). This pins that contract: streaming output ≡ the
+  * batch operators on the same rows.
+  */
+class CurationAtIngestSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("PII scrub + mixture sampling at ingest match their batch twins") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String, String)]
+    val docs = in.toDF().toDF("doc_id", "text", "source")
+    val rates = Map("keep" -> 1000000L)
+    val curated = TrainingData.mixtureSample(
+      docs.withColumn("text", TextAnalysis.redactPii(col("text"))),
+      "source", rates, defaultPpm = 0L)
+    val q = curated.writeStream.format("memory").queryName("curated_stream")
+      .outputMode("append").start()
+    try {
+      val data = Seq(
+        (1L, "mail a@b.co from 10.1.2.3", "keep"),
+        (2L, "clean text", "keep"),
+        (3L, "dropped source 555-123-4567", "drop"))
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val got = spark.table("curated_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      // batch twin on the identical rows
+      val batch = TrainingData.mixtureSample(
+        data.toDF("doc_id", "text", "source")
+          .withColumn("text", TextAnalysis.redactPii(col("text"))),
+        "source", rates, defaultPpm = 0L).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == batch)
+      assert(got.map(_._1) == Set(1L, 2L), "source 'drop' must be sampled out")
+      assert(got.find(_._1 == 1L).get._2 == "mail <EMAIL> from <IP>")
+    } finally q.stop()
+  }
+}
