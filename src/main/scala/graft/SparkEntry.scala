@@ -105,6 +105,12 @@ object SparkEntry {
     // --- the capstone composition: lang filter → exact dedup → near-dup
     // clusters → split, end-to-end as ONE oracle-checked plan ---
     "corpus_prepare" -> ((s, d) => pipeline.TrainingData.prepareCorpus(Tables.documents(s, d))),
+    // --- the round-3 curation capstone: mixture sample → PII scrub →
+    // cross-doc boilerplate filter → split, as ONE oracle-checked plan ---
+    "corpus_curate" -> ((s, d) =>
+      pipeline.TrainingData.curateCorpus(Tables.documents(s, d), "source",
+        Map("src0" -> 1000000L, "src1" -> 500000L, "src2" -> 250000L, "src3" -> 125000L),
+        defaultPpm = 50000L)),
     // --- skew-salted join: result contract = the plain equi-join, which
     // is exactly what the oracle computes ---
     "salted_join" -> ((s, d) => {
@@ -585,6 +591,46 @@ object SparkEntry {
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_digest
          FROM pii""",
+    // Curation capstone: the mixture/PII/dup-ngram/split oracles composed
+    // as CTEs in the same order the Spark pipeline composes the operators.
+    // Boilerplate stats are computed WITHIN the sampled corpus, as the
+    // operator does. Redaction is a no-op on this corpus (no PII in the
+    // synthetic text) but the oracle still applies it for fidelity.
+    "corpus_curate" ->
+      """WITH sampled AS (
+           SELECT doc_id, text FROM documents
+           WHERE ('0x' || substring(md5('mix_' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 <
+                 CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+                             WHEN 'src2' THEN 250000 WHEN 'src3' THEN 125000
+                             ELSE 50000 END),
+         clean AS (
+           SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS text
+           FROM sampled),
+         toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM clean),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS s
+           FROM toks),
+         ng AS (SELECT doc_id, ('0x' || substring(md5(x), 1, 15))::BIGINT AS ng
+                FROM sh, unnest(s) AS u(x)),
+         dfreq AS (SELECT ng, count(*)::BIGINT AS df FROM ng GROUP BY ng),
+         stats AS (
+           SELECT doc_id,
+                  sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS dup_frac
+           FROM ng JOIN dfreq USING (ng)
+           GROUP BY doc_id)
+         SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+           dup_frac
+         FROM (SELECT doc_id, dup_frac,
+                 ('0x' || substring(md5('split_' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+               FROM stats WHERE dup_frac < 0.9)""",
     // Mixture sampling: integer ppm thresholds (float rates would round
     // differently across engines); hash is positive so % ≡ pmod.
     "mixture_sample" ->

@@ -19,14 +19,18 @@ object TrainingData {
     * against it reproduces membership — the property a training pipeline
     * actually needs from a split.
     */
-  def splitAssign(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+  def splitAssign(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    docs.select(col("doc_id"), splitCol(col("doc_id"), trainPct, valPct).as("split"))
+
+  /** The split-assignment expression itself, for composing into wider
+    * selects without an extra join (see [[curateCorpus]]).
+    */
+  def splitCol(docId: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
-    val bucket = pmod(PortableHash.hash60(concat(lit("split_"), col("doc_id"))), lit(100L))
-    docs.select(col("doc_id"), bucket.as("bucket"))
-      .select(col("doc_id"),
-        when(col("bucket") < trainPct, "train")
-          .when(col("bucket") < trainPct + valPct, "val")
-          .otherwise("test").as("split"))
+    val bucket = pmod(PortableHash.hash60(concat(lit("split_"), docId)), lit(100L))
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
   }
 
   /** Exclusive prefix sum over a keyed frame (`keyCol` non-negative long,
@@ -177,6 +181,30 @@ object TrainingData {
 
   private def quantized(e: Column, scale: Column): Column =
     transform(e, x => floor(x / scale + 0.5d).cast("long"))
+
+  /** The round-3 curation capstone — the NEW corpus signals composed
+    * end-to-end the way a crawl-curation pipeline runs them:
+    *
+    *   weighted mixture sampling (per-source ppm rates)
+    *   → PII scrub (redact before anything else sees the text)
+    *   → cross-document boilerplate filter (duplicated-n-gram fraction,
+    *     computed WITHIN the sampled corpus — what survives sampling is
+    *     what can be boilerplate against it)
+    *   → deterministic split assignment.
+    *
+    * Like [[prepareCorpus]], every stage is deterministic and
+    * engine-portable, so the whole chain is one oracle-checkable query.
+    * Output: (doc_id, split, dup_frac) for the surviving corpus.
+    */
+  def curateCorpus(docs: DataFrame, groupCol: String, ratesPpm: Map[String, Long],
+                   defaultPpm: Long = 0L, maxDupFrac: Double = 0.9,
+                   n: Int = 3): DataFrame = {
+    val sampled = mixtureSample(docs, groupCol, ratesPpm, defaultPpm)
+    val clean = sampled.withColumn("text", TextAnalysis.redactPii(col("text")))
+    Dedup.duplicatedNgramStats(clean, n)
+      .filter(col("dup_frac") < maxDupFrac)
+      .select(col("doc_id"), splitCol(col("doc_id")).as("split"), col("dup_frac"))
+  }
 
   /** End-to-end corpus preparation — the operators composed the way a
     * training pipeline actually runs them:

@@ -24,4 +24,22 @@ class PlanGuardrailsSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"queries with single-partition windows:\n  ${offenders.mkString("\n  ")}")
   }
+
+  test("documents scans are column-pruned to what the query needs") {
+    // a scan reading all 5 documents columns for a 2-column operator means
+    // pruning never reached parquet — wrong at any scale, fatal at 100 TB
+    def readSchemas(name: String): String = {
+      val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      p.split("ReadSchema: ").toSeq.tail.map(_.takeWhile(_ != '\n')).mkString(";")
+    }
+    val mix = readSchemas("mixture_sample")
+    assert(!mix.contains("text") && mix.contains("source"),
+      s"mixture_sample must not scan text: $mix")
+    val ngram = readSchemas("ngram_dupfrac")
+    assert(!ngram.contains("lang") && !ngram.contains("source"),
+      s"ngram_dupfrac reads more than doc_id+text: $ngram")
+    val pii = readSchemas("pii_redact")
+    assert(!pii.contains("lang") && !pii.contains("source"),
+      s"pii_redact reads more than doc_id+text: $pii")
+  }
 }

@@ -95,6 +95,23 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(s30.nonEmpty && s60.size > s30.size && s60.size < 100)
   }
 
+  test("curateCorpus composes sample → scrub → boilerplate filter → split in order") {
+    val d = df(docSchema, Seq(
+      Row(1L, "a b c d", "keep"),   // identical to doc 3 → dup_frac 1.0 → dropped
+      Row(2L, "a b c x", "keep"),   // shares "a b c" only → dup_frac 0.5 → kept
+      Row(3L, "a b c d", "keep"),
+      // same text as doc 2 but in a sampled-out source: if sampling did NOT
+      // run before the stats, doc 2's "b c x" would look duplicated too and
+      // doc 2 would be wrongly dropped
+      Row(4L, "a b c x", "drop")))
+    val got = TrainingData.curateCorpus(d, "source",
+      Map("keep" -> 1000000L), defaultPpm = 0L).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 2L)
+    assert(got.head.getDouble(2) == 0.5)
+    assert(Set("train", "val", "test").contains(got.head.getString(1)))
+  }
+
   test("mixtureSample rejects out-of-range rates") {
     intercept[IllegalArgumentException] {
       TrainingData.mixtureSample(srcDocs, "source", Map("src0" -> 2000000L))
