@@ -76,6 +76,9 @@ object SparkEntry {
     // --- cross-document duplicated-trigram fraction (boilerplate signal) ---
     "ngram_dupfrac" -> ((s, d) =>
       pipeline.Dedup.duplicatedNgramStats(Tables.documents(s, d))),
+    // --- corpus vocabulary: token → (tf, df), deterministic top-k ---
+    "vocab_topk" -> ((s, d) =>
+      pipeline.TextAnalysis.vocabulary(Tables.documents(s, d), minCount = 2L, k = 100)),
     // --- PII scrub: counts on deterministic synthetic PII (the corpus has
     // none) + digest of the redacted text; both engines build and redact
     // the identical string ---
@@ -570,6 +573,16 @@ object SparkEntry {
                 sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS dup_frac
          FROM ng JOIN dfreq USING (ng)
          GROUP BY doc_id""",
+    // Vocabulary: (tf desc, token asc) is a total order — the top-k cut is
+    // deterministic, so sorted-frame comparison is exact.
+    "vocab_topk" ->
+      """SELECT token, tf, df FROM (
+           SELECT x AS token, count(*)::BIGINT AS tf,
+                  count(DISTINCT doc_id)::BIGINT AS df
+           FROM documents,
+                unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS u(x)
+           GROUP BY x)
+         WHERE tf >= 2 ORDER BY tf DESC, token LIMIT 100""",
     // PII scrub on deterministically synthesized PII: both engines build
     // the same string, match the same RE2/java.util.regex-common patterns,
     // and digest the same redacted text. DuckDB regexp_replace needs the

@@ -50,7 +50,12 @@ object Components {
     // generation plan (an LSH bucket join upstream) once per direction
     val p = pairs.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // pre-partitioned on t, the key EVERY round's neighbor-min join probes:
+    // the cached partitioning satisfies the join's required distribution, so
+    // the big (edge) side of the per-round shuffle is paid once here, not
+    // once per round — only the label side (which changes) moves each round
     val edges = p.union(p.select(col("t").as("s"), col("s").as("t")))
+      .repartition(col("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // init = the first propagation round for free: one groupBy gives each
     // node its closed-neighborhood min (replaces a distinct() that would

@@ -112,6 +112,25 @@ object TextAnalysis {
           pmod(graft.functions.PortableHash.hash60(t), lit(m)), lit(m))).as("rolling_fp"))
   }
 
+  /** Corpus vocabulary — the tokenizer-training input: every token with its
+    * term frequency (total occurrences) and document frequency, thresholded
+    * at `minCount` occurrences, top-`k` by (tf desc, token asc) — a total
+    * order, so the cut is deterministic across engines and runs.
+    *
+    * Shape: one explode + one groupBy(token); tf partial-aggregates
+    * map-side, df is a distinct-aggregate (Catalyst's expand) keyed by the
+    * token — a hot stopword costs a combiner cell, not a skewed reducer.
+    * The top-k compiles to TakeOrdered (per-partition heads), never a
+    * global sort.
+    */
+  def vocabulary(docs: DataFrame, minCount: Long = 2L, k: Int = 1000): DataFrame =
+    Dedup.rebalance(docs)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .filter(col("tf") >= minCount)
+      .orderBy(col("tf").desc, col("token")).limit(k)
+
   /** PII patterns shared by [[redactPii]] and [[piiStats]]. Deliberately
     * restricted to syntax valid in BOTH java.util.regex and RE2 (no
     * lookaround, no backreferences) so the DuckDB oracle — and any RE2-based

@@ -33,6 +33,45 @@ class ComponentsSpec extends AnyFunSuite {
     }.toMap
   }
 
+  test("cached repartition(t) satisfies the round join's distribution — no edge re-exchange") {
+    // the invariant connectedComponents' per-round cost model rests on: a
+    // persisted frame repartitioned on the probe key is NOT re-shuffled by a
+    // later equi-join on that key (only the label side moves per round)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val e = df(pairSchema, (0L until 50L).map(i => Row(i, i + 1)))
+      .repartition(col("doc_b"))
+      .persist()
+    e.count()
+    // force the shuffle-join path: at 100 TB neither side broadcasts
+    val savedA = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedB = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val labels = df(pairSchema, (0L until 51L).map(i => Row(i, i)))
+        .select(col("doc_a").as("id"), col("doc_b").as("label"))
+      val joined = e.join(labels, e("doc_b") === labels("id"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // the cached edge build shows as REPARTITION_BY_COL (paid once at
+      // persist); per-join exchanges are tagged ENSURE_REQUIREMENTS — only
+      // the label side may have one
+      val perJoin = "ENSURE_REQUIREMENTS".r.findAllIn(plan.toString).size
+      assert(perJoin == 1,
+        s"expected only the label-side exchange, got $perJoin:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedA)
+      savedB match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+      e.unpersist()
+    }
+  }
+
   test("random graph matches a union-find oracle") {
     val rnd = new scala.util.Random(11)
     val pairs = (1 to 300).map { _ =>

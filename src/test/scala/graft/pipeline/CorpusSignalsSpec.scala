@@ -41,6 +41,20 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(got(3L) == 0.0)
   }
 
+  // --- vocabulary ---
+
+  test("vocabulary: tf/df counts, minCount threshold, deterministic tie-break") {
+    val d = docs(1L -> "b a b c", 2L -> "a b z", 3L -> "c a")
+    // tf: a=3 b=3 c=2 z=1; df: a=3 b=2 c=2 z=1
+    val got = TextAnalysis.vocabulary(d, minCount = 2L, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // ties (a,b at tf=3) break by token ascending; z cut by minCount
+    assert(got.toSeq == Seq(("a", 3L, 3L), ("b", 3L, 2L), ("c", 2L, 2L)))
+    // k cuts after ordering
+    val top2 = TextAnalysis.vocabulary(d, minCount = 2L, k = 2).collect().map(_.getString(0))
+    assert(top2.toSeq == Seq("a", "b"))
+  }
+
   // --- PII redaction ---
 
   test("redactPii scrubs emails, IPs and phones with typed placeholders") {
