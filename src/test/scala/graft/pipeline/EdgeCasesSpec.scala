@@ -42,6 +42,19 @@ class EdgeCasesSpec extends AnyFunSuite {
     }
   }
 
+  test("round-3 corpus signals: empty and single-doc corpora") {
+    val rates = Map("s1" -> 1000000L)
+    for (d <- Seq(empty, one)) {
+      // one doc: every ngram unique → dup_frac 0, row preserved
+      assert(Dedup.duplicatedNgramStats(d).count() == d.count())
+      assert(TextAnalysis.piiStats(d).count() == d.count())
+      assert(TextAnalysis.vocabulary(d, minCount = 1L).count() ==
+        (if (d.isEmpty) 0 else 5))
+      assert(TrainingData.mixtureSample(d, "source", rates).count() == d.count())
+      assert(TrainingData.curateCorpus(d, "source", rates).count() == d.count())
+    }
+  }
+
   test("text analysis: empty corpus and empty text") {
     val blank = docs(Row(1L, "", "en", "s1"), Row(2L, "   ", "en", "s1"))
     for (d <- Seq(empty, blank)) {
