@@ -167,6 +167,17 @@ object SparkEntry {
     }),
     "embed_neardup" -> ((s, d) =>
       pipeline.Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.4)),
+    // --- triangle counting: degree-oriented wedge join over a synthetic
+    // graph (lineitem keys portable-hashed into a 20011-node space — both
+    // engines derive identical edges) ---
+    "triangle_count" -> ((s, d) => {
+      val e = Tables.lineitem(s, d).select(
+        pmod(graft.functions.PortableHash.hash60(concat(lit("tv_"), col("l_orderkey"))),
+          lit(20011L)).as("src"),
+        pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
+          lit(20011L)).as("dst"))
+      sources.GraphLoader.triangleCount(e)
+    }),
     // --- relational frontend (SURVEY §3.2): op-tree lowered to Catalyst ---
     "raco_frontend" -> ((s, d) => {
       import plans.Relational._
@@ -573,6 +584,21 @@ object SparkEntry {
                 sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS dup_frac
          FROM ng JOIN dfreq USING (ng)
          GROUP BY doc_id""",
+    // Triangles assigned to their minimum vertex: the plain a<b<c 3-way
+    // join is orientation-independent, so it checks the engine's
+    // degree-oriented plan exactly.
+    "triangle_count" ->
+      """WITH und AS (
+           SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+             SELECT ('0x' || substring(md5('tv_' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 20011 AS s,
+                    ('0x' || substring(md5('tw_' || l_partkey::VARCHAR), 1, 15))::BIGINT % 20011 AS t
+             FROM lineitem)
+           WHERE s <> t)
+         SELECT e1.a AS vertex, count(*)::BIGINT AS n_triangles
+         FROM und e1
+         JOIN und e2 ON e1.b = e2.a
+         JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+         GROUP BY e1.a""",
     // Vocabulary: (tf desc, token asc) is a total order — the top-k cut is
     // deterministic, so sorted-frame comparison is exact.
     "vocab_topk" ->
