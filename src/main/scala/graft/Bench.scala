@@ -20,10 +20,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run — for isolating one query's
+    // cost without the rest of the suite (same JSON contract either way)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     // JIT/page-cache warm-up pass (not timed): first execution of a stage
     // pays codegen + JIT compilation, which would randomly tax whichever
     // query runs first.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       // same cache discipline as the timed loop — without it, queries
       // caching the same frame trip "already cached" warnings here
       spark.sharedState.cacheManager.clearCache()
@@ -31,7 +35,7 @@ object Bench {
       catch { case _: Throwable => }
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // each query starts cache-cold: internal .cache() reuse within one
       // query is measured, cross-query cache leakage and its GC pressure
       // are not

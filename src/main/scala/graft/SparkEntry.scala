@@ -171,11 +171,16 @@ object SparkEntry {
     // graph (lineitem keys portable-hashed into a 20011-node space — both
     // engines derive identical edges) ---
     "triangle_count" -> ((s, d) => {
-      val e = Tables.lineitem(s, d).select(
-        pmod(graft.functions.PortableHash.hash60(concat(lit("tv_"), col("l_orderkey"))),
-          lit(20011L)).as("src"),
-        pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
-          lit(20011L)).as("dst"))
+      // rebalance the RAW scan before the md5 derivation: lineitem is one
+      // parquet file, and the projection runs below the first exchange —
+      // unspread, a single task would hash every row
+      val e = pipeline.Dedup.rebalance(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
+        .select(
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tv_"), col("l_orderkey"))),
+            lit(20011L)).as("src"),
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
+            lit(20011L)).as("dst"))
       sources.GraphLoader.triangleCount(e)
     }),
     // --- relational frontend (SURVEY §3.2): op-tree lowered to Catalyst ---

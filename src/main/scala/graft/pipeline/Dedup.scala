@@ -47,7 +47,7 @@ object Dedup {
     * files and pass through untouched — parallelism there is whatever the
     * caller created.
     */
-  private[pipeline] def rebalance(df: DataFrame): DataFrame = {
+  private[graft] def rebalance(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val files = df.inputFiles.length
     if (files > 0 && files < target) df.repartition(target) else df

@@ -87,10 +87,18 @@ object GraphLoader {
   def triangleCount(edges: DataFrame): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // canonical undirected edges (a < b), self-loops and multi-edges dropped;
-    // consumed by degrees, orientation and the closing join
-    val und = edges.select(least(col("src"), col("dst")).cast("long").as("a"),
+    // consumed by degrees, orientation and the closing join. NOTE for
+    // callers deriving src/dst with expensive per-row expressions over a
+    // few source files: apply Dedup.rebalance to the RAW scan before the
+    // derivation, or one task computes every edge (the projection stays
+    // below whatever exchange follows it). The self-loop filter runs AFTER
+    // distinct, on attributes: filtering the projection would push a
+    // predicate below it that re-evaluates the caller's src/dst
+    // expressions once more per comparison side.
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
-      .filter(col("a") =!= col("b")).distinct().persist(lvl)
+      .distinct().filter(col("a") =!= col("b")).persist(lvl)
     val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     val oriented = und
