@@ -102,6 +102,17 @@ object SparkEntry {
       pipeline.Dedup.crossCorpusOverlap(
         docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0))
     }),
+    // --- bloom-prefiltered decontamination: same contamination relation,
+    // but the training side is screened by a distributed Bloom sketch
+    // BEFORE the exact join — the result is exact (no false negatives;
+    // the semi-join resolves false positives), so the oracle is the plain
+    // NOT-EXISTS anti-join ---
+    "bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      pipeline.Dedup.bloomDecontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0))
+        .select(col("doc_id"), col("source"))
+    }),
     // --- per-source quota sampling (hash-ranked, engine-portable) ---
     "quota_sample" -> ((s, d) =>
       pipeline.TrainingData.quotaSample(Tables.documents(s, d), "source", 50)),
@@ -538,6 +549,30 @@ object SparkEntry {
                 round(count(*)::DOUBLE / n_eval, 6) AS contamination
          FROM tsh JOIN esh USING (g)
          GROUP BY eval_doc, train_doc, n_eval""",
+    // Bloom prefilter is invisible to the result contract: clean = training
+    // docs sharing NO distinct 5-shingle with any eval doc. Same
+    // string-shingle construction as `decontaminate` (engine joins 64-bit
+    // shingle hashes, oracle joins shingle strings).
+    "bloom_decontaminate" ->
+      """WITH tr AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents WHERE doc_id % 50 <> 0),
+         ev AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents WHERE doc_id % 50 = 0),
+         tsh AS (
+           SELECT doc_id AS train_doc,
+             unnest(list_distinct(CASE WHEN len(t) <= 5 THEN [array_to_string(t, ' ')]
+               ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)] END)) AS g
+           FROM tr),
+         esh AS (
+           SELECT DISTINCT unnest(list_distinct(CASE WHEN len(t) <= 5 THEN [array_to_string(t, ' ')]
+               ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)] END)) AS g
+           FROM ev),
+         dirty AS (SELECT DISTINCT train_doc FROM tsh JOIN esh USING (g))
+         SELECT doc_id, source FROM documents
+         WHERE doc_id % 50 <> 0
+           AND doc_id NOT IN (SELECT train_doc FROM dirty)""",
     "quota_sample" ->
       """SELECT doc_id, source, rk FROM (
            SELECT doc_id, source,

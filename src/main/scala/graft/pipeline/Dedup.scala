@@ -282,6 +282,65 @@ object Dedup {
         round(col("shared").cast("double") / col("n_eval"), 6).as("contamination"))
   }
 
+  /** Bloom-prefiltered decontamination — the 100 TB shape of "remove every
+    * training document sharing a word k-shingle with the eval set". Returns
+    * the CLEAN training rows (full input schema), and the result is EXACT:
+    * the bloom filter is only a pre-filter, never the decision.
+    *
+    * Why this scales where [[crossCorpusOverlap]]'s plain inverted-index
+    * join does not: the exact join must shuffle every training shingle
+    * (O(corpus tokens) rows) even though almost none of them match the
+    * eval side. Here the eval shingle set is folded into a Bloom sketch by
+    * a distributed [[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
+    * (map-side partial sketches, one merge), and the merged sketch — whose
+    * size is bounded by `fpp`/`maxBits`, independent of corpus size — is
+    * embedded as a binary literal in a codegen'd
+    * `BloomFilterMightContain` filter on the training side. Training
+    * shingles are eliminated AT THE SCAN, before any exchange; only bloom
+    * positives (true overlaps + an `fpp` fraction of noise) reach the
+    * exact semi-join that resolves false positives. No false negatives
+    * exist by construction, so clean = exact clean.
+    *
+    * The one driver-side transfer is the merged sketch itself (≤ maxBits/8
+    * bytes — the same bounded collect Spark's own runtime-filter injection
+    * performs); the aggregation producing it is fully distributed.
+    *
+    * Mirrors the reference's pre-join filter discipline (MinMaxFilter /
+    * D4mRangeFilter applied below the join, laradb `Ext`-as-filter idiom)
+    * re-expressed as a sketch: discard non-candidates before they cost a
+    * shuffle.
+    */
+  def bloomDecontaminate(train: DataFrame, eval: DataFrame, k: Int = 5,
+                         fpp: Double = 0.01, maxBits: Long = 1L << 26): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.bridge
+    import org.apache.spark.sql.types.BinaryType
+    val evalH = rebalance(eval)
+      .select(explode(array_distinct(shingleHashes(tokens(col("text")), k))).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sketch sizing needs the eval-distinct cardinality; evalH is the small
+    // side and already persisted, so this count is a cheap cached job
+    val n = math.max(evalH.count(), 1L)
+    val numBits = math.max(64L, math.min(maxBits,
+      math.ceil(-n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
+    val sketch = evalH
+      .agg(bridge.column(new BloomFilterAggregate(bridge.expression(col("h")),
+        Literal(n), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = bridge.column(BloomFilterMightContain(
+      Literal(sketch, BinaryType), bridge.expression(col("h"))))
+    val contaminated = rebalance(train)
+      .select(col("doc_id"), explode(array_distinct(shingleHashes(tokens(col("text")), k))).as("h"))
+      .filter(mightContain) // map-side: kills ~all rows before the exchange
+      .join(evalH, Seq("h"), "left_semi") // exact: removes bloom false positives
+      .select(col("doc_id")).distinct()
+    // contaminated is small (eval-overlapping ids only) → AQE broadcasts the
+    // anti-join; the clean pass over train is a second column-pruned scan
+    train.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** Accounting for `jaccardJoin(maxDf=…)`: shingle hashes whose document
     * frequency exceeds the cap, with their frequency.
     */
