@@ -240,6 +240,14 @@ object SparkEntry {
       pipeline.Multimodal.extractFeatures(
         pipeline.Multimodal.mediaFromDocs(Tables.documents(s, d)), dim = 16)
         .select(col("media_id"), col("kind"), col("n_bytes"))),
+    // --- REAL image decode (JDK ImageIO): synthetic PNGs whose pixels are
+    // a pure integer formula of (media_id,x,y) are encoded, round-tripped
+    // through the real decoder AND the real nearest-neighbor resize
+    // operator, and reduced to integer pixel sums; the oracle recomputes
+    // the sums analytically (PNG is lossless ⇒ exact match). ---
+    "media_decode" -> ((s, d) =>
+      pipeline.Multimodal.decodePixelStats(
+        pipeline.Multimodal.syntheticPngs(Tables.documents(s, d)), rw = 7, rh = 5)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1009,12 +1017,42 @@ object SparkEntry {
                 l_extendedprice / l_quantity / 1000.0 AS rate,
                 l_quantity * (1.0 + l_tax) AS taxed_qty
          FROM lineitem WHERE l_quantity > 45.0""",
-    // The decode kernel is a stub, but its observable contract — one output
-    // row per media row, byte count of the binary payload — is exact.
+    // The audio/video decode kernel is a stub, but its observable contract —
+    // one output row per media row, byte count of the binary payload — is
+    // exact. (Image decode is REAL; see media_decode.)
     "media_features" ->
       """SELECT doc_id AS media_id,
                 CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                 octet_length(encode(text))::BIGINT AS n_bytes
          FROM documents""",
+    // REAL ImageIO decode: the engine encodes formula pixels to PNG,
+    // decodes them back (plus a nearest-neighbor resize round trip through
+    // resizeImages) and sums channels; the oracle evaluates the same
+    // integer formula analytically over a lateral pixel grid. `//` is
+    // DuckDB integer division — the exact resizeNN source-pixel mapping.
+    "media_decode" ->
+      """WITH dims AS (SELECT doc_id AS media_id, 16 + doc_id % 5 AS w, 12 + doc_id % 3 AS h
+                       FROM documents),
+         px AS (
+           SELECT media_id,
+             (media_id*7 + x*3 + y*5) % 256 AS r,
+             (media_id*11 + x*5 + y*7) % 256 AS g,
+             (media_id*13 + x*7 + y*11) % 256 AS b
+           FROM dims, LATERAL (SELECT unnest(range(w)) AS x), LATERAL (SELECT unnest(range(h)) AS y)),
+         rs AS (
+           SELECT media_id,
+             (media_id*7 + ((x2*w)//7)*3 + ((y2*h)//5)*5) % 256 AS r,
+             (media_id*11 + ((x2*w)//7)*5 + ((y2*h)//5)*7) % 256 AS g,
+             (media_id*13 + ((x2*w)//7)*7 + ((y2*h)//5)*11) % 256 AS b
+           FROM dims, LATERAL (SELECT unnest(range(7)) AS x2), LATERAL (SELECT unnest(range(5)) AS y2)),
+         o AS (SELECT media_id, sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g, sum(b)::BIGINT AS sum_b,
+                      max(r)::BIGINT AS max_r, max(g)::BIGINT AS max_g, max(b)::BIGINT AS max_b
+               FROM px GROUP BY media_id),
+         r2 AS (SELECT media_id, sum(r)::BIGINT AS rs_sum_r, sum(g)::BIGINT AS rs_sum_g, sum(b)::BIGINT AS rs_sum_b
+                FROM rs GROUP BY media_id)
+         SELECT d.media_id, true AS decoded, d.w::BIGINT AS w, d.h::BIGINT AS h,
+                o.sum_r, o.sum_g, o.sum_b, o.max_r, o.max_g, o.max_b,
+                r2.rs_sum_r, r2.rs_sum_g, r2.rs_sum_b
+         FROM dims d JOIN o USING (media_id) JOIN r2 USING (media_id)""",
   )
 }

@@ -16,7 +16,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * This is the validation/triage half of a multimodal pipeline — "is this
   * blob a plausible image and what size" — which at 100 TB runs as a
   * codegen'd projection in the scan stage, long before any expensive
-  * decode. The decode kernels proper remain stubbed (`Multimodal`).
+  * decode (image decode proper is `Multimodal.decodeImage`, real via the
+  * JDK's ImageIO; audio/video kernels remain stubbed).
   */
 object MediaKernels {
 
@@ -37,12 +38,22 @@ object MediaKernels {
     if (b.length >= 4 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8) {
       // scan marker segments for a start-of-frame (C0–CF minus C4/C8/CC)
       var i = 2
-      while (i + 9 <= b.length && u8(b, i) == 0xFF) {
+      while (i + 1 < b.length && u8(b, i) == 0xFF) {
+        // the spec allows any number of 0xFF fill/padding bytes before a
+        // marker — skip them, else a padded FF would be misread as a
+        // segment whose "length" is the next marker byte
+        while (i + 1 < b.length && u8(b, i + 1) == 0xFF) i += 1
+        if (i + 1 >= b.length) return null
         val m = u8(b, i + 1)
         val sof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
-        if (sof) return row("jpeg", be16(b, i + 7), be16(b, i + 5))
-        if (m == 0xD8 || (m >= 0xD0 && m <= 0xD9)) i += 2 // standalone markers
-        else i += 2 + be16(b, i + 2)
+        if (sof) return if (i + 9 <= b.length) row("jpeg", be16(b, i + 7), be16(b, i + 5)) else null
+        if (m >= 0xD0 && m <= 0xD9) i += 2 // standalone markers (RSTn/SOI/EOI)
+        else {
+          if (i + 4 > b.length) return null
+          val len = be16(b, i + 2)
+          if (len < 2) return null // malformed: segment length includes itself
+          i += 2 + len
+        }
       }
       return null
     }

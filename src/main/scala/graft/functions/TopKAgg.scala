@@ -19,9 +19,18 @@ final class TopKBuffer(val k: Int) {
   private[functions] val ids = new Array[Long](k)
   private[functions] var n = 0
 
+  /** Spark SQL's double ordering: NaN largest, -0.0 == 0.0. Plain `<` would
+    * let NaN occupy heap slots irremovably; raw `Double.compare` would rank
+    * -0.0 below 0.0 where the window-function twin ties them.
+    */
+  @inline private def cmp(sa: Double, sb: Double): Int =
+    java.lang.Double.compare(if (sa == 0.0) 0.0 else sa, if (sb == 0.0) 0.0 else sb)
+
   /** a strictly worse than b under (score DESC, id ASC)? */
-  private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-    sa < sb || (sa == sb && ia > ib)
+  private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+    val c = cmp(sa, sb)
+    c < 0 || (c == 0 && ia > ib)
+  }
 
   private def swap(i: Int, j: Int): Unit = {
     val s = scores(i); scores(i) = scores(j); scores(j) = s
@@ -58,9 +67,14 @@ final class TopKBuffer(val k: Int) {
     while (i < o.n) { add(o.scores(i), o.ids(i)); i += 1 }
   }
 
-  /** Result rows, best first. */
+  /** Result rows, best first — same total order as [[worse]] (NaN largest,
+    * -0.0 == 0.0).
+    */
   def toArrayData: GenericArrayData = {
-    val idx = (0 until n).sortBy(i => (-scores(i), ids(i)))
+    val idx = (0 until n).sortWith { (a, b) =>
+      val c = cmp(scores(a), scores(b))
+      if (c != 0) c > 0 else ids(a) < ids(b)
+    }
     new GenericArrayData(idx.map(i =>
       new GenericInternalRow(Array[Any](scores(i), ids(i)))).toArray[Any])
   }
@@ -97,6 +111,19 @@ case class TopKByScore(child: Expression, k: Int,
       StructField("id", LongType, nullable = false))), containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "topk_by_score"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StructType(fields)
+        if fields.length == 2 && fields(0).dataType == DoubleType && fields(1).dataType == LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        // fail at ANALYSIS (clear message) instead of a runtime
+        // ClassCastException in update() — the SQL-registered form accepts
+        // any struct otherwise
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"topk_by_score requires struct<score:double,id:bigint>, got ${other.catalogString}")
+    }
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 

@@ -9,10 +9,16 @@ import org.apache.spark.sql.types._
   * metadata struct; decode / feature-extract / resize / frame-sample run as
   * partition-local batch transforms.
   *
-  * The *decode kernels are STUBS* — this container has no image/audio
-  * codecs, so `decodeStub` derives a deterministic fake feature/pixel
-  * payload from the bytes. Everything around the kernel is the real Spark
-  * shape and is what matters at scale:
+  * IMAGE decode is REAL: `javax.imageio.ImageIO` ships in the JDK, so
+  * PNG/GIF/BMP/JPEG payloads are decoded to actual pixels (see
+  * `decodeImage`), features/resize operate on real pixel data, and the
+  * `media_decode` contract query is integer-exact oracle-checked (PNG is
+  * lossless, so pixel sums of a synthetically generated image survive the
+  * encode→decode round trip bit-for-bit). AUDIO/VIDEO decode kernels remain
+  * STUBS — no audio/video codecs exist in the JDK or this container —
+  * `decodeStub` derives a deterministic fake feature payload from the
+  * bytes. Everything around the kernels is the real Spark shape and is what
+  * matters at scale:
   *  - schema: `media_id BIGINT, kind STRING, bytes BINARY,
   *    meta STRUCT<width INT, height INT, sample_rate INT, duration_ms BIGINT>`
   *  - `mapPartitions` over a typed Dataset (the Scala analog of
@@ -100,9 +106,51 @@ object Multimodal {
     out
   }
 
+  /** REAL image decode via the JDK's `javax.imageio.ImageIO` — no external
+    * codec needed for PNG/GIF/BMP/JPEG. Returns None when the payload is
+    * not a decodable image (or ImageIO is unavailable in an exotic
+    * runtime), so callers degrade to the deterministic stub rather than
+    * failing the batch.
+    */
+  private[pipeline] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Throwable => None }
+
+  /** Encode pixels to PNG (lossless — the round trip is integer-exact). */
+  private[pipeline] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Nearest-neighbor resample with the SQL-portable mapping
+    * `src(x2*w/dw, y2*h/dh)` (integer division) — deterministic by
+    * construction, unlike `AffineTransformOp` whose rounding is
+    * implementation-defined.
+    */
+  private[pipeline] def resizeNN(img: java.awt.image.BufferedImage, dw: Int, dh: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < dh) {
+      var x = 0
+      while (x < dw) {
+        out.setRGB(x, y, img.getRGB(x * w / dw, y * h / dh) | 0xFF000000)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Decode + feature-extract: binary column → fixed-dim float feature.
     * Partition-local batches via `mapPartitions` (the Pandas-UDF shape);
     * the binary column is pruned away after this operator.
+    *
+    * Images that `ImageIO` can decode get REAL features — per-stripe mean
+    * luminance over actual pixels; everything else (audio/video, or image
+    * bytes that are not a decodable container) falls back to the
+    * deterministic byte-statistics stub.
     */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
     val spark = media.sparkSession
@@ -114,9 +162,38 @@ object Multimodal {
     ds.mapPartitions { it =>
       // one batch per partition: amortized setup (a real codec would open
       // its context once here), streaming through rows
-      it.map(m => FeatureRow(m.media_id, m.kind, m.bytes.length.toLong,
-        decodeStub(m.bytes, dim)))
+      it.map { m =>
+        val feature =
+          if (m.kind == "image") decodeImage(m.bytes) match {
+            case Some(img) => luminanceStripes(img, dim)
+            case None      => decodeStub(m.bytes, dim)
+          }
+          else decodeStub(m.bytes, dim)
+        FeatureRow(m.media_id, m.kind, m.bytes.length.toLong, feature)
+      }
     }.toDF()
+  }
+
+  /** Mean luminance (ITU-R 601 integer weights /256) per vertical stripe —
+    * a real pixel-derived feature with fully deterministic arithmetic.
+    */
+  private[pipeline] def luminanceStripes(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val sums = new Array[Long](dim)
+    val counts = new Array[Long](dim)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (77 * ((rgb >> 16) & 0xFF) + 150 * ((rgb >> 8) & 0xFF) + 29 * (rgb & 0xFF)) >> 8
+        val s = x * dim / w
+        sums(s) += lum; counts(s) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(dim)(i => if (counts(i) == 0) 0f else (sums(i).toDouble / counts(i) / 255.0).toFloat)
   }
 
   /** Frame-sample a video payload every `everyMs` ms: 1→n rows per input —
@@ -145,8 +222,11 @@ object Multimodal {
     }.df
   }
 
-  /** "Resize" images: STUB re-encode to a payload whose metadata reflects
-    * the new dimensions — exercises the binary-in/binary-out column shape.
+  /** Resize images — REAL: `ImageIO` decode → nearest-neighbor resample
+    * (`resizeNN`, SQL-portable integer mapping) → lossless PNG re-encode.
+    * Payloads that are not decodable images (and non-image kinds) pass
+    * through unchanged — the fallback guard that keeps a 100 TB batch alive
+    * when a blob is corrupt.
     */
   def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
     val spark = media.sparkSession
@@ -157,13 +237,106 @@ object Multimodal {
       .as[MediaRow]
     ds.map { m =>
       if (m.kind != "image") m
-      else {
-        val scaled = decodeStub(m.bytes, math.max(1, w * h / 64)).map(f => (f * 255).toByte) // STUB resample
-        m.copy(bytes = scaled, width = w, height = h)
+      else decodeImage(m.bytes) match {
+        case Some(img) => m.copy(bytes = encodePng(resizeNN(img, w, h)), width = w, height = h)
+        case None      => m // undecodable blob: pass through, don't kill the batch
       }
     }.toDF()
       .select(col("media_id"), col("kind"), col("bytes"),
         struct(col("width"), col("height"), col("sample_rate"), col("duration_ms"))
           .cast(mediaSchema("meta").dataType).as("meta")) // canonical (nullable) meta type
+  }
+
+  // ---------------------------------------------------------------------
+  // Oracle-checkable real-decode pipeline (`media_decode` contract query).
+  //
+  // DuckDB cannot decode PNG, so verifiability comes from making every
+  // pixel a pure integer function of (media_id, x, y): the engine ENCODES
+  // that formula to real PNG bytes, round-trips them through the REAL
+  // decode (+ the real resize operator), and emits integer pixel sums;
+  // the oracle recomputes the same sums analytically from the formula.
+  // PNG is lossless ⇒ any defect in the codec plumbing breaks the hashes.
+  // ---------------------------------------------------------------------
+
+  /** Pixel formula shared by generator and oracle (per channel, mod 256). */
+  @inline private[pipeline] def pxR(id: Long, x: Int, y: Int): Int = ((id * 7 + x * 3 + y * 5) % 256).toInt
+  @inline private[pipeline] def pxG(id: Long, x: Int, y: Int): Int = ((id * 11 + x * 5 + y * 7) % 256).toInt
+  @inline private[pipeline] def pxB(id: Long, x: Int, y: Int): Int = ((id * 13 + x * 7 + y * 11) % 256).toInt
+
+  /** Synthetic REAL PNGs, one per document id: `w = 16 + id%5`,
+    * `h = 12 + id%3`, pixels from the shared formula, encoded with the
+    * JDK PNG writer. Deterministic in `doc_id` only.
+    */
+  def syntheticPngs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (16 + id % 5).toInt
+        val h = (12 + id % 3).toInt
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (pxR(id, x, y) << 16) | (pxG(id, x, y) << 8) | pxB(id, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        MediaRow(id, "image", encodePng(img), w, h, 0, 0L)
+      }
+    }.toDF()
+      .select(col("media_id"), col("kind"), col("bytes"),
+        struct(col("width"), col("height"), col("sample_rate"), col("duration_ms"))
+          .cast(mediaSchema("meta").dataType).as("meta"))
+  }
+
+  /** Decode every image payload with the REAL codec and emit integer-exact
+    * pixel statistics — per-channel sum and max of the decoded image, plus
+    * the same stats after a round trip through the REAL `resizeImages`
+    * kernel (decode → nearest-neighbor `(rw,rh)` → PNG encode → decode).
+    * Undecodable payloads yield null stats (accounted, not dropped).
+    */
+  def decodePixelStats(media: DataFrame, rw: Int, rh: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val resized = resizeImages(media, rw, rh)
+      .select(col("media_id"), col("bytes").as("rs_bytes"))
+    media.select(col("media_id"), col("bytes"))
+      .join(resized, Seq("media_id"))
+      .as[(Long, Array[Byte], Array[Byte])]
+      .mapPartitions { it =>
+        def stats(bytes: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long, Long, Long)] =
+          decodeImage(bytes).map { img =>
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var (mr, mg, mb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                val (r, g, b) = ((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+                sr += r; sg += g; sb += b
+                if (r > mr) mr = r
+                if (g > mg) mg = g
+                if (b > mb) mb = b
+                x += 1
+              }
+              y += 1
+            }
+            (img.getWidth.toLong, img.getHeight.toLong, sr, sg, sb, mr, mg, mb)
+          }
+        it.map { case (id, orig, rs) =>
+          (stats(orig), stats(rs)) match {
+            case (Some((w, h, sr, sg, sb, mr, mg, mb)), Some((_, _, rsr, rsg, rsb, _, _, _))) =>
+              (id, true, w, h, sr, sg, sb, mr, mg, mb, rsr, rsg, rsb)
+            case _ =>
+              (id, false, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("media_id", "decoded", "w", "h", "sum_r", "sum_g", "sum_b",
+        "max_r", "max_g", "max_b", "rs_sum_r", "rs_sum_g", "rs_sum_b")
   }
 }

@@ -45,4 +45,35 @@ class TopKAggSpec extends AnyFunSuite {
       .map(r => (r.getLong(1), r.getDouble(2))).toSeq
     assert(got == Seq((10L, 0.9)))
   }
+
+  test("NaN and -0.0 scores: heap == window (Double.compare total order)") {
+    // NaN sorts LARGEST in Spark's SQL ordering and -0.0 < 0.0; the heap
+    // must agree with the window twin on both, and NaN rows must be
+    // evictable (primitive < would make them sticky in the heap)
+    val rows = Seq(
+      Row(1L, 1L, Double.NaN), Row(1L, 2L, Double.NaN), Row(1L, 3L, 1.0),
+      Row(1L, 4L, -0.0), Row(1L, 5L, 0.0), Row(1L, 6L, -1.0),
+      Row(2L, 7L, Double.NaN), Row(2L, 8L, Double.PositiveInfinity))
+    val scored = df(st, rows)
+    for (k <- Seq(1, 2, 3, 6)) {
+      val viaAgg = Similarity.topKTail(scored, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      val viaWin = Similarity.topKTailWindow(scored, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(viaAgg == viaWin, s"k=$k")
+    }
+    // k=1 keeps the NaN with the smallest id, ranked above +Inf
+    val top1 = Similarity.topKTail(scored, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 == Map(1L -> 1L, 2L -> 7L))
+  }
+
+  test("topk_by_score rejects non struct<double,long> input at analysis") {
+    graft.GraftExtensions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT topk_by_score(struct(1, 2), 3)").collect()
+    }
+    assert(e.getMessage.contains("struct<score:double,id:bigint>")
+      || e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
 }

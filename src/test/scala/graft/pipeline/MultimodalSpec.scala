@@ -58,24 +58,99 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats == Map(0L -> ("image", 3L), 1L -> ("audio", 6L), 2L -> ("video", 2L)))
   }
 
-  test("resizeImages: images get new dims + payload, others untouched") {
-    val m = Multimodal.syntheticMedia(spark, 6)
-    val r = Multimodal.resizeImages(m, 32, 32)
-    // encoder-derived schema marks primitives non-null; compare shape only
+  test("resizeImages REAL: decodable images resampled + re-encoded, others untouched") {
+    import org.apache.spark.sql.Row
+    val ds = new StructType().add("doc_id", LongType).add("text", StringType)
+    val docs = df(ds, Seq(Row(0L, "a"), Row(3L, "b"), Row(7L, "c")))
+    val m = Multimodal.syntheticPngs(docs)
+    val r = Multimodal.resizeImages(m, 7, 5)
     assert(r.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq ==
       Multimodal.mediaSchema.fields.map(f => (f.name, f.dataType.sql)).toSeq)
-    val metas = r.select(col("media_id"), col("kind"), col("meta.width")).collect()
-      .map(x => x.getLong(0) -> (x.getString(1), x.getInt(2))).toMap
-    metas.foreach { case (_, (kind, w)) =>
-      if (kind == "image") assert(w == 32) else assert(w != 32 || w == 32)
+    // every resized payload decodes to a real 7×5 image whose pixels obey
+    // the SQL-portable nearest-neighbor mapping src(x2*w/7, y2*h/5)
+    r.select(col("media_id"), col("bytes")).collect().foreach { row =>
+      val id = row.getLong(0)
+      val img = Multimodal.decodeImage(row.getAs[Array[Byte]](1)).get
+      assert(img.getWidth == 7 && img.getHeight == 5)
+      val (w, h) = ((16 + id % 5).toInt, (12 + id % 3).toInt)
+      for (y2 <- 0 until 5; x2 <- 0 until 7) {
+        val (sx, sy) = (x2 * w / 7, y2 * h / 5)
+        val rgb = img.getRGB(x2, y2)
+        assert(((rgb >> 16) & 0xFF) == Multimodal.pxR(id, sx, sy))
+        assert(((rgb >> 8) & 0xFF) == Multimodal.pxG(id, sx, sy))
+        assert((rgb & 0xFF) == Multimodal.pxB(id, sx, sy))
+      }
     }
-    assert(metas.values.exists(_._1 == "image"))
-    // non-image rows keep original bytes
-    val orig = m.filter(col("kind") =!= "image").select(col("media_id"), col("bytes")).collect()
+    // undecodable payloads (synthetic garbage bytes) pass through unchanged
+    // — the fallback guard that keeps a batch alive on a corrupt blob
+    val g = Multimodal.syntheticMedia(spark, 6)
+    val gAfter = Multimodal.resizeImages(g, 32, 32)
+      .select(col("media_id"), col("bytes")).collect()
       .map(x => x.getLong(0) -> x.getAs[Array[Byte]](1).toSeq).toMap
-    val after = r.filter(col("kind") =!= "image").select(col("media_id"), col("bytes")).collect()
+    val gOrig = g.select(col("media_id"), col("bytes")).collect()
       .map(x => x.getLong(0) -> x.getAs[Array[Byte]](1).toSeq).toMap
-    assert(orig == after)
+    assert(gAfter == gOrig)
+  }
+
+  test("syntheticPngs decode REAL: pixels equal the generator formula exactly") {
+    import org.apache.spark.sql.Row
+    val ds = new StructType().add("doc_id", LongType).add("text", StringType)
+    val docs = df(ds, Seq(Row(0L, "a"), Row(1L, "b"), Row(4L, "c"), Row(11L, "d")))
+    Multimodal.syntheticPngs(docs).select(col("media_id"), col("bytes")).collect().foreach { row =>
+      val id = row.getLong(0)
+      val img = Multimodal.decodeImage(row.getAs[Array[Byte]](1)).get
+      assert(img.getWidth == (16 + id % 5).toInt && img.getHeight == (12 + id % 3).toInt)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xFF) == Multimodal.pxR(id, x, y))
+        assert(((rgb >> 8) & 0xFF) == Multimodal.pxG(id, x, y))
+        assert((rgb & 0xFF) == Multimodal.pxB(id, x, y))
+      }
+    }
+  }
+
+  test("decodePixelStats: integer sums match analytic formula; garbage accounted") {
+    import org.apache.spark.sql.Row
+    val ds = new StructType().add("doc_id", LongType).add("text", StringType)
+    val docs = df(ds, Seq(Row(2L, "a"), Row(9L, "b")))
+    val stats = Multimodal.decodePixelStats(Multimodal.syntheticPngs(docs), 7, 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(2L, 9L)) {
+      val (w, h) = ((16 + id % 5).toInt, (12 + id % 3).toInt)
+      val px = for (y <- 0 until h; x <- 0 until w) yield
+        (Multimodal.pxR(id, x, y), Multimodal.pxG(id, x, y), Multimodal.pxB(id, x, y))
+      val rsPx = for (y2 <- 0 until 5; x2 <- 0 until 7) yield {
+        val (sx, sy) = (x2 * w / 7, y2 * h / 5)
+        (Multimodal.pxR(id, sx, sy), Multimodal.pxG(id, sx, sy), Multimodal.pxB(id, sx, sy))
+      }
+      val r = stats(id)
+      assert(r.getBoolean(1)) // decoded
+      assert(r.getLong(2) == w && r.getLong(3) == h)
+      assert(r.getLong(4) == px.map(_._1.toLong).sum && r.getLong(5) == px.map(_._2.toLong).sum
+        && r.getLong(6) == px.map(_._3.toLong).sum)
+      assert(r.getLong(7) == px.map(_._1).max && r.getLong(8) == px.map(_._2).max
+        && r.getLong(9) == px.map(_._3).max)
+      assert(r.getLong(10) == rsPx.map(_._1.toLong).sum && r.getLong(11) == rsPx.map(_._2.toLong).sum
+        && r.getLong(12) == rsPx.map(_._3.toLong).sum)
+    }
+    // undecodable payload: decoded=false row, not dropped
+    val bad = Multimodal.syntheticMedia(spark, 3).filter(col("kind") === "image")
+    val badStats = Multimodal.decodePixelStats(bad, 7, 5).collect()
+    assert(badStats.nonEmpty && badStats.forall(r => !r.getBoolean(1)))
+  }
+
+  test("extractFeatures uses REAL pixel luminance for decodable images") {
+    import org.apache.spark.sql.Row
+    val ds = new StructType().add("doc_id", LongType).add("text", StringType)
+    val docs = df(ds, Seq(Row(5L, "a")))
+    val m = Multimodal.syntheticPngs(docs)
+    val feat = Multimodal.extractFeatures(m, dim = 4).collect().head.getSeq[Float](3)
+    val img = Multimodal.decodeImage(
+      m.select(col("bytes")).collect().head.getAs[Array[Byte]](0)).get
+    assert(feat == Multimodal.luminanceStripes(img, 4).toSeq)
+    // and differs from what the byte-statistics stub would have produced
+    val stubbed = m.select(col("bytes")).collect().head.getAs[Array[Byte]](0)
+    assert(feat != Multimodal.decodeStub(stubbed, 4).toSeq)
   }
 
   test("imageInfo parses REAL png/jpeg/gif/bmp headers; garbage unrecognized") {
@@ -107,11 +182,28 @@ class MultimodalSpec extends AnyFunSuite {
       def le32(v: Int, off: Int): Unit = (0 until 4).foreach(i => b(off + i) = (v >>> (8 * i)).toByte)
       le32(w, 18); le32(-h, 22); b // negative height = top-down BMP; parsed as |h|
     }
+    // same as jpeg() but with 0xFF fill/padding bytes before the SOF marker
+    // (legal per the spec) and after the APP0 segment
+    def jpegPadded(w: Int, h: Int): Array[Byte] = {
+      val b = scala.collection.mutable.ArrayBuffer[Byte]()
+      b ++= Seq(0xFF, 0xD8).map(_.toByte)
+      b ++= Seq(0xFF, 0xE0, 0x00, 0x04, 0x00, 0x00).map(_.toByte) // APP0 segment
+      b ++= Seq(0xFF, 0xFF, 0xFF).map(_.toByte)                   // fill bytes
+      b ++= Seq(0xFF, 0xC0, 0x00, 0x0B, 0x08).map(_.toByte)       // SOF0, precision
+      b ++= Seq((h >>> 8), h & 0xFF, (w >>> 8), w & 0xFF, 0x01).map(_.toByte)
+      b ++= Seq(0x01, 0x11, 0x00).map(_.toByte)
+      b.toArray
+    }
+    // malformed: segment declares length 1 (< 2, impossible — length
+    // includes its own two bytes); must be rejected, not looped on
+    def jpegBadLen: Array[Byte] =
+      Seq(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x01, 0xFF, 0xC0).map(_.toByte).toArray
     val st = new StructType().add("media_id", LongType).add("kind", StringType).add("bytes", BinaryType)
     val d = df(st, Seq(
       Row(1L, "image", png(640, 480)), Row(2L, "image", jpeg(1920, 1080)),
       Row(3L, "image", gif(320, 200)), Row(4L, "image", bmp(100, 50)),
-      Row(5L, "image", Array.tabulate[Byte](40)(_.toByte))))
+      Row(5L, "image", Array.tabulate[Byte](40)(_.toByte)),
+      Row(6L, "image", jpegPadded(800, 600)), Row(7L, "image", jpegBadLen)))
     val got = Multimodal.imageInfo(d).collect()
       .map(r => r.getLong(0) -> (Option(r.getString(2)), Option(r.get(3)), Option(r.get(4)), r.getBoolean(5))).toMap
     assert(got(1L) == ((Some("png"), Some(640), Some(480), true)))
@@ -119,5 +211,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L) == ((Some("gif"), Some(320), Some(200), true)))
     assert(got(4L) == ((Some("bmp"), Some(100), Some(50), true)))
     assert(got(5L) == ((None, None, None, false)))
+    assert(got(6L) == ((Some("jpeg"), Some(800), Some(600), true)))
+    assert(got(7L) == ((None, None, None, false)))
   }
 }
