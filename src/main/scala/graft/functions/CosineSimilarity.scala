@@ -20,8 +20,15 @@ import org.apache.spark.sql.types._
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must be array<float>; enforced by callers (the Column entry
-  // point) rather than ExpectsInputTypes, which is private[sql]
+  // inputs must both be array<float> or both array<double>; enforced by
+  // callers (the Column entry points) rather than ExpectsInputTypes, which
+  // is private[sql]. The element type is read from the plan, so the float
+  // fast path pays nothing for the double variant's existence.
+  private lazy val isDouble: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable
   override def prettyName: String = "cosine_similarity"
@@ -35,8 +42,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (isDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (isDouble) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -52,6 +59,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val get = if (isDouble) "getDouble" else "getFloat"
       s"""
          |final int $n = $a.numElements();
          |if ($b.numElements() != $n) {
@@ -60,8 +68,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |}
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  final double $xi = (double) $a.getFloat($i);
-         |  final double $yi = (double) $b.getFloat($i);
+         |  final double $xi = (double) $a.$get($i);
+         |  final double $yi = (double) $b.$get($i);
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
          |${ev.value} = ($na == 0.0 || $nb == 0.0)
@@ -80,5 +88,16 @@ object CosineSimilarity {
     val af = a.cast(ArrayType(FloatType))
     val bf = b.cast(ArrayType(FloatType))
     bridge.column(CosineSimilarity(bridge.expression(af), bridge.expression(bf)))
+  }
+
+  /** Double-array variant — for quantized integer-valued vectors whose sum
+    * centroids exceed float's 2^24 exact-integer range (IVF portable
+    * training). Same fused loop; element accessor chosen at codegen time.
+    */
+  def applyD(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    val ad = a.cast(ArrayType(DoubleType))
+    val bd = b.cast(ArrayType(DoubleType))
+    bridge.column(CosineSimilarity(bridge.expression(ad), bridge.expression(bd)))
   }
 }
