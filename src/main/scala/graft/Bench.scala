@@ -34,40 +34,47 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
-    // SPARK_GRAFT_REPS=N: run each query N times and report the per-query
-    // MEDIAN. Single-run timings on this box swing ±20% (GC, page cache,
-    // thread scheduling) — medians are the only honest round-over-round
-    // comparison. Reps run per-query back-to-back (not whole-suite loops)
+    // Each query runs SPARK_GRAFT_REPS times (DEFAULT 5) and reports the
+    // per-query MEDIAN over its SUCCESSFUL reps. Single-run timings on this
+    // box swing ±20% (GC, page cache, thread scheduling) — medians are the
+    // only honest round-over-round comparison, so they are the default, not
+    // an opt-in. Reps run per-query back-to-back (not whole-suite loops)
     // so the cache-cold discipline applies to every rep identically.
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1).max(1)
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(5).max(1)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).flatMap { _ =>
         // each rep starts cache-cold: internal .cache() reuse within one
         // query is measured, cross-query cache leakage and its GC pressure
         // are not
         spark.sharedState.cacheManager.clearCache()
         System.gc()
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          // a swallowed failure would masquerade as a fast query — record it
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          System.err.println(s"[bench] $name FAILED: ${errors(name)}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            // a swallowed failure would masquerade as a fast query — record
+            // it AND exclude the rep from the median (a query failing fast
+            // on some reps must not report a flattering time)
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+            false
+          }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> median(times)
+      // all reps failed → NaN sentinel (JSON-ized below), never a fake time
+      name -> (if (times.isEmpty) Double.NaN else median(times))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v.isNaN) "null" else v.toString) }
       .mkString("{", ",", "}")
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filterNot(_.isNaN).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"failed":${errors.size},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -20,13 +20,27 @@ import org.apache.spark.sql.types._
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must both be array<float> or both array<double>; enforced by
-  // callers (the Column entry points) rather than ExpectsInputTypes, which
-  // is private[sql]. The element type is read from the plan, so the float
-  // fast path pays nothing for the double variant's existence.
+  // inputs must both be array<float> or both array<double> — enforced at
+  // analysis time by checkInputDataTypes below: the SQL-registered form
+  // (GraftExtensions) applies no casts, and a mixed float/double pair
+  // would read the packed UnsafeArrayData at the wrong element stride —
+  // silent garbage instead of an error. The element type is read from the
+  // plan, so the float fast path pays nothing for the double variant.
   private lazy val isDouble: Boolean = left.dataType match {
     case ArrayType(DoubleType, _) => true
     case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckSuccess
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckSuccess
+      case (l, r) => TypeCheckFailure(
+        s"cosine_similarity requires both inputs to be array<float> or both " +
+        s"array<double>, got ${l.simpleString(10)} and ${r.simpleString(10)} — " +
+        "cast both sides to a common element type")
+    }
   }
 
   override def dataType: DataType = DoubleType

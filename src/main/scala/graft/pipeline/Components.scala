@@ -43,6 +43,17 @@ object Components {
     * pointer jump); the loop exits early as soon as a round changes no
     * label, so the bound only matters for adversarially deep graphs.
     */
+  /** Thrown when the label-propagation loop exhausts `maxIter` with labels
+    * still changing: the partial labels would silently mis-assign documents
+    * to clusters (and the wrong documents would be kept/dropped downstream).
+    */
+  final class NonConvergenceException(iters: Int, lastChanged: Long)
+    extends IllegalStateException(
+      s"connectedComponents did not converge after $iters iterations " +
+      s"($lastChanged labels still changing). The graph is deeper than " +
+      s"2^$iters — raise maxIter (pointer jumping doubles reachable depth " +
+      "per round, so +1 iteration doubles the supported diameter).")
+
   def connectedComponents(pairs: DataFrame, srcCol: String = "doc_a",
                           dstCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
     // materialize the pair list BEFORE mirroring it: union branches get no
@@ -66,6 +77,7 @@ object Components {
 
     var iter = 0
     var converged = false
+    var lastChanged = 0L
     while (!converged && iter < maxIter) {
       // 1. neighbor-min: for each node, the smallest label in its closed
       //    neighborhood (partial aggregation makes this a map-side combine)
@@ -89,10 +101,15 @@ object Components {
       labels.unpersist() // withPrev is materialized — the old round can go
       labels = withPrev.drop("prev")
       converged = changed == 0L
+      lastChanged = changed
       iter += 1
     }
     edges.unpersist()
     p.unpersist()
+    // exhausting maxIter with labels still moving means the labels are
+    // PARTIAL — fail loudly rather than hand wrong clusters downstream
+    // (the changed-count is already on the driver; this check is free)
+    if (!converged) { labels.unpersist(); throw new NonConvergenceException(maxIter, lastChanged) }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
       (col("id") === col("label")).as("is_canonical"))
   }

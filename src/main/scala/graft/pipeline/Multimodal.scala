@@ -108,18 +108,29 @@ object Multimodal {
 
   /** REAL image decode via the JDK's `javax.imageio.ImageIO` — no external
     * codec needed for PNG/GIF/BMP/JPEG. Returns None when the payload is
-    * not a decodable image (or ImageIO is unavailable in an exotic
-    * runtime), so callers degrade to the deterministic stub rather than
-    * failing the batch.
+    * not a decodable image, so callers degrade to the deterministic stub
+    * rather than failing the batch. Only NonFatal decode errors degrade:
+    * a fatal error (OOM, interrupt) on a sick executor must fail the task,
+    * not silently emit stub features. The byte source is wrapped in a
+    * MemoryCacheImageInputStream explicitly — ImageIO's default disk-backed
+    * cache would create and delete a temp file PER ROW inside the
+    * mapPartitions hot loop (and fail outright on an unwritable tmpdir).
     */
   private[pipeline] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: Throwable => None }
+    try Option(javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))))
+    catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Encode pixels to PNG (lossless — the round trip is integer-exact). */
+  /** Encode pixels to PNG (lossless — the round trip is integer-exact).
+    * Memory-cached output stream for the same per-row-temp-file reason as
+    * [[decodeImage]].
+    */
   private[pipeline] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    javax.imageio.ImageIO.write(img, "png", ios)
+    ios.flush()
     bos.toByteArray
   }
 
@@ -294,44 +305,53 @@ object Multimodal {
 
   /** Decode every image payload with the REAL codec and emit integer-exact
     * pixel statistics — per-channel sum and max of the decoded image, plus
-    * the same stats after a round trip through the REAL `resizeImages`
-    * kernel (decode → nearest-neighbor `(rw,rh)` → PNG encode → decode).
+    * the same stats after a round trip through the REAL resize kernel
+    * (decode → nearest-neighbor `(rw,rh)` via `resizeNN` → PNG encode →
+    * decode — the exact transform `resizeImages` applies, run inline).
     * Undecodable payloads yield null stats (accounted, not dropped).
+    *
+    * ONE `mapPartitions` pass, ZERO shuffle: each payload is decoded once
+    * and both original and resized statistics are computed locally. (An
+    * earlier formulation joined the corpus with `resizeImages(corpus)` on
+    * media_id — two corpus-sized frames of PNG bytes through a shuffle, a
+    * scale-killer at 100 TB; `resizeImages` keeps its own spec coverage,
+    * and the differential spec pins this fused pass to its output.)
     */
   def decodePixelStats(media: DataFrame, rw: Int, rh: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val resized = resizeImages(media, rw, rh)
-      .select(col("media_id"), col("bytes").as("rs_bytes"))
     media.select(col("media_id"), col("bytes"))
-      .join(resized, Seq("media_id"))
-      .as[(Long, Array[Byte], Array[Byte])]
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        def stats(bytes: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long, Long, Long)] =
-          decodeImage(bytes).map { img =>
-            var (sr, sg, sb) = (0L, 0L, 0L)
-            var (mr, mg, mb) = (0L, 0L, 0L)
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                val rgb = img.getRGB(x, y)
-                val (r, g, b) = ((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
-                sr += r; sg += g; sb += b
-                if (r > mr) mr = r
-                if (g > mg) mg = g
-                if (b > mb) mb = b
-                x += 1
-              }
-              y += 1
+        def stats(img: java.awt.image.BufferedImage): (Long, Long, Long, Long, Long, Long, Long, Long) = {
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var (mr, mg, mb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val (r, g, b) = ((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+              sr += r; sg += g; sb += b
+              if (r > mr) mr = r
+              if (g > mg) mg = g
+              if (b > mb) mb = b
+              x += 1
             }
-            (img.getWidth.toLong, img.getHeight.toLong, sr, sg, sb, mr, mg, mb)
+            y += 1
           }
-        it.map { case (id, orig, rs) =>
-          (stats(orig), stats(rs)) match {
-            case (Some((w, h, sr, sg, sb, mr, mg, mb)), Some((_, _, rsr, rsg, rsb, _, _, _))) =>
+          (img.getWidth.toLong, img.getHeight.toLong, sr, sg, sb, mr, mg, mb)
+        }
+        it.map { case (id, orig) =>
+          val res = decodeImage(orig).flatMap { img =>
+            // resized stats go through the SAME lossy-free round trip the
+            // resizeImages operator ships: resample → PNG encode → decode
+            decodeImage(encodePng(resizeNN(img, rw, rh))).map(rs => (stats(img), stats(rs)))
+          }
+          res match {
+            case Some(((w, h, sr, sg, sb, mr, mg, mb), (_, _, rsr, rsg, rsb, _, _, _))) =>
               (id, true, w, h, sr, sg, sb, mr, mg, mb, rsr, rsg, rsb)
-            case _ =>
+            case None =>
               (id, false, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
           }
         }

@@ -25,6 +25,18 @@ class PlanGuardrailsSpec extends AnyFunSuite {
       s"queries with single-partition windows:\n  ${offenders.mkString("\n  ")}")
   }
 
+  test("media_decode is shuffle-free: no Exchange anywhere in the physical plan") {
+    // the whole pipeline (PNG generate → decode → resize round trip →
+    // integer stats) is partition-local; any Exchange means binary image
+    // payloads are crossing the wire — the 100 TB scale-killer an earlier
+    // join-based formulation had
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val plan = SparkEntry.queries("media_decode")(spark, sf).queryExecution.executedPlan
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.isEmpty,
+      s"media_decode plans ${exchanges.size} exchange(s):\n$plan")
+  }
+
   test("documents scans are column-pruned to what the query needs") {
     // a scan reading all 5 documents columns for a 2-column operator means
     // pruning never reached parquet — wrong at any scale, fatal at 100 TB

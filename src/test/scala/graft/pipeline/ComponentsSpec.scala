@@ -107,6 +107,20 @@ class ComponentsSpec extends AnyFunSuite {
     assert(kept == Set(5L, 20L, 99L)) // canonical per cluster + untouched singleton
   }
 
+  test("maxIter exhaustion with labels still moving THROWS, never returns partial labels") {
+    // a 63-node chain cannot converge in one round even with the pointer
+    // jump; silently returning the partial labels would mis-cluster (and
+    // downstream, keep/drop the wrong documents)
+    val pairs = (0L until 62L).map(i => Row(i, i + 1))
+    val d = df(pairSchema, pairs)
+    val ex = intercept[Components.NonConvergenceException] {
+      Components.connectedComponents(d, maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // and the documented remedy works: enough rounds → clean convergence
+    assert(Components.connectedComponents(d, maxIter = 8).collect().length == 63)
+  }
+
   test("empty pair list yields empty clustering") {
     val d = df(pairSchema, Nil)
     assert(Components.connectedComponents(d).collect().isEmpty)
