@@ -172,9 +172,14 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       pipeline.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
     }),
+    // PORTABLE IVF: integer-quantized Lloyd (fixed 2 iterations, centroids
+    // = exact integer sum vectors — cosine is scale-invariant so the mean's
+    // division never happens), fully replayed by the DuckDB oracle. The
+    // non-portable float-mean variant (Ivf.ivfTopK) stays spec-gated.
     "ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      pipeline.Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5, nCells = 16, nProbe = 4)
+      pipeline.Ivf.ivfTopKPortable(emb, emb.filter(col("vec_id") < 10), 5,
+        nCells = 16, nProbe = 4, iters = 2)
     }),
     "embed_neardup" -> ((s, d) =>
       pipeline.Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.4)),
@@ -916,6 +921,87 @@ object SparkEntry {
          SELECT query_id, vec_id, cos_sim, rk FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY cos_sim DESC, vec_id) AS rk FROM s)
+         WHERE rk <= 5""",
+    // Portable IVF replayed step by step: quantize (floor(x*1000+0.5)),
+    // seed with the 16 lowest vec_ids, two Lloyd rounds with INTEGER-SUM
+    // centroids (scale-invariant under cosine — no division anywhere),
+    // assign (first-max ties → lowest cell), probe top-4 cells (reverse-
+    // sort ties → highest cell), score with exact double-fold cosine on
+    // the original embeddings. All doubles are sequential folds in element
+    // order on both engines → bit-identical sims, identical cells, probes
+    // and rankings.
+    "ann_ivf" ->
+      """WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS ce,
+                  list_transform(embedding::DOUBLE[], x -> floor(x * 1000 + 0.5)) AS qv
+           FROM embeddings),
+         c0 AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cent
+           FROM (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT 16)),
+         sim1 AS (
+           SELECT e.vec_id, c.cell,
+             CASE WHEN list_dot_product(e.qv, e.qv) = 0 OR list_dot_product(c.cent, c.cent) = 0 THEN 0.0
+                  ELSE list_dot_product(e.qv, c.cent)
+                       / (sqrt(list_dot_product(e.qv, e.qv)) * sqrt(list_dot_product(c.cent, c.cent))) END AS sim
+           FROM e CROSS JOIN c0 c),
+         a1 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+             FROM sim1) WHERE rn = 1),
+         s1 AS (
+           SELECT a1.cell, p.pos, sum(e.qv[p.pos + 1])::BIGINT AS s
+           FROM a1 JOIN e USING (vec_id), LATERAL (SELECT unnest(range(64)) AS pos) p
+           GROUP BY a1.cell, p.pos),
+         c1l AS (SELECT cell, list(s::DOUBLE ORDER BY pos) AS cent FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.cell, coalesce(c1l.cent, c0.cent) AS cent
+                FROM c0 LEFT JOIN c1l USING (cell)),
+         sim2 AS (
+           SELECT e.vec_id, c.cell,
+             CASE WHEN list_dot_product(e.qv, e.qv) = 0 OR list_dot_product(c.cent, c.cent) = 0 THEN 0.0
+                  ELSE list_dot_product(e.qv, c.cent)
+                       / (sqrt(list_dot_product(e.qv, e.qv)) * sqrt(list_dot_product(c.cent, c.cent))) END AS sim
+           FROM e CROSS JOIN c1 c),
+         a2 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+             FROM sim2) WHERE rn = 1),
+         s2 AS (
+           SELECT a2.cell, p.pos, sum(e.qv[p.pos + 1])::BIGINT AS s
+           FROM a2 JOIN e USING (vec_id), LATERAL (SELECT unnest(range(64)) AS pos) p
+           GROUP BY a2.cell, p.pos),
+         c2l AS (SELECT cell, list(s::DOUBLE ORDER BY pos) AS cent FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.cell, coalesce(c2l.cent, c1.cent) AS cent
+                FROM c1 LEFT JOIN c2l USING (cell)),
+         simf AS (
+           SELECT e.vec_id, c.cell,
+             CASE WHEN list_dot_product(e.qv, e.qv) = 0 OR list_dot_product(c.cent, c.cent) = 0 THEN 0.0
+                  ELSE list_dot_product(e.qv, c.cent)
+                       / (sqrt(list_dot_product(e.qv, e.qv)) * sqrt(list_dot_product(c.cent, c.cent))) END AS sim
+           FROM e CROSS JOIN c2 c),
+         af AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+             FROM simf) WHERE rn = 1),
+         qp AS (
+           SELECT vec_id AS query_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+             FROM simf WHERE vec_id < 10) WHERE rn <= 4),
+         sc AS (
+           SELECT qp.query_id, af.vec_id,
+             round(CASE WHEN list_dot_product(q.ce, q.ce) = 0 OR list_dot_product(c.ce, c.ce) = 0 THEN 0.0
+                        ELSE list_dot_product(q.ce, c.ce)
+                             / (sqrt(list_dot_product(q.ce, q.ce)) * sqrt(list_dot_product(c.ce, c.ce))) END, 6) AS cos_sim
+           FROM qp JOIN af USING (cell)
+           JOIN e q ON q.vec_id = qp.query_id
+           JOIN e c ON c.vec_id = af.vec_id
+           WHERE af.vec_id <> qp.query_id)
+         SELECT query_id, vec_id, cos_sim, rk FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, vec_id) AS rk FROM sc)
          WHERE rk <= 5""",
     // Sign-LSH near-duplicate pairs: candidates agree on ≥1 band, verified
     // by exact cosine ≥ 0.4.

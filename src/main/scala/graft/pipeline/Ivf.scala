@@ -92,6 +92,112 @@ object Ivf {
     centroids
   }
 
+  // -------------------------------------------------------------------
+  // PORTABLE (oracle-checkable) IVF: integer-quantized Lloyd training the
+  // DuckDB oracle replays step by step.
+  //
+  // Three tricks make a k-means-trained index exactly reproducible across
+  // engines with zero accuracy compromise at scale:
+  //  1. vectors are quantized to integers (floor(x*1000 + 0.5) — the same
+  //     deterministic IEEE sequence on both engines);
+  //  2. centroids are INTEGER SUM VECTORS, never means: cosine similarity
+  //     is scale-invariant, so cos(v, Σ members) == cos(v, mean) and the
+  //     division — the only non-exact step of Lloyd — never happens.
+  //     Integer sums are associative, so Spark's distributed partial
+  //     aggregation and DuckDB's single-threaded SUM agree bit-for-bit;
+  //  3. every cosine is a sequential double fold in element order on both
+  //     engines (applyD here, list_dot_product there) — identical doubles,
+  //     so assignments, probe choices and rankings match exactly.
+  //
+  // Fixed iteration count (no convergence test), seeds = the k lowest
+  // vec_ids, ties on argmax broken toward the lowest cell — all replayable
+  // in SQL. See the `ann_ivf` oracle in SparkEntry.oracleSql.
+  // -------------------------------------------------------------------
+
+  /** Integer quantization of a float-array embedding (array<long>):
+    * `floor(x*1000 + 0.5)` per element — both engines compute the same
+    * double product, same floor.
+    */
+  def quantized(emb: Column): Column =
+    transform(emb.cast("array<double>"), x => floor(x * lit(1000.0d) + lit(0.5d)))
+
+  /** Cosine of the (long-integer) quantized vector against each integer
+    * centroid sum, as an array column. Double variant of the fused kernel
+    * (CosineSimilarity.applyD): quantized sums can exceed float's 2^24
+    * exact-integer range, doubles carry them exactly.
+    */
+  private def centroidSimsD(qv: Column, centroids: Array[Array[Double]]): Column =
+    array(centroids.toIndexedSeq.map(c => CosineSimilarity.applyD(qv, typedlit(c.toSeq))): _*)
+
+  /** First-max cell index over integer-centroid sims (ties → lowest cell —
+    * `array_position` returns the first occurrence).
+    */
+  def assignCellPortable(qv: Column, centroids: Array[Array[Double]]): Column = {
+    val sims = centroidSimsD(qv, centroids)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** Top-`nProbe` cells by quantized-cosine, descending (ties → higher
+    * cell, the reverse-sort convention shared with [[probeCells]]).
+    */
+  private def probeCellsPortable(qv: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
+    val sims = centroidSimsD(qv, centroids)
+    slice(reverse(array_sort(zip_with(sims,
+      sequence(lit(0), lit(centroids.length - 1)),
+      (s, i) => struct(s.as("s"), i.as("i"))))), 1, nProbe)
+      .getField("i")
+  }
+
+  /** Deterministic distributed Lloyd: `iters` fixed rounds; each round
+    * assigns every vector inside the plan and re-estimates centroids as
+    * exact integer component sums (k·dim longs to the driver — never the
+    * corpus). Empty cells keep their previous centroid.
+    */
+  def trainCentroidsPortable(corpus: DataFrame, k: Int, iters: Int = 2): Array[Array[Double]] = {
+    val q = corpus.select(col("vec_id"), quantized(col("embedding")).as("qv")).cache()
+    val seeds = q.orderBy(col("vec_id")).limit(k).select(col("qv")).collect()
+      .map(_.getSeq[Long](0).map(_.toDouble).toArray)
+    require(seeds.nonEmpty, "ivf: empty corpus")
+    var cents = seeds
+    for (_ <- 1 to iters) {
+      val sums = q
+        .select(assignCellPortable(col("qv"), cents).as("cell"), posexplode(col("qv")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col")).as("s")) // exact long sums — associative, engine-portable
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          val m = new Array[Double](seeds.head.length)
+          rows.foreach(r => m(r.getInt(1)) = r.getLong(2).toDouble)
+          cell -> m
+        }
+      cents = cents.indices.map(c => sums.getOrElse(c, cents(c))).toArray
+    }
+    q.unpersist()
+    cents
+  }
+
+  /** Oracle-checkable approximate top-k: portable quantized training, then
+    * the same cell-routing plan as [[ivfTopK]] — corpus tagged with its
+    * cell, queries explode their nProbe probe cells, equi-join on (cell),
+    * exact float-cosine scoring, heap top-k. Every step deterministic and
+    * replayed by the DuckDB oracle.
+    */
+  def ivfTopKPortable(corpus: DataFrame, queries: DataFrame, k: Int,
+                      nCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val centroids = trainCentroidsPortable(corpus, nCells, iters)
+    val c = Dedup.rebalance(corpus.select(col("vec_id"), col("embedding")))
+      .withColumn("cell", assignCellPortable(quantized(col("embedding")), centroids))
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(probeCellsPortable(quantized(col("embedding")), centroids, nProbe)).as("cell")))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(CosineSimilarity(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    Similarity.topKTail(scored, k)
+  }
+
   private def nearest(centroids: Array[Array[Float]], v: Array[Float]): Int = {
     var best = 0; var bestSim = Double.MinValue
     for (c <- centroids.indices) {

@@ -22,6 +22,24 @@ class IvfSpec extends AnyFunSuite {
     assert(stats.getLong(3) > 1, "k-means collapsed to a single cell")
   }
 
+  test("portable IVF: deterministic re-run, exact scores, valid cells") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val run1 = Ivf.ivfTopKPortable(emb, queries, 5, nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted
+    val run2 = Ivf.ivfTopKPortable(emb, queries, 5, nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted
+    assert(run1.nonEmpty && run1.sameElements(run2),
+      "portable training must be re-run deterministic — it is the oracle contract")
+    // scores are the exact brute-force cosines for every returned pair
+    val bruteAll = Similarity.bruteForceTopK(emb, queries, 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    run1.foreach { case (q, v, s, _) => assert(bruteAll((q, v)) == s, s"score mismatch ($q,$v)") }
+    // integer-sum centroids: every component is an exact integer
+    val cents = Ivf.trainCentroidsPortable(emb, k = 8, iters = 2)
+    assert(cents.length == 8 && cents.forall(_.forall(x => x == math.rint(x))),
+      "portable centroids must be exact integer sums")
+  }
+
   test("ivf top-k scores are exact for returned pairs; recall reasonable") {
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()

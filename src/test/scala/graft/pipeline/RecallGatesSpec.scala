@@ -24,6 +24,20 @@ class RecallGatesSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("portable IVF (the shipped ann_ivf contract) recall@5 ≥ 0.9 on sf0.1 embeddings") {
+    // the oracle proves the query computes exactly what it declares; this
+    // gate proves what it declares is a GOOD approximation of true top-k
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.1").cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ivf.ivfTopKPortable(emb, queries, 5, nCells = 16, nProbe = 4, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"portable IVF recall@5 = $recall < 0.9")
+    emb.unpersist()
+  }
+
   test("distributed Lloyd strictly refines the driver-sample quantizer's objective") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01").cache()
     def objective(cents: Array[Array[Float]]): Double =
