@@ -325,6 +325,54 @@ object RelationalQueries {
         round(col("sp") / (col("nb") - 1.0), 6).as("cov"))
   }
 
+  /** PORTABLE windowed covariance — the oracle-checkable contract for the
+    * windowed-covariance family ([[windowedCovarianceBatch]] and its
+    * streaming twin stay double-based for each other's differential spec).
+    * Two tricks make it engine-exact:
+    *  - values are cent-quantized at ingest, so per-bin aggregation — the
+    *    UNBOUNDED part at 100 TB — is an exact associative integer sum
+    *    (sc, n), and the bin mean sc/(100·n) is one double division of
+    *    exact integers: bit-identical on both engines;
+    *  - everything above bin level folds over lists SORTED by bin time
+    *    (the BM25 trick): channel means and Σ u·u' products are sequential
+    *    double folds in the same order on both engines. These lists are
+    *    BOUNDED by windowSec/binSec (6 here) — never by event volume — so
+    *    the collect_list is 100 TB-safe.
+    * The covariance is emitted UNROUNDED: every upstream double is
+    * bit-identical across engines, and the cent-quantized rationals land
+    * exactly ON the 1e-6 grid often enough that round(·,6) itself becomes
+    * the only cross-engine divergence (Spark's BigDecimal HALF_UP vs
+    * DuckDB's scaled-double rounding disagree on true half-ties — observed
+    * at -265.5416625). Bit-equal inputs need no absorbing round.
+    */
+  def windowedCovariancePortable(s: SparkSession, d: String,
+                                 windowSec: Long = 21600L, binSec: Long = 3600L): DataFrame = {
+    val binned = events(s, d)
+      .withColumn("w", (floor(unix_timestamp(col("ts")) / windowSec) * windowSec).cast("long"))
+      .withColumn("t", (floor(unix_timestamp(col("ts")) / binSec) * binSec).cast("long"))
+      .groupBy(col("w"), col("t"), col("event_type").as("c"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("sc"), count(lit(1)).as("n"))
+      .withColumn("v", col("sc") / (lit(100.0d) * col("n")))
+      .cache() // reused: channel means, bin counts, both self-join sides
+    val mu = binned.groupBy(col("w"), col("c"))
+      .agg(aggregate(array_sort(collect_list(struct(col("t"), col("v")))),
+             lit(0.0d), (a, x) => a + x.getField("v")).as("sv"),
+           count(lit(1)).as("bc"))
+      .select(col("w"), col("c"), (col("sv") / col("bc")).as("mean"))
+    val nb = binned.groupBy(col("w")).agg(countDistinct(col("t")).as("nb"))
+    val u = binned.join(mu, Seq("w", "c"))
+      .select(col("w"), col("t"), col("c"), (col("v") - col("mean")).as("u"))
+    val u2 = u.select(col("w"), col("t"), col("c").as("c2"), col("u").as("u2"))
+    u.join(u2, Seq("w", "t")).filter(col("c") <= col("c2"))
+      .groupBy(col("w"), col("c"), col("c2"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("t"), (col("u") * col("u2")).as("p")))),
+        lit(0.0d), (a, x) => a + x.getField("p")).as("sp"))
+      .join(nb, Seq("w")).filter(col("nb") > 1)
+      .select(col("w").as("win_start"), col("c"), col("c2"),
+        (col("sp") / (col("nb") - 1.0)).as("cov"))
+  }
+
   def rollupAgg(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))

@@ -46,6 +46,7 @@ object SparkEntry {
     "set_ops" -> RelationalQueries.setOps _,
     "rollup_agg" -> RelationalQueries.rollupAgg _,
     "sessionize_batch" -> ((s, d) => RelationalQueries.sessionizeBatch(s, d)),
+    "windowed_covariance" -> ((s, d) => RelationalQueries.windowedCovariancePortable(s, d)),
     "bpe_tokens" -> RelationalQueries.bpeTokens _,
     "string_funcs" -> RelationalQueries.stringFuncs _,
     "top_orders" -> RelationalQueries.topOrders _,
@@ -198,6 +199,19 @@ object SparkEntry {
           pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
             lit(20011L)).as("dst"))
       sources.GraphLoader.triangleCount(e)
+    }),
+    // --- portable integer-mass PageRank over the same hash-derived
+    // Graph500-style fixture as triangle_count: fixed 3 iterations, all
+    // BIGINT arithmetic, the DuckDB oracle unrolls the identical rounds ---
+    "pagerank" -> ((s, d) => {
+      val e = pipeline.Dedup.rebalance(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
+        .select(
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tv_"), col("l_orderkey"))),
+            lit(20011L)).as("src"),
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
+            lit(20011L)).as("dst"))
+      sources.GraphLoader.pageRankPortable(e, iters = 3)
     }),
     // --- relational frontend (SURVEY §3.2): op-tree lowered to Catalyst ---
     "raco_frontend" -> ((s, d) => {
@@ -652,6 +666,31 @@ object SparkEntry {
          JOIN und e2 ON e1.b = e2.a
          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
          GROUP BY e1.a""",
+    // Integer-mass PageRank, 3 unrolled rounds: same directed hash-derived
+    // edges as the engine, floor-division contributions, exact BIGINT sums.
+    "pagerank" ->
+      """WITH ed AS (
+           SELECT DISTINCT s, t FROM (
+             SELECT ('0x' || substring(md5('tv_' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 20011 AS s,
+                    ('0x' || substring(md5('tw_' || l_partkey::VARCHAR), 1, 15))::BIGINT % 20011 AS t
+             FROM lineitem)
+           WHERE s <> t),
+         nodes AS (SELECT DISTINCT v FROM (SELECT s AS v FROM ed UNION ALL SELECT t FROM ed)),
+         od AS (SELECT s, count(*)::BIGINT AS deg FROM ed GROUP BY s),
+         m0 AS (SELECT v, 1000000::BIGINT AS m FROM nodes),
+         c1 AS (SELECT ed.t AS v, sum((m0.m * 85) // (100 * od.deg))::BIGINT AS c
+                FROM ed JOIN od USING (s) JOIN m0 ON m0.v = ed.s GROUP BY ed.t),
+         m1 AS (SELECT n.v, (150000 + coalesce(c1.c, 0))::BIGINT AS m
+                FROM nodes n LEFT JOIN c1 USING (v)),
+         c2 AS (SELECT ed.t AS v, sum((m1.m * 85) // (100 * od.deg))::BIGINT AS c
+                FROM ed JOIN od USING (s) JOIN m1 ON m1.v = ed.s GROUP BY ed.t),
+         m2 AS (SELECT n.v, (150000 + coalesce(c2.c, 0))::BIGINT AS m
+                FROM nodes n LEFT JOIN c2 USING (v)),
+         c3 AS (SELECT ed.t AS v, sum((m2.m * 85) // (100 * od.deg))::BIGINT AS c
+                FROM ed JOIN od USING (s) JOIN m2 ON m2.v = ed.s GROUP BY ed.t),
+         m3 AS (SELECT n.v, (150000 + coalesce(c3.c, 0))::BIGINT AS m
+                FROM nodes n LEFT JOIN c3 USING (v))
+         SELECT v AS vertex, m AS rank_mass FROM m3""",
     // Vocabulary: (tf desc, token asc) is a total order — the top-k cut is
     // deterministic, so sorted-frame comparison is exact.
     "vocab_topk" ->
@@ -782,10 +821,40 @@ object SparkEntry {
                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe,
                 len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_ws
          FROM documents""",
-    // NOTE: no oracle for windowedCovarianceBatch — its covariances land
-    // exactly on 1e-6 rounding boundaries, where cross-engine double
-    // summation order flips the rounded digit (the round(sum(double))
-    // hazard). Verified instead by the streaming/batch differential spec.
+    // Portable windowed covariance: cent-quantized exact bin sums, then
+    // sorted sequential folds (the BM25 pattern) for every double
+    // aggregation above bin level — bit-identical doubles on both engines,
+    // compared UNROUNDED: the tidy cent-rationals land exactly on the 1e-6
+    // grid, where the engines' round() tie rules disagree — rounding would
+    // (and did) reintroduce the very divergence the folds eliminate.
+    // The double-based batch/streaming twins remain differentials of this.
+    "windowed_covariance" ->
+      """WITH b AS (
+           SELECT (floor(epoch(ts) / 21600) * 21600)::BIGINT AS w,
+                  (floor(epoch(ts) / 3600) * 3600)::BIGINT AS t,
+                  event_type AS c,
+                  sum(round(value * 100)::BIGINT)::BIGINT AS sc, count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2, 3),
+         bv AS (SELECT w, t, c, sc / (100.0 * n) AS v FROM b),
+         mu AS (
+           SELECT w, c,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    [x.v for x in list_sort(list(struct_pack(t := t, v := v)))]),
+                    (a, h) -> a + h) / count(*) AS mean
+           FROM bv GROUP BY w, c),
+         nb AS (SELECT w, count(DISTINCT t)::BIGINT AS nb FROM bv GROUP BY w),
+         u AS (SELECT bv.w, bv.t, bv.c, bv.v - mu.mean AS u
+               FROM bv JOIN mu ON bv.w = mu.w AND bv.c = mu.c),
+         sp AS (
+           SELECT u1.w AS w, u1.c AS c, u2.c AS c2,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    [x.p for x in list_sort(list(struct_pack(t := u1.t, p := u1.u * u2.u)))]),
+                    (a, h) -> a + h) AS sp
+           FROM u u1 JOIN u u2 ON u1.w = u2.w AND u1.t = u2.t
+           WHERE u1.c <= u2.c
+           GROUP BY u1.w, u1.c, u2.c)
+         SELECT sp.w AS win_start, c, c2, sp.sp / (nb.nb - 1.0) AS cov
+         FROM sp JOIN nb ON sp.w = nb.w WHERE nb.nb > 1""",
     "raco_frontend" ->
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
                 round(l_extendedprice * (1.0 + l_tax) * 100)::BIGINT / 100.0 AS taxed

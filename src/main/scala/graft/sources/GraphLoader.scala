@@ -117,6 +117,52 @@ object GraphLoader {
     tri
   }
 
+  /** PORTABLE (oracle-checkable) PageRank: rank carried as INTEGER MASS.
+    * Each of the fixed `iters` rounds every vertex receives
+    * `base + Σ_{(u,v)∈E} (mass(u)·dampNum) div (dampDen·outdeg(u))`
+    * — all BIGINT arithmetic (floor division, associative integer sums),
+    * so Spark's distributed aggregation and the DuckDB oracle's unrolled
+    * CTE chain agree exactly, bit for bit, with no floating point anywhere.
+    * The floor loses ≤1 mass unit per edge per round — with init=10^6 a
+    * relative error ≤ ~10^-4 vs real-valued PageRank, invisible to ranking
+    * use and a price worth paying for a driver-verifiable contract
+    * ([[pageRank]] stays as the real-valued variant with dangling-mass
+    * redistribution, spec-gated against an in-memory power iteration).
+    *
+    * Same iterative-DataFrame discipline as [[pageRank]]/`Components`:
+    * edges pre-partitioned on the probe key and persisted once, one join +
+    * one aggregation per round, eager `localCheckpoint` lineage cut.
+    * Returns (vertex, rank_mass).
+    */
+  def pageRankPortable(edges: DataFrame, iters: Int = 3,
+                       dampNum: Long = 85L, dampDen: Long = 100L,
+                       base: Long = 150000L, init: Long = 1000000L): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
+      .distinct().filter(col("s") =!= col("t"))
+    // pre-partitioned on s — the key every round's contribution join
+    // probes; only the (small) mass side moves per round
+    val ed = e.repartition(col("s")).persist(lvl)
+    val nodes = ed.select(col("s").as("v")).union(ed.select(col("t").as("v")))
+      .distinct().localCheckpoint(true)
+    val od = ed.groupBy(col("s")).agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    var mass = nodes.select(col("v"), lit(init).as("m")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = ed.join(od, Seq("s"))
+        .join(mass.withColumnRenamed("v", "s"), Seq("s"))
+        .select(col("t").as("v"),
+          expr(s"(m * ${dampNum}L) div (${dampDen}L * deg)").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("c"))
+      val next = nodes.join(contribs, Seq("v"), "left")
+        .select(col("v"), (lit(base) + coalesce(col("c"), lit(0L))).as("m"))
+        .localCheckpoint(true)
+      mass.unpersist()
+      mass = next
+    }
+    ed.unpersist()
+    mass.select(col("v").as("vertex"), col("m").as("rank_mass"))
+  }
+
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

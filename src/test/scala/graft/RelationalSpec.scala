@@ -51,4 +51,18 @@ class RelationalSpec extends AnyFunSuite {
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("portable windowed covariance ≈ the double-based batch twin (quantization only)") {
+    // the contract query quantizes values to cents; its covariances must
+    // track the unquantized operator within the quantization's effect on
+    // the deviations (|Δmean| ≤ 0.005 ⇒ |Δcov| well under 1.0 here —
+    // observed covariances are O(100))
+    val p = RelationalQueries.windowedCovariancePortable(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getDouble(3)).toMap
+    val b = RelationalQueries.windowedCovarianceBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getDouble(3)).toMap
+    assert(p.nonEmpty && p.keySet == b.keySet)
+    p.foreach { case (k, v) =>
+      assert(math.abs(v - b(k)) <= 1.0, s"$k: portable $v vs batch ${b(k)}") }
+  }
 }

@@ -56,6 +56,32 @@ class GraphLoaderSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-9) // mass conserved
   }
 
+  test("pageRankPortable matches an exact in-memory integer-mass iteration") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val es = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 4L), (5L, 6L), (6L, 5L))
+    val st = new StructType().add("src", LongType).add("dst", LongType)
+    val d = df(st, es.map(e => Row(e._1, e._2)))
+    val iters = 3
+    val got = GraphLoader.pageRankPortable(d, iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // exact replica: all-integer floor-division contributions
+    val vs = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val out = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var mass = vs.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = es.groupBy(_._2).view
+        .mapValues(_.map(e => (mass(e._1) * 85L) / (100L * out(e._1))).sum).toMap
+      mass = vs.map(v => v -> (150000L + in.getOrElse(v, 0L))).toMap
+    }
+    assert(got == mass, s"got $got want $mass")
+    // deterministic re-run — the oracle contract
+    val again = GraphLoader.pageRankPortable(d, iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("two-hop path counts = A·A via Join∘Agg (TableMult analog)") {
     val (r, c) = fixture()
     val adj = GraphLoader.loadIndexFiles(spark, r, c)
