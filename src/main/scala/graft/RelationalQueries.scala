@@ -311,6 +311,7 @@ object RelationalQueries {
       .groupBy(col("w"), col("t"), col("event_type").as("c"))
       .agg(avg(col("value")).as("v"))
       .cache() // reused: means, bin counts, both self-join sides
+    pipeline.InternalCaches.register(binned)
     val m = binned.groupBy(col("w"), col("c")).agg(avg(col("v")).as("mean"))
     val nb = binned.groupBy(col("w")).agg(countDistinct(col("t")).as("nb"))
     val u = binned.join(m, Seq("w", "c"))
@@ -354,6 +355,7 @@ object RelationalQueries {
       .agg(sum(round(col("value") * 100).cast("long")).as("sc"), count(lit(1)).as("n"))
       .withColumn("v", col("sc") / (lit(100.0d) * col("n")))
       .cache() // reused: channel means, bin counts, both self-join sides
+    pipeline.InternalCaches.register(binned)
     val mu = binned.groupBy(col("w"), col("c"))
       .agg(aggregate(array_sort(collect_list(struct(col("t"), col("v")))),
              lit(0.0d), (a, x) => a + x.getField("v")).as("sv"),

@@ -186,14 +186,14 @@ object Dedup {
     // Materialize base hashes, then the signature, each as a column before
     // the next multi-pass HOF consumes them: an inlined subexpression would
     // re-tokenize/re-hash once per family member (numHashes×) or per band.
-    val sigs = rebalance(docs)
+    val sigs = InternalCaches.register(rebalance(docs)
       .select(col("doc_id"),
         (if (portable) portableBaseHashes(shingles(tokens(col("text")), k))
          else shingleHashes(tokens(col("text")), k)).as("bh"))
       .select(col("doc_id"),
         (if (portable) minhashSignaturePortable(col("bh"), numHashes)
          else minhashSignature(col("bh"), numHashes)).as("sig"))
-      .cache() // consumed by both sides of the bucket self-join
+      .cache()) // consumed by both sides of the bucket self-join; released via InternalCaches
     val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
@@ -229,10 +229,10 @@ object Dedup {
     */
   def jaccardJoin(docs: DataFrame, k: Int = 3, minJaccard: Double = 0.5,
                   maxDf: Long = 0L): DataFrame = {
-    val sh = rebalance(docs)
+    val sh = InternalCaches.register(rebalance(docs)
       .select(col("doc_id"), array_distinct(shingleHashes(tokens(col("text")), k)).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
-      .cache() // exploded twice (both sides of the self-join)
+      .cache()) // exploded twice (both sides of the self-join); released via InternalCaches
     val ex0 = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("h"))
     val ex =
       if (maxDf <= 0) ex0
@@ -316,10 +316,10 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.bridge
     import org.apache.spark.sql.types.BinaryType
-    val evalH = rebalance(eval)
+    val evalH = InternalCaches.register(rebalance(eval)
       .select(explode(array_distinct(shingleHashes(tokens(col("text")), k))).as("h"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // sketch sizing needs the eval-distinct cardinality; evalH is the small
     // side and already persisted, so this count is a cheap cached job
     val n = math.max(evalH.count(), 1L)
@@ -377,9 +377,9 @@ object Dedup {
     // agg in front of the groupBy's exchange blocks ReuseExchange, so an
     // unpersisted frame would tokenize+hash the corpus twice. The cached
     // rows are two longs — the text never enters the cache.
-    val ng = rebalance(docs).select(col("doc_id"),
+    val ng = InternalCaches.register(rebalance(docs).select(col("doc_id"),
       explode(array_distinct(portableBaseHashes(shingles(tokens(col("text")), n)))).as("ng"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dfreq = ng.groupBy(col("ng")).agg(count(lit(1)).as("df"))
     ng.join(dfreq, Seq("ng"))
       .groupBy(col("doc_id"))
@@ -429,9 +429,9 @@ object Dedup {
     // Token hashes materialized as a column first — simhash scans them 64
     // times (once per bit); inlining the tokenizer would re-tokenize 64×.
     val th = if (portable) (t: Column) => PortableHash.hash60(t) else (t: Column) => xxhash64(t)
-    val sigs = rebalance(docs)
+    val sigs = InternalCaches.register(rebalance(docs)
       .select(col("doc_id"), transform(tokens(col("text")), th).as("th"))
-      .select(col("doc_id"), simhash(col("th")).as("sig")).cache()
+      .select(col("doc_id"), simhash(col("th")).as("sig")).cache())
     val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(3)),
           b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL))))

@@ -37,11 +37,11 @@ object Ranking {
     // matching the query (filtered before materialization — a few tokens,
     // not the document). Cached: both the stats aggregate and the postings
     // explode read it.
-    val base = Dedup.rebalance(docs)
+    val base = InternalCaches.register(Dedup.rebalance(docs)
       .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
       .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
         filter(col("t"), x => x.isin(queryTerms: _*)).as("mt"))
-      .cache()
+      .cache())
     // global scalars from ONE aggregate row: exact integer arithmetic, so
     // avgdl is combine-order-independent
     val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))

@@ -157,9 +157,9 @@ object Similarity {
               maxBucket: Int = 100000, multiProbe: Boolean = false): DataFrame = {
     // banded corpus is scanned twice (bucket counts + the probe join):
     // cache it so the 16 sign-bit dots per vector run once
-    val c = capBuckets(
+    val c = capBuckets(InternalCaches.register(
       withBands(Dedup.rebalance(corpus.select(col("vec_id"), col("embedding"))),
-        bands, planesPerBand, dim).cache(), maxBucket)
+        bands, planesPerBand, dim).cache()), maxBucket)
     val qBanded = withBands(queries.select(col("vec_id"), col("embedding")), bands, planesPerBand, dim)
     val qProbes =
       if (!multiProbe) qBanded
@@ -187,9 +187,9 @@ object Similarity {
                        bands: Int = 4, planesPerBand: Int = 4, dim: Int = 64,
                        maxBucket: Int = 100000): DataFrame = {
     // banded corpus feeds bucket counts + both self-join sides: cache it
-    val c = capBuckets(
+    val c = capBuckets(InternalCaches.register(
       withBands(Dedup.rebalance(corpus.select(col("vec_id"), col("embedding"))),
-        bands, planesPerBand, dim).cache(), maxBucket)
+        bands, planesPerBand, dim).cache()), maxBucket)
     val a = c.select(col("band"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = c.select(col("band"), col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, Seq("band", "bucket"))

@@ -95,20 +95,20 @@ object GraphLoader {
     // distinct, on attributes: filtering the projection would push a
     // predicate below it that re-evaluates the caller's src/dst
     // expressions once more per comparison side.
-    val und = edges
+    val und = graft.pipeline.InternalCaches.register(edges
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
-      .distinct().filter(col("a") =!= col("b")).persist(lvl)
+      .distinct().filter(col("a") =!= col("b")).persist(lvl))
     val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    val oriented = und
+    val oriented = graft.pipeline.InternalCaches.register(und
       .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
       .select(when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")), col("a")).otherwise(col("b")).as("u"),
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")), col("b")).otherwise(col("a")).as("v"))
-      .persist(lvl) // both sides of the wedge self-join
+      .persist(lvl)) // both sides of the wedge self-join; released via InternalCaches
     val wedges = oriented.join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
       .filter(col("v") < col("w")) // each unordered out-pair once; (v,w) canonical
     val tri = wedges.join(und, wedges("v") === und("a") && wedges("w") === und("b"))
