@@ -75,31 +75,44 @@ object Components {
       .select(col("id"), least(col("id"), col("m")).as("label"))
       .localCheckpoint(true)
 
+    // one propagation round: (id, prev, label) → same, with
+    // 1. neighbor-min: for each node, the smallest label in its closed
+    //    neighborhood (partial aggregation makes this a map-side combine)
+    // 2. pointer jump: label := label(label) — halves chain depth
+    // `prev` (the BATCH-start label) rides through untouched, so the
+    // convergence check after a batch costs no extra join.
+    def round(cur: DataFrame): DataFrame = {
+      val nbrMin = edges.join(cur.select(col("id"), col("label")),
+          edges("t") === col("id"))
+        .groupBy(col("s").as("nid")).agg(min(col("label")).as("nbr"))
+      val prop = cur.join(nbrMin, cur("id") === col("nid"), "left")
+        .select(cur("id"), cur("prev"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      val byId = prop.select(col("id").as("jid"), col("label").as("jlabel"))
+      prop.join(byId, prop("label") === col("jid"), "left")
+        .select(prop("id"), prop("prev"), coalesce(col("jlabel"), col("label")).as("label"))
+    }
+
     var iter = 0
     var converged = false
     var lastChanged = 0L
     while (!converged && iter < maxIter) {
-      // 1. neighbor-min: for each node, the smallest label in its closed
-      //    neighborhood (partial aggregation makes this a map-side combine)
-      val nbrMin = edges.join(labels, edges("t") === labels("id"))
-        .groupBy(col("s").as("id")).agg(min(col("label")).as("nbr"))
-      // the round-start label rides along as `prev`, so the convergence
-      // check below costs no extra join
-      val prop = labels.join(nbrMin.withColumnRenamed("id", "nid"),
-          labels("id") === col("nid"), "left")
-        .select(labels("id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-      // 2. pointer jump: label := label(label) — halves chain depth
-      val byId = prop.select(col("id").as("jid"), col("label").as("jlabel"))
-      // materialized + lineage cut HERE (see scaladoc); prop is referenced
-      // twice above, so an uncheckpointed plan would double every round
-      val withPrev = prop.join(byId, prop("label") === col("jid"), "left")
-        .select(prop("id"), col("prev"), coalesce(col("jlabel"), col("label")).as("label"))
-        .localCheckpoint(true)
+      // ONE round per checkpoint + driver sync. Round batching (two rounds
+      // per cut) was MEASURED SLOWER here both ways: uncheckpointed, round
+      // 2's three references re-run round 1's two-join plan (no cross-
+      // reference CSE — 6.6 s vs 3.9 s at sf0.1); with a mid-batch persist
+      // the extra storage materialization still nets +0.2 s. On graphs
+      // that converge in 2-3 pointer-jump rounds the loop's fixed cost is
+      // dominated by candidate generation, not the cut.
+      val start = labels.withColumn("prev", col("label"))
+      // materialized + lineage cut HERE (see scaladoc): the round
+      // references its input twice (neighbor-min + jump) — an
+      // uncheckpointed plan would double every round
+      val stepped = round(start).localCheckpoint(true)
       // one scalar to the driver per round; labels only ever decrease
-      val changed = withPrev.filter(col("label") < col("prev")).count()
-      labels.unpersist() // withPrev is materialized — the old round can go
-      labels = withPrev.drop("prev")
+      val changed = stepped.filter(col("label") < col("prev")).count()
+      labels.unpersist() // stepped is materialized — the old round can go
+      labels = stepped.drop("prev")
       converged = changed == 0L
       lastChanged = changed
       iter += 1
