@@ -267,6 +267,12 @@ object SparkEntry {
     "media_decode" -> ((s, d) =>
       pipeline.Multimodal.decodePixelStats(
         pipeline.Multimodal.syntheticPngs(Tables.documents(s, d)), rw = 7, rh = 5)),
+    // --- REAL audio decode (JDK javax.sound.sampled): synthetic WAVs with
+    // formula samples round-trip through the real PCM codec; integer
+    // sample stats recomputed analytically by the oracle. ---
+    "media_audio" -> ((s, d) =>
+      pipeline.Multimodal.decodeAudioStats(
+        pipeline.Multimodal.syntheticWavs(Tables.documents(s, d)))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1209,5 +1215,20 @@ object SparkEntry {
                 o.sum_r, o.sum_g, o.sum_b, o.max_r, o.max_g, o.max_b,
                 r2.rs_sum_r, r2.rs_sum_g, r2.rs_sum_b
          FROM dims d JOIN o USING (media_id) JOIN r2 USING (media_id)""",
+    // REAL WAV decode: the engine hand-assembles PCM containers from the
+    // sample formula, parses them back with the JDK's real audio codec
+    // (format chunk + frame extraction) and sums samples; the oracle
+    // evaluates the same integer formula analytically. PCM is lossless.
+    "media_audio" ->
+      """WITH dims AS (SELECT doc_id AS media_id, 800 + (doc_id % 5) * 100 AS n
+                       FROM documents),
+         sm AS (
+           SELECT media_id, n, ((media_id * 31 + i * 17) % 65536) - 32768 AS v
+           FROM dims, LATERAL (SELECT unnest(range(n)) AS i))
+         SELECT media_id, true AS decoded, 8000::BIGINT AS sample_rate,
+                max(n)::BIGINT AS n_samples,
+                sum(v)::BIGINT AS sum_s, min(v)::BIGINT AS min_s,
+                max(v)::BIGINT AS max_s, sum(abs(v))::BIGINT AS sum_abs
+         FROM sm GROUP BY media_id""",
   )
 }

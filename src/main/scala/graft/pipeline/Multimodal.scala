@@ -14,11 +14,12 @@ import org.apache.spark.sql.types._
   * `decodeImage`), features/resize operate on real pixel data, and the
   * `media_decode` contract query is integer-exact oracle-checked (PNG is
   * lossless, so pixel sums of a synthetically generated image survive the
-  * encode→decode round trip bit-for-bit). AUDIO/VIDEO decode kernels remain
-  * STUBS — no audio/video codecs exist in the JDK or this container —
-  * `decodeStub` derives a deterministic fake feature payload from the
-  * bytes. Everything around the kernels is the real Spark shape and is what
-  * matters at scale:
+  * encode→decode round trip bit-for-bit). AUDIO decode is REAL too:
+  * `javax.sound.sampled.AudioSystem` parses WAV/PCM containers (see
+  * `decodeWav`, contract query `media_audio`). VIDEO decode remains the
+  * one declared STUB — the JDK has no video codec — `decodeStub` derives a
+  * deterministic fake feature payload from the bytes. Everything around
+  * the kernels is the real Spark shape and is what matters at scale:
   *  - schema: `media_id BIGINT, kind STRING, bytes BINARY,
   *    meta STRUCT<width INT, height INT, sample_rate INT, duration_ms BIGINT>`
   *  - `mapPartitions` over a typed Dataset (the Scala analog of
@@ -301,6 +302,124 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("bytes"),
         struct(col("width"), col("height"), col("sample_rate"), col("duration_ms"))
           .cast(mediaSchema("meta").dataType).as("meta"))
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL audio decode (`media_audio` contract query): the JDK ships a real
+  // WAV/PCM codec in `javax.sound.sampled` — same play as ImageIO for
+  // images. Synthetic WAVs whose 16-bit samples are a pure integer formula
+  // of (media_id, i) are container-encoded, round-tripped through the REAL
+  // decoder (header parse, format negotiation, frame extraction), and
+  // reduced to integer sample statistics the oracle recomputes
+  // analytically. PCM is lossless ⇒ exact match. (Video remains the one
+  // declared stub — the JDK has no video codec.)
+  // ---------------------------------------------------------------------
+
+  /** Sample formula shared by generator and oracle: a 16-bit signed value,
+    * `((id·31 + i·17) mod 65536) − 32768`.
+    */
+  @inline private[pipeline] def wavSample(id: Long, i: Int): Int =
+    ((id * 31 + i * 17) % 65536).toInt - 32768
+
+  /** Hand-assembled RIFF/WAVE container (PCM mono 16-bit little-endian) —
+    * the WRITER is plain byte layout (deterministic, no codec needed);
+    * the READER in [[decodeWav]] is the JDK's real parser.
+    */
+  private[pipeline] def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)  // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  /** REAL WAV decode via `javax.sound.sampled.AudioSystem`: container and
+    * format parsed by the JDK codec, PCM frames extracted. Returns
+    * (sampleRate, samples) or None for payloads that are not valid audio
+    * (NonFatal only — a sick executor must fail the task, not emit stubs).
+    */
+  private[pipeline] def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Short])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+        else {
+          val raw = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(raw).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val out = new Array[Short](raw.length / 2)
+          var i = 0
+          while (i < out.length) { out(i) = bb.getShort(i * 2); i += 1 }
+          Some((fmt.getSampleRate.toInt, out))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Synthetic REAL WAVs, one per document id: `n = 800 + (id%5)·100`
+    * samples at 8 kHz from the shared formula. Deterministic in `doc_id`.
+    */
+  def syntheticWavs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (800 + (id % 5) * 100).toInt
+        val samples = Array.tabulate[Short](n)(i => wavSample(id, i).toShort)
+        MediaRow(id, "audio", encodeWav(samples, 8000), 0, 0, 8000, n * 1000L / 8000L)
+      }
+    }.toDF()
+      .select(col("media_id"), col("kind"), col("bytes"),
+        struct(col("width"), col("height"), col("sample_rate"), col("duration_ms"))
+          .cast(mediaSchema("meta").dataType).as("meta"))
+  }
+
+  /** Decode every audio payload with the REAL JDK codec and emit
+    * integer-exact sample statistics: count, sum, min, max, sum of
+    * absolute values — plus the codec-reported sample rate (a real parse
+    * of the format chunk, not the metadata column). One partition-local
+    * pass, zero shuffle; undecodable payloads yield decoded=false rows.
+    */
+  def decodeAudioStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeWav(bytes) match {
+            case Some((rate, samples)) =>
+              var (s, sa) = (0L, 0L)
+              var mn = Long.MaxValue
+              var mx = Long.MinValue
+              var i = 0
+              while (i < samples.length) {
+                val v = samples(i).toLong
+                s += v; sa += math.abs(v)
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                i += 1
+              }
+              (id, true, rate.toLong, samples.length.toLong, s, mn, mx, sa)
+            case None =>
+              (id, false, 0L, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("media_id", "decoded", "sample_rate", "n_samples",
+        "sum_s", "min_s", "max_s", "sum_abs")
   }
 
   /** Decode every image payload with the REAL codec and emit integer-exact

@@ -25,16 +25,17 @@ class PlanGuardrailsSpec extends AnyFunSuite {
       s"queries with single-partition windows:\n  ${offenders.mkString("\n  ")}")
   }
 
-  test("media_decode is shuffle-free: no Exchange anywhere in the physical plan") {
-    // the whole pipeline (PNG generate → decode → resize round trip →
-    // integer stats) is partition-local; any Exchange means binary image
-    // payloads are crossing the wire — the 100 TB scale-killer an earlier
-    // join-based formulation had
+  test("media decode queries are shuffle-free: no Exchange anywhere in the plan") {
+    // the whole pipeline (payload generate → decode → stats; for images
+    // also the resize round trip) is partition-local; any Exchange means
+    // binary media payloads are crossing the wire — the 100 TB
+    // scale-killer an earlier join-based formulation had
     import org.apache.spark.sql.execution.exchange.Exchange
-    val plan = SparkEntry.queries("media_decode")(spark, sf).queryExecution.executedPlan
-    val exchanges = plan.collect { case e: Exchange => e }
-    assert(exchanges.isEmpty,
-      s"media_decode plans ${exchanges.size} exchange(s):\n$plan")
+    for (q <- Seq("media_decode", "media_audio")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      val exchanges = plan.collect { case e: Exchange => e }
+      assert(exchanges.isEmpty, s"$q plans ${exchanges.size} exchange(s):\n$plan")
+    }
   }
 
   test("documents scans are column-pruned to what the query needs") {

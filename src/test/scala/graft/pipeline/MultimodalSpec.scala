@@ -139,6 +139,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(badStats.nonEmpty && badStats.forall(r => !r.getBoolean(1)))
   }
 
+  test("syntheticWavs decode REAL: JDK codec parses container, samples equal formula") {
+    import org.apache.spark.sql.Row
+    val ds = new StructType().add("doc_id", LongType).add("text", StringType)
+    val docs = df(ds, Seq(Row(0L, "a"), Row(3L, "b"), Row(7L, "c")))
+    Multimodal.syntheticWavs(docs).select(col("media_id"), col("bytes")).collect().foreach { row =>
+      val id = row.getLong(0)
+      val (rate, samples) = Multimodal.decodeWav(row.getAs[Array[Byte]](1)).get
+      assert(rate == 8000)
+      assert(samples.length == (800 + (id % 5) * 100).toInt)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        assert(s.toInt == Multimodal.wavSample(id, i), s"sample $i of wav $id") }
+    }
+  }
+
+  test("decodeAudioStats: integer sums match analytic formula; garbage accounted") {
+    import org.apache.spark.sql.Row
+    val ds = new StructType().add("doc_id", LongType).add("text", StringType)
+    val docs = df(ds, Seq(Row(2L, "a"), Row(9L, "b")))
+    val stats = Multimodal.decodeAudioStats(Multimodal.syntheticWavs(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(2L, 9L)) {
+      val n = (800 + (id % 5) * 100).toInt
+      val vs = (0 until n).map(i => Multimodal.wavSample(id, i).toLong)
+      val r = stats(id)
+      assert(r.getBoolean(1) && r.getLong(2) == 8000L && r.getLong(3) == n.toLong)
+      assert(r.getLong(4) == vs.sum && r.getLong(5) == vs.min && r.getLong(6) == vs.max)
+      assert(r.getLong(7) == vs.map(math.abs).sum)
+    }
+    // non-audio payloads: decoded=false row, not dropped
+    val bad = Multimodal.syntheticMedia(spark, 3)
+    val badStats = Multimodal.decodeAudioStats(bad).collect()
+    assert(badStats.length == 3 && badStats.forall(r => !r.getBoolean(1)))
+  }
+
   test("extractFeatures uses REAL pixel luminance for decodable images") {
     import org.apache.spark.sql.Row
     val ds = new StructType().add("doc_id", LongType).add("text", StringType)
