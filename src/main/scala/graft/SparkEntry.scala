@@ -273,6 +273,12 @@ object SparkEntry {
     "media_audio" -> ((s, d) =>
       pipeline.Multimodal.decodeAudioStats(
         pipeline.Multimodal.syntheticWavs(Tables.documents(s, d)))),
+    // --- REAL video frame extraction: RIFF/AVI chunk walk + per-frame
+    // DIB decode via the real ImageIO BMP codec; per-frame pixel sums
+    // recomputed analytically by the oracle. ---
+    "media_video" -> ((s, d) =>
+      pipeline.Multimodal.decodeVideoStats(
+        pipeline.Multimodal.syntheticAvis(Tables.documents(s, d)))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1230,5 +1236,27 @@ object SparkEntry {
                 sum(v)::BIGINT AS sum_s, min(v)::BIGINT AS min_s,
                 max(v)::BIGINT AS max_s, sum(abs(v))::BIGINT AS sum_abs
          FROM sm GROUP BY media_id""",
+    // REAL AVI frame extraction + BMP decode: the engine walks the RIFF
+    // chunk tree it assembled, decodes each DIB frame with the JDK BMP
+    // codec and sums channels per frame; the oracle evaluates the same
+    // integer formula over a (frame, x, y) grid. DIB is lossless.
+    "media_video" ->
+      """WITH dims AS (SELECT doc_id AS media_id, 8 + doc_id % 3 AS w,
+                              6 + doc_id % 2 AS h, 2 + doc_id % 3 AS nf
+                       FROM documents),
+         px AS (
+           SELECT media_id, f, w, h,
+             (media_id*7 + f*19 + x*3 + y*5) % 256 AS r,
+             (media_id*11 + f*23 + x*5 + y*7) % 256 AS g,
+             (media_id*13 + f*29 + x*7 + y*11) % 256 AS b
+           FROM dims,
+                LATERAL (SELECT unnest(range(nf)) AS f),
+                LATERAL (SELECT unnest(range(w)) AS x),
+                LATERAL (SELECT unnest(range(h)) AS y))
+         SELECT media_id, f::BIGINT AS frame_idx, true AS decoded,
+                max(w)::BIGINT AS w, max(h)::BIGINT AS h,
+                sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+                sum(b)::BIGINT AS sum_b
+         FROM px GROUP BY media_id, f""",
   )
 }

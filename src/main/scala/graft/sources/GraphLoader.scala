@@ -146,21 +146,27 @@ object GraphLoader {
     val nodes = ed.select(col("s").as("v")).union(ed.select(col("t").as("v")))
       .distinct().localCheckpoint(true)
     val od = ed.groupBy(col("s")).agg(count(lit(1)).as("deg")).localCheckpoint(true)
-    var mass = nodes.select(col("v"), lit(init).as("m")).localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    var mass = nodes.select(col("v"), lit(init).as("m"))
+    val cuts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (i <- 1 to iters) {
       val contribs = ed.join(od, Seq("s"))
         .join(mass.withColumnRenamed("v", "s"), Seq("s"))
         .select(col("t").as("v"),
           expr(s"(m * ${dampNum}L) div (${dampDen}L * deg)").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("c"))
-      val next = nodes.join(contribs, Seq("v"), "left")
+      mass = nodes.join(contribs, Seq("v"), "left")
         .select(col("v"), (lit(base) + coalesce(col("c"), lit(0L))).as("m"))
-        .localCheckpoint(true)
-      mass.unpersist()
-      mass = next
+      // each round references the previous mass ONCE (no convergence
+      // check — iterations are fixed), so lineage grows LINEARLY, not
+      // exponentially: no per-round materialization needed. Cut every 4
+      // rounds only to bound plan depth for large `iters`.
+      if (i % 4 == 0 && i < iters) { mass = mass.localCheckpoint(true); cuts += mass }
     }
+    val out = mass.select(col("v").as("vertex"), col("m").as("rank_mass"))
+      .localCheckpoint(true) // materialize before releasing the edge cache
+    cuts.foreach(_.unpersist())
     ed.unpersist()
-    mass.select(col("v").as("vertex"), col("m").as("rank_mass"))
+    out
   }
 
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {

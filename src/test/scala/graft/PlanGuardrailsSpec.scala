@@ -31,7 +31,7 @@ class PlanGuardrailsSpec extends AnyFunSuite {
     // binary media payloads are crossing the wire — the 100 TB
     // scale-killer an earlier join-based formulation had
     import org.apache.spark.sql.execution.exchange.Exchange
-    for (q <- Seq("media_decode", "media_audio")) {
+    for (q <- Seq("media_decode", "media_audio", "media_video")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
       val exchanges = plan.collect { case e: Exchange => e }
       assert(exchanges.isEmpty, s"$q plans ${exchanges.size} exchange(s):\n$plan")

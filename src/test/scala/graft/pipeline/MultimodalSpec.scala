@@ -173,6 +173,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(badStats.length == 3 && badStats.forall(r => !r.getBoolean(1)))
   }
 
+  test("syntheticAvis round-trip REAL: RIFF walk finds every frame, BMP codec decodes formula pixels") {
+    import org.apache.spark.sql.Row
+    val ds = new StructType().add("doc_id", LongType).add("text", StringType)
+    val docs = df(ds, Seq(Row(0L, "a"), Row(4L, "b"), Row(11L, "c")))
+    Multimodal.syntheticAvis(docs).select(col("media_id"), col("bytes")).collect().foreach { row =>
+      val id = row.getLong(0)
+      val (w, h, nf) = ((8 + id % 3).toInt, (6 + id % 2).toInt, (2 + id % 3).toInt)
+      val frames = Multimodal.extractAviFrames(row.getAs[Array[Byte]](1)).get
+      assert(frames.length == nf, s"avi $id frame count")
+      frames.zipWithIndex.foreach { case (dib, f) =>
+        val img = Multimodal.decodeDib(dib).get
+        assert(img.getWidth == w && img.getHeight == h)
+        for (y <- 0 until h; x <- 0 until w) {
+          val rgb = img.getRGB(x, y)
+          assert(((rgb >> 16) & 0xFF) == Multimodal.vR(id, f, x, y), s"avi $id frame $f px($x,$y) R")
+          assert(((rgb >> 8) & 0xFF) == Multimodal.vG(id, f, x, y))
+          assert((rgb & 0xFF) == Multimodal.vB(id, f, x, y))
+        }
+      }
+    }
+  }
+
+  test("decodeVideoStats: per-frame sums match analytic formula; garbage accounted") {
+    import org.apache.spark.sql.Row
+    val ds = new StructType().add("doc_id", LongType).add("text", StringType)
+    val docs = df(ds, Seq(Row(2L, "a"), Row(7L, "b")))
+    val stats = Multimodal.decodeVideoStats(Multimodal.syntheticAvis(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    for (id <- Seq(2L, 7L)) {
+      val (w, h, nf) = ((8 + id % 3).toInt, (6 + id % 2).toInt, (2 + id % 3).toInt)
+      for (f <- 0 until nf) {
+        val px = for (y <- 0 until h; x <- 0 until w) yield
+          (Multimodal.vR(id, f, x, y), Multimodal.vG(id, f, x, y), Multimodal.vB(id, f, x, y))
+        val r = stats((id, f.toLong))
+        assert(r.getBoolean(2) && r.getLong(3) == w && r.getLong(4) == h)
+        assert(r.getLong(5) == px.map(_._1.toLong).sum && r.getLong(6) == px.map(_._2.toLong).sum
+          && r.getLong(7) == px.map(_._3.toLong).sum)
+      }
+    }
+    // non-AVI payloads: one decoded=false row each, not dropped
+    val bad = Multimodal.decodeVideoStats(Multimodal.syntheticMedia(spark, 3)).collect()
+    assert(bad.length == 3 && bad.forall(r => !r.getBoolean(2) && r.getLong(1) == -1L))
+  }
+
   test("extractFeatures uses REAL pixel luminance for decodable images") {
     import org.apache.spark.sql.Row
     val ds = new StructType().add("doc_id", LongType).add("text", StringType)
