@@ -162,10 +162,13 @@ object Multimodal {
     * Partition-local batches via `mapPartitions` (the Pandas-UDF shape);
     * the binary column is pruned away after this operator.
     *
-    * Images that `ImageIO` can decode get REAL features — per-stripe mean
-    * luminance over actual pixels; everything else (audio/video, or image
-    * bytes that are not a decodable container) falls back to the
-    * deterministic byte-statistics stub.
+    * Every kind with a decodable payload gets REAL features: images →
+    * per-stripe mean luminance over actual pixels (`ImageIO`); audio →
+    * per-stripe mean absolute amplitude over actual PCM samples
+    * (`javax.sound`); video → first-frame luminance stripes (RIFF walk +
+    * BMP codec). Payloads no real codec can parse fall back to the
+    * deterministic byte-statistics stub — the guard that keeps a 100 TB
+    * batch alive on corrupt or exotic blobs.
     */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
     val spark = media.sparkSession
@@ -178,15 +181,33 @@ object Multimodal {
       // one batch per partition: amortized setup (a real codec would open
       // its context once here), streaming through rows
       it.map { m =>
-        val feature =
-          if (m.kind == "image") decodeImage(m.bytes) match {
-            case Some(img) => luminanceStripes(img, dim)
-            case None      => decodeStub(m.bytes, dim)
-          }
-          else decodeStub(m.bytes, dim)
-        FeatureRow(m.media_id, m.kind, m.bytes.length.toLong, feature)
+        val real: Option[Array[Float]] = m.kind match {
+          case "image" => decodeImage(m.bytes).map(luminanceStripes(_, dim))
+          case "audio" => decodeWav(m.bytes).map { case (_, s) => amplitudeStripes(s, dim) }
+          case "video" => extractAviFrames(m.bytes)
+            .flatMap(_.headOption).flatMap(decodeDib).map(luminanceStripes(_, dim))
+          case _ => None
+        }
+        FeatureRow(m.media_id, m.kind, m.bytes.length.toLong,
+          real.getOrElse(decodeStub(m.bytes, dim)))
       }
     }.toDF()
+  }
+
+  /** Mean absolute amplitude (scaled to [0,1]) per sample stripe — the
+    * audio sibling of [[luminanceStripes]], over REAL decoded PCM.
+    */
+  private[pipeline] def amplitudeStripes(samples: Array[Short], dim: Int): Array[Float] = {
+    val sums = new Array[Long](dim)
+    val counts = new Array[Long](dim)
+    val n = samples.length
+    var i = 0
+    while (i < n) {
+      val s = i * dim / math.max(n, 1)
+      sums(s) += math.abs(samples(i).toLong); counts(s) += 1
+      i += 1
+    }
+    Array.tabulate(dim)(j => if (counts(j) == 0) 0f else (sums(j).toDouble / counts(j) / 32768.0).toFloat)
   }
 
   /** Mean luminance (ITU-R 601 integer weights /256) per vertical stripe —

@@ -231,6 +231,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feat != Multimodal.decodeStub(stubbed, 4).toSeq)
   }
 
+  test("extractFeatures uses REAL codecs for audio (PCM amplitude) and video (frame luminance)") {
+    import org.apache.spark.sql.Row
+    val ds = new StructType().add("doc_id", LongType).add("text", StringType)
+    val docs = df(ds, Seq(Row(3L, "a")))
+    // audio: features = amplitude stripes over the REAL decoded samples
+    val wav = Multimodal.syntheticWavs(docs)
+    val aFeat = Multimodal.extractFeatures(wav, dim = 4).collect().head.getSeq[Float](3)
+    val (_, samples) = Multimodal.decodeWav(
+      wav.select(col("bytes")).collect().head.getAs[Array[Byte]](0)).get
+    assert(aFeat == Multimodal.amplitudeStripes(samples, 4).toSeq)
+    assert(aFeat != Multimodal.decodeStub(
+      wav.select(col("bytes")).collect().head.getAs[Array[Byte]](0), 4).toSeq)
+    // video: features = first-frame luminance stripes via the REAL BMP codec
+    val avi = Multimodal.syntheticAvis(docs)
+    val vFeat = Multimodal.extractFeatures(avi, dim = 4).collect().head.getSeq[Float](3)
+    val frame0 = Multimodal.decodeDib(Multimodal.extractAviFrames(
+      avi.select(col("bytes")).collect().head.getAs[Array[Byte]](0)).get.head).get
+    assert(vFeat == Multimodal.luminanceStripes(frame0, 4).toSeq)
+  }
+
   test("imageInfo parses REAL png/jpeg/gif/bmp headers; garbage unrecognized") {
     import org.apache.spark.sql.Row
     def png(w: Int, h: Int): Array[Byte] = {
