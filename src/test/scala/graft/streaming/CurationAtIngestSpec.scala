@@ -15,6 +15,40 @@ import graft.pipeline.{TextAnalysis, TrainingData}
 class CurationAtIngestSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("media decode at ingest: extractFeatures is stateless — streaming ≡ batch (real codecs)") {
+    // the multimodal kernels are partition-local mapPartitions transforms
+    // with no state, so a readStream of blobs can decode/triage/feature
+    // at ingest with the SAME operator the batch pipeline uses
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructType, LongType, StringType}
+    val ds = new StructType().add("doc_id", LongType).add("text", StringType)
+    val docs = TestSpark.df(ds, Seq(Row(1L, "a"), Row(4L, "b"), Row(9L, "c")))
+    // real payloads of all three kinds (PNG / WAV / AVI)
+    val batchMedia = Multimodal.syntheticPngs(docs)
+      .union(Multimodal.syntheticWavs(docs.select((col("doc_id") + 100).as("doc_id"))))
+      .union(Multimodal.syntheticAvis(docs.select((col("doc_id") + 200).as("doc_id"))))
+    val rows = batchMedia.collect()
+    val in = MemoryStream[Int]
+    val streamMedia = in.toDF().join(broadcast(batchMedia), lit(true)) // carrier join: re-emit blobs through a stream
+      .select(batchMedia.columns.map(col): _*)
+    val feats = Multimodal.extractFeatures(streamMedia, dim = 8)
+    val q = feats.writeStream.format("memory").queryName("media_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(0)
+      q.processAllAvailable()
+      val got = spark.table("media_stream").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getSeq[Float](3))).toMap
+      val batch = Multimodal.extractFeatures(batchMedia, dim = 8).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getSeq[Float](3))).toMap
+      assert(got == batch, "streaming decode must equal the batch twin")
+      assert(got.size == rows.length)
+    } finally q.stop()
+  }
+
   test("PII scrub + mixture sampling at ingest match their batch twins") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
