@@ -28,4 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 70 contract queries × whole-stage-codegen classes × bench reps exceed
+  // the JVM's default 240 MB reserved code cache late in a full bench
+  // suite; the resulting JIT sweep/deopt storms inflated late-alphabet
+  // queries ~3× (approx_distinct 0.7 s isolated vs 2.4 s in-suite).
+  "-XX:ReservedCodeCacheSize=1g",
 )

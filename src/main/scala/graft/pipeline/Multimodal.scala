@@ -120,8 +120,24 @@ object Multimodal {
     * cache would create and delete a temp file PER ROW inside the
     * mapPartitions hot loop (and fail outright on an unwritable tmpdir).
     */
+  /** Container magic sniff — four compares instead of a full ImageIO
+    * reader probe for payloads that are obviously not images. At corpus
+    * scale most undecodable blobs are rejected here for free.
+    */
+  @inline private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 8 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||                       // JPEG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||         // GIF
+      (b(0) == 'B' && b(1) == 'M'))                                         // BMP
+
+  @inline private def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
   private[pipeline] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(
+    if (!looksLikeImage(bytes)) None
+    else try Option(javax.imageio.ImageIO.read(
       new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))))
     catch { case scala.util.control.NonFatal(_) => None }
@@ -373,7 +389,8 @@ object Multimodal {
     * (NonFatal only — a sick executor must fail the task, not emit stubs).
     */
   private[pipeline] def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Short])] =
-    try {
+    if (!looksLikeWav(bytes)) None
+    else try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
@@ -556,6 +573,11 @@ object Multimodal {
         while (b.position() < end) {
           val id = fourcc()
           val sz = b.getInt
+          // bound BEFORE allocating: a corrupt blob declaring a 2 GB chunk
+          // must degrade to None, not OOM the executor (OutOfMemoryError is
+          // fatal and deliberately NOT caught below)
+          if (sz < 0 || b.position() + sz > bytes.length)
+            throw new java.io.IOException(s"bad RIFF chunk size $sz")
           if (id == "LIST") {
             val listEnd = b.position() + sz
             fourcc() // list type — frames can only live in chunks below
