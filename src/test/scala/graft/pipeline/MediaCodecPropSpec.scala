@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized property tests (pure JVM, fixed seed) for the hand-written
+  * media containers and their REAL JDK-codec round trips — these parsers
+  * run on untrusted bytes at corpus scale, so beyond the formula fixtures
+  * they must (a) round-trip ANY payload losslessly and (b) never throw or
+  * over-allocate on corrupted input, only degrade to None.
+  */
+class MediaCodecPropSpec extends AnyFunSuite {
+
+  private def randImage(rnd: scala.util.Random, w: Int, h: Int) = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rnd.nextInt() & 0xFFFFFF)
+    img
+  }
+
+  test("WAV: arbitrary 16-bit PCM round-trips bit-exactly through the JDK codec") {
+    val rnd = new scala.util.Random(41)
+    for (_ <- 1 to 60) {
+      val n = 1 + rnd.nextInt(400)
+      val rate = Seq(8000, 16000, 44100)(rnd.nextInt(3))
+      val samples = Array.fill[Short](n)(rnd.nextInt(65536).toShort)
+      val (gotRate, got) = Multimodal.decodeWav(Multimodal.encodeWav(samples, rate)).get
+      assert(gotRate == rate)
+      assert(got.sameElements(samples))
+    }
+  }
+
+  test("DIB: arbitrary RGB images round-trip bit-exactly through the BMP codec") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 40) {
+      val (w, h) = (1 + rnd.nextInt(24), 1 + rnd.nextInt(16))
+      val img = randImage(rnd, w, h)
+      val back = Multimodal.decodeDib(Multimodal.encodeDib(img)).get
+      assert(back.getWidth == w && back.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((back.getRGB(x, y) & 0xFFFFFF) == (img.getRGB(x, y) & 0xFFFFFF),
+          s"pixel ($x,$y) of ${w}x$h")
+    }
+  }
+
+  test("AVI: every frame round-trips; walker finds exactly the frames written") {
+    val rnd = new scala.util.Random(43)
+    for (_ <- 1 to 40) {
+      val (nf, w, h) = (1 + rnd.nextInt(5), 1 + rnd.nextInt(12), 1 + rnd.nextInt(8))
+      val frames = Seq.fill(nf)(Multimodal.encodeDib(randImage(rnd, w, h)))
+      val got = Multimodal.extractAviFrames(Multimodal.encodeAvi(frames, w, h, 10)).get
+      assert(got.length == nf)
+      got.zip(frames).foreach { case (a, b) => assert(a.sameElements(b)) }
+    }
+  }
+
+  test("corrupted containers degrade cleanly — never throw, never over-allocate") {
+    // flip/truncate random bytes of valid containers (size fields
+    // included, so huge/negative chunk sizes occur); every parser must
+    // return cleanly. This is the 100 TB corrupt-blob path.
+    val rnd = new scala.util.Random(44)
+    val samples = Array.tabulate[Short](50)(i => (i * 7).toShort)
+    for (i <- 1 to 150) {
+      val img = randImage(rnd, 6, 4)
+      val valid = i % 3 match {
+        case 0 => Multimodal.encodeWav(samples, 8000)
+        case 1 => Multimodal.encodeAvi(Seq(Multimodal.encodeDib(img)), 6, 4, 10)
+        case _ => Multimodal.encodePng(img)
+      }
+      val corrupted = valid.clone()
+      for (_ <- 0 until 1 + rnd.nextInt(6))
+        corrupted(rnd.nextInt(corrupted.length)) = rnd.nextInt(256).toByte
+      val truncated = corrupted.take(1 + rnd.nextInt(corrupted.length))
+      for (payload <- Seq(corrupted, truncated)) {
+        Multimodal.decodeWav(payload)        // must not throw
+        Multimodal.extractAviFrames(payload) // must not throw / OOM
+        Multimodal.decodeImage(payload)      // must not throw
+      }
+    }
+  }
+}
