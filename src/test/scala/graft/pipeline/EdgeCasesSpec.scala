@@ -74,4 +74,34 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Similarity.embeddingNearDup(oneVec, 0.5).count() == 0)
     assert(TrainingData.quantizeEmbeddings(noVecs).count() == 0)
   }
+
+  test("portable IVF: more cells than vectors still yields exact top-k behaviour") {
+    val es = new StructType().add("vec_id", LongType).add("embedding", ArrayType(FloatType))
+    val three = df(es, Seq(
+      Row(1L, (1 to 64).map(_.toFloat)),
+      Row(2L, (1 to 64).map(i => (65 - i).toFloat)),
+      Row(3L, (1 to 64).map(i => (i % 7).toFloat))))
+    // k=16 cells but only 3 vectors: seeds collapse to 3, training must
+    // not divide by zero or drop vectors; every vector lands in a cell
+    val r = Ivf.ivfTopKPortable(three, three, 2, nCells = 16, nProbe = 4, iters = 2)
+    assert(r.count() > 0)
+    assert(r.select("query_id").distinct().count() == 3)
+  }
+
+  test("portable pagerank: empty and self-loop-only edge lists") {
+    val st = new StructType().add("src", LongType).add("dst", LongType)
+    assert(graft.sources.GraphLoader.pageRankPortable(df(st, Nil)).count() == 0)
+    // self-loops are dropped — no vertices survive
+    val loops = df(st, Seq(Row(1L, 1L), Row(2L, 2L)))
+    assert(graft.sources.GraphLoader.pageRankPortable(loops).count() == 0)
+  }
+
+  test("portable windowed covariance: single-bin windows are filtered (cov undefined)") {
+    // sf0.001 events span many bins; restrict to one bin's worth by using
+    // a window equal to the bin size → nb == 1 everywhere → empty result
+    val r = graft.RelationalQueries.windowedCovariancePortable(
+      graft.TestSpark.spark, "/root/testdata/sf0.001",
+      windowSec = 3600L, binSec = 3600L)
+    assert(r.count() == 0)
+  }
 }
