@@ -322,7 +322,11 @@ object Multimodal {
   def syntheticPngs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    // rebalance the id list BEFORE the codec work: a one-file corpus scan
+    // is one partition, and without the spread every encode/decode below
+    // would run on a single task. Only doc_id longs cross the exchange —
+    // binary payloads are generated after it, and stay partition-local.
+    Dedup.rebalance(docs.select(col("doc_id"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val w = (16 + id % 5).toInt
         val h = (12 + id % 3).toInt
@@ -415,7 +419,8 @@ object Multimodal {
   def syntheticWavs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    // id-only rebalance before codec work — see syntheticPngs
+    Dedup.rebalance(docs.select(col("doc_id"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val n = (800 + (id % 5) * 100).toInt
         val samples = Array.tabulate[Short](n)(i => wavSample(id, i).toShort)
@@ -597,7 +602,8 @@ object Multimodal {
   def syntheticAvis(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    // id-only rebalance before codec work — see syntheticPngs
+    Dedup.rebalance(docs.select(col("doc_id"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val w = (8 + id % 3).toInt
         val h = (6 + id % 2).toInt
