@@ -68,7 +68,10 @@ object Multimodal {
     * equal the byte count the partition-local kernel observes.
     */
   def mediaFromDocs(docs: DataFrame): DataFrame =
-    docs.select(
+    // file-count-gated rebalance: a one-file corpus would otherwise put
+    // every downstream decode kernel on a single task (no-op when the
+    // input already has real splits)
+    Dedup.rebalance(docs).select(
       col("doc_id").as("media_id"),
       element_at(typedlit(Seq("image", "audio", "video")),
         (col("doc_id") % 3).cast(IntegerType) + 1).as("kind"),
