@@ -279,6 +279,10 @@ object SparkEntry {
     "media_video" -> ((s, d) =>
       pipeline.Multimodal.decodeVideoStats(
         pipeline.Multimodal.syntheticAvis(Tables.documents(s, d)))),
+    // --- media curation capstone: real decode → integer luminance filter
+    // → exact pixel-fingerprint dedup → portable split, one plan ---
+    "media_curate" -> ((s, d) =>
+      pipeline.Multimodal.curateMedia(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1221,6 +1225,33 @@ object SparkEntry {
                 o.sum_r, o.sum_g, o.sum_b, o.max_r, o.max_g, o.max_b,
                 r2.rs_sum_r, r2.rs_sum_g, r2.rs_sum_b
          FROM dims d JOIN o USING (media_id) JOIN r2 USING (media_id)""",
+    // Media curation capstone: the media_decode pixel formulas reduced to
+    // integer luminance + exact fingerprints, filtered/deduped/split with
+    // the same portable integer arithmetic the engine uses.
+    "media_curate" ->
+      """WITH dims AS (SELECT doc_id AS media_id, 16 + doc_id % 5 AS w, 12 + doc_id % 3 AS h
+                       FROM documents),
+         px AS (
+           SELECT media_id, w, h,
+             (media_id*7 + x*3 + y*5) % 256 AS r,
+             (media_id*11 + x*5 + y*7) % 256 AS g,
+             (media_id*13 + x*7 + y*11) % 256 AS b
+           FROM dims, LATERAL (SELECT unnest(range(w)) AS x), LATERAL (SELECT unnest(range(h)) AS y)),
+         st AS (
+           SELECT media_id, max(w) AS w, max(h) AS h,
+                  sum(r)::BIGINT AS sr, sum(g)::BIGINT AS sg, sum(b)::BIGINT AS sb
+           FROM px GROUP BY media_id),
+         q AS (
+           SELECT media_id, w, h, sr, sg, sb,
+                  (sr + sg + sb) // (3 * w * h) AS lum
+           FROM st
+           WHERE (sr + sg + sb) // (3 * w * h) BETWEEN 100 AND 160),
+         canon AS (SELECT min(media_id) AS media_id FROM q GROUP BY w, h, sr, sg, sb)
+         SELECT q.media_id, q.lum::BIGINT AS lum,
+                CASE WHEN ('0x' || substring(md5('msplit_' || q.media_id::VARCHAR), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+                     WHEN ('0x' || substring(md5('msplit_' || q.media_id::VARCHAR), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM q JOIN canon USING (media_id)""",
     // REAL WAV decode: the engine hand-assembles PCM containers from the
     // sample formula, parses them back with the JDK's real audio codec
     // (format chunk + frame extraction) and sums samples; the oracle

@@ -671,6 +671,34 @@ object Multimodal {
       .toDF("media_id", "frame_idx", "decoded", "w", "h", "sum_r", "sum_g", "sum_b")
   }
 
+  /** Media curation capstone — the composition proof for the multimodal
+    * surface, shaped like `TrainingData.prepareCorpus`: REAL decode →
+    * integer luminance quality filter → exact pixel-fingerprint dedup
+    * (min-id canonical) → portable hash split, end-to-end as ONE
+    * oracle-checked plan (`media_curate`). All observable values are
+    * integer-exact: `lum = (Σr+Σg+Σb) div (3·w·h)`, fingerprint =
+    * (w, h, channel sums), split = md5 bucket.
+    */
+  def curateMedia(docs: DataFrame, lumLo: Long = 100L, lumHi: Long = 160L): DataFrame = {
+    val stats = decodePixelStats(syntheticPngs(docs), rw = 7, rh = 5)
+      .filter(col("decoded"))
+      .withColumn("lum",
+        expr("(sum_r + sum_g + sum_b) div (3 * w * h)"))
+      .filter(col("lum").between(lumLo, lumHi))
+    // exact-fingerprint dedup: keep the min media_id per identical
+    // (dims + channel sums) — shuffles seven longs per row, never pixels
+    val canon = stats.groupBy(col("w"), col("h"), col("sum_r"), col("sum_g"), col("sum_b"))
+      .agg(min(col("media_id")).as("media_id"))
+      .select(col("media_id"))
+    stats.join(canon, Seq("media_id"), "left_semi")
+      .select(col("media_id"), col("lum"),
+        when(pmod(graft.functions.PortableHash.hash60(
+          concat(lit("msplit_"), col("media_id"))), lit(100L)) < 80, "train")
+          .when(pmod(graft.functions.PortableHash.hash60(
+            concat(lit("msplit_"), col("media_id"))), lit(100L)) < 90, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Decode every image payload with the REAL codec and emit integer-exact
     * pixel statistics — per-channel sum and max of the decoded image, plus
     * the same stats after a round trip through the REAL resize kernel
