@@ -31,6 +31,7 @@ object Bench {
       // same cache discipline as the timed loop — without it, queries
       // caching the same frame trip "already cached" warnings here
       spark.sharedState.cacheManager.clearCache()
+      graft.pipeline.InternalCaches.release()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
@@ -50,8 +51,10 @@ object Bench {
       val times = (1 to reps).flatMap { _ =>
         // each rep starts cache-cold: internal .cache() reuse within one
         // query is measured, cross-query cache leakage and its GC pressure
-        // are not
+        // are not. InternalCaches.release() also empties the registry so
+        // thousands of rep-scoped Dataset/plan objects don't pin driver heap.
         spark.sharedState.cacheManager.clearCache()
+        graft.pipeline.InternalCaches.release()
         System.gc()
         val t0 = System.nanoTime()
         val ok =

@@ -18,8 +18,10 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       // queries caching the same frames would otherwise trip
-      // "already cached" warnings across the sequential run
+      // "already cached" warnings across the sequential run; release() also
+      // drops the per-query InternalCaches registry entries (driver heap)
       spark.sharedState.cacheManager.clearCache()
+      graft.pipeline.InternalCaches.release()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

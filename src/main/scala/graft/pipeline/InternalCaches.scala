@@ -16,14 +16,20 @@ import org.apache.spark.sql.Dataset
   *    drop all operator-internal executor storage at once. Releasing early
   *    is always SAFE — an unpersisted frame recomputes from lineage — it
   *    only costs time.
-  * `Bench`/`Verify` get the same effect through
-  * `spark.sharedState.cacheManager.clearCache()`, which this registry
-  * complements for sessions that must not clear USER caches too.
+  * `Bench`/`Verify` call [[release]] per query in addition to
+  * `cacheManager.clearCache()` — the latter frees executor storage but not
+  * registry entries, and a 70-query × 5-rep run would otherwise accumulate
+  * thousands of Dataset/plan objects on the driver heap.
   *
-  * Identity-keyed: registering the same frame twice is a no-op; dropped
-  * references stay released until [[release]] clears the registry (the
-  * registry holds strong references, so callers relying on GC-driven
-  * ContextCleaner cleanup should still call [[release]]).
+  * Identity-keyed: registering the same frame twice is a no-op. References
+  * are deliberately STRONG: Spark's CacheManager pins the cached plan and
+  * its executor blocks regardless of whether any Dataset wrapper is still
+  * reachable, so a weakly-held registry entry would be GC'd while the
+  * storage it exists to free lives on — release() would silently skip it
+  * (measured: the internal frames of a consumed `minhashPairs` are
+  * unreachable by the time release() runs). Driver-heap growth across a
+  * many-query run is instead bounded by calling [[release]] per query,
+  * which Bench and Verify both do.
   */
 object InternalCaches {
   private val registry = new java.util.IdentityHashMap[Dataset[_], Unit]()

@@ -129,10 +129,12 @@ object Multimodal {
     */
   @inline private def looksLikeImage(b: Array[Byte]): Boolean =
     b.length >= 8 && (
-      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
-      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||                       // JPEG
-      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||         // GIF
-      (b(0) == 'B' && b(1) == 'M'))                                         // BMP
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||   // PNG
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||                         // JPEG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||           // GIF
+      (b(0) == 'B' && b(1) == 'M') ||                                         // BMP
+      (b(0) == 'I' && b(1) == 'I' && b(2) == 0x2A.toByte && b(3) == 0) ||     // TIFF LE
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 0x2A.toByte))       // TIFF BE
 
   @inline private def looksLikeWav(b: Array[Byte]): Boolean =
     b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
@@ -222,7 +224,10 @@ object Multimodal {
     val n = samples.length
     var i = 0
     while (i < n) {
-      val s = i * dim / math.max(n, 1)
+      // Long arithmetic: i*dim in Int overflows (negative index) beyond
+      // ~134M samples — a valid 4.5 h WAV at 8 kHz with dim=16. n > 0 is
+      // guaranteed inside the loop (i < n).
+      val s = (i.toLong * dim / n).toInt
       sums(s) += math.abs(samples(i).toLong); counts(s) += 1
       i += 1
     }
@@ -583,8 +588,10 @@ object Multimodal {
           val sz = b.getInt
           // bound BEFORE allocating: a corrupt blob declaring a 2 GB chunk
           // must degrade to None, not OOM the executor (OutOfMemoryError is
-          // fatal and deliberately NOT caught below)
-          if (sz < 0 || b.position() + sz > bytes.length)
+          // fatal and deliberately NOT caught below). The sum is computed in
+          // Long: with Int arithmetic a sz near Int.MaxValue overflows the
+          // sum negative, the guard passes, and the allocation OOMs anyway.
+          if (sz < 0 || b.position().toLong + sz > bytes.length)
             throw new java.io.IOException(s"bad RIFF chunk size $sz")
           if (id == "LIST") {
             val listEnd = b.position() + sz

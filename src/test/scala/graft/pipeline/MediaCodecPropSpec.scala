@@ -52,6 +52,44 @@ class MediaCodecPropSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI: chunk size near Int.MaxValue degrades to None (no Int-overflow allocation)") {
+    // Adversarial case the random fuzz is unlikely to hit: a declared chunk
+    // size that makes `position + sz` overflow Int. The bounds check must be
+    // computed in Long, so the guard fires BEFORE the ~2 GB allocation.
+    for (sz <- Seq(Int.MaxValue - 10, Int.MaxValue - 30, Int.MaxValue)) {
+      val b = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(24)
+        .put("AVI ".getBytes("US-ASCII"))
+        .put("00db".getBytes("US-ASCII")).putInt(sz)
+      assert(Multimodal.extractAviFrames(b.array()).isEmpty)
+    }
+  }
+
+  test("amplitudeStripes: stripe index computed in Long (no i*dim Int overflow)") {
+    // i*dim overflows Int once i*dim > 2^31; with dim = 2^20 that happens at
+    // i = 2048 — cheap to reach, unlike the 134M-sample WAV it stands in for.
+    val dim = 1 << 20
+    val samples = Array.tabulate[Short](4096)(i => (i % 128).toShort)
+    val out = Multimodal.amplitudeStripes(samples, dim) // pre-fix: AIOOBE
+    assert(out.length == dim)
+    assert(out.forall(v => v >= 0f && v <= 1f))
+  }
+
+  test("TIFF: JDK ImageIO TIFF payloads pass the magic sniff and decode for real") {
+    // JDK 9+ ships a TIFF plugin; the sniff must not shunt TIFF payloads to
+    // the stub-feature path. Round trip through the real writer/reader.
+    val rnd = new scala.util.Random(45)
+    val img = randImage(rnd, 9, 7)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    assert(javax.imageio.ImageIO.write(img, "tiff", ios), "JDK TIFF writer expected")
+    ios.flush()
+    val back = Multimodal.decodeImage(bos.toByteArray)
+    assert(back.nonEmpty, "TIFF magic (II*\\0 / MM\\0*) must pass looksLikeImage")
+    for (y <- 0 until 7; x <- 0 until 9)
+      assert((back.get.getRGB(x, y) & 0xFFFFFF) == (img.getRGB(x, y) & 0xFFFFFF))
+  }
+
   test("corrupted containers degrade cleanly — never throw, never over-allocate") {
     // flip/truncate random bytes of valid containers (size fields
     // included, so huge/negative chunk sizes occur); every parser must
