@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSimilarity, ImageHeader, LshBuckets, MinHashSig, PortableHash60, SimHash64, TopKByScore}
+import graft.functions.{CosineSimilarity, ImageHeader, KmvSmallest, LshBuckets, MinHashSig, PortableHash60, SimHash64, TopKByScore}
 
 /** Session extension: registers the engine's native functions for SQL use.
   *
@@ -67,6 +67,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "topk_by_score expects (struct<score,id>, k)")
         TopKByScore(children.head, intLit(children(1), "topk_by_score k"))
+      }),
+    (FunctionIdentifier("kmv_smallest"),
+      new ExpressionInfo(classOf[KmvSmallest].getName, "kmv_smallest"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kmv_smallest expects (bigint, k)")
+        KmvSmallest(children.head, intLit(children(1), "kmv_smallest k"))
       }))
 
   private def intLit(e: Expression, what: String): Int = e match {

@@ -230,11 +230,45 @@ object RelationalQueries {
         coalesce(col("spent"), lit(0.0d)).as("total_spent"))
   }
 
-  /** HLL sketch surface: approximate distinct counts (rows-only check —
-    * Spark's HLL++ and DuckDB's sketch give different estimates by design;
-    * the spec pins the error bound instead).
+  /** Approximate distinct counts via the KMV (k-minimum-values) sketch —
+    * an approximate operator with an EXACT correctness contract: the k
+    * smallest distinct `portable_hash60(user_id)` values per group are
+    * deterministic, so the DuckDB oracle replays the sketch (row_number
+    * over hash order) and the estimate `floor((k-1)·2^60 / h_k)` —
+    * exact-double constants, one IEEE division, floor — bit-matches.
+    * Fewer than k retained hashes IS the exact distinct count.
+    *
+    * Scale shape: no distinct pre-shuffle — partial KMV buffers build
+    * map-side on raw rows (duplicates collapse in the buffer) and only
+    * ≤ k longs per group cross the shuffle. The HLL++ variant (engine-
+    * specific internals, no oracle possible) lives on as
+    * [[approxDistinctHll]], spec-gated within 10% of exact.
+    * `exact_users` stays in the result as the oracle-side accuracy
+    * witness (a real 100 TB run would drop it — it is the expensive
+    * distinct the sketch exists to avoid).
     */
-  def approxDistinct(s: SparkSession, d: String): DataFrame =
+  def approxDistinct(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val k = 256
+    val mins = bridge.column(graft.functions.KmvSmallest(
+      bridge.expression(graft.functions.PortableHash.hash60(col("user_id"))), k)
+      .toAggregateExpression())
+    events(s, d).groupBy(col("event_type"))
+      .agg(mins.as("mins"), countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"),
+        when(size(col("mins")) < k, size(col("mins")).cast("long"))
+          .otherwise(floor(lit((k - 1).toDouble * math.pow(2.0, 60)) /
+            element_at(col("mins"), k).cast("double")).cast("long"))
+          .as("est_users"),
+        col("exact_users"))
+  }
+
+  /** HLL sketch surface (spec-gated twin of [[approxDistinct]]): Spark's
+    * HLL++ and any other engine's sketch give different estimates by
+    * design, so this variant is not oracle-checkable — `RecallGatesSpec`
+    * pins the error bound instead.
+    */
+  def approxDistinctHll(s: SparkSession, d: String): DataFrame =
     events(s, d).groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
            countDistinct(col("user_id")).as("exact_users"))

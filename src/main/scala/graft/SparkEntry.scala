@@ -384,6 +384,33 @@ object SparkEntry {
       """SELECT l_orderkey, count(DISTINCT l_suppkey)::BIGINT AS n_supp,
                 count(DISTINCT l_partkey)::BIGINT AS n_part
          FROM lineitem GROUP BY l_orderkey""",
+    // KMV distinct sketch replay: the k smallest distinct portable hashes
+    // are deterministic, so the oracle re-runs the SKETCH itself (not just
+    // the exact count) — row_number over hash order ≤ k, estimate =
+    // floor((k-1)·2^60 / h_k), every constant exactly representable in
+    // double and the one division IEEE-identical on both engines.
+    "approx_distinct" ->
+      """WITH h AS (
+           SELECT DISTINCT event_type,
+                  ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+           FROM events),
+         r AS (
+           SELECT event_type, hv,
+                  row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+           FROM h),
+         s AS (
+           SELECT event_type, count(*) AS n,
+                  max(CASE WHEN rn = 256 THEN hv END) AS hk
+           FROM r WHERE rn <= 256 GROUP BY event_type),
+         e AS (
+           SELECT event_type, count(DISTINCT user_id) AS exact_users
+           FROM events GROUP BY event_type)
+         SELECT s.event_type,
+                CASE WHEN s.n < 256 THEN s.n
+                     ELSE CAST(floor(255 * 1152921504606846976.0 / CAST(s.hk AS DOUBLE)) AS BIGINT)
+                END AS est_users,
+                e.exact_users
+         FROM s JOIN e USING (event_type)""",
     "events_bin" ->
       """SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS bin, event_type,
                 sum(round(value * 100)::BIGINT) / 100.0 AS sum_value, count(*)::BIGINT AS n

