@@ -184,6 +184,11 @@ object SparkEntry {
     }),
     "embed_neardup" -> ((s, d) =>
       pipeline.Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.4)),
+    // --- SemDedup-style semantic dedup: portable k-means cells, within-cell
+    // near-dup, keep the lowest id per group — the oracle replays the
+    // quantizer AND the keep/drop decision exactly ---
+    "semantic_dedup" -> ((s, d) =>
+      pipeline.Similarity.semanticDedup(Tables.embeddings(s, d), 0.4)),
     // --- triangle counting: degree-oriented wedge join over a synthetic
     // graph (lineitem keys portable-hashed into a 20011-node space — both
     // engines derive identical edges) ---
@@ -1115,6 +1120,77 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY cos_sim DESC, vec_id) AS rk FROM sc)
          WHERE rk <= 5""",
+    // SemDedup replay: same integer-Lloyd CTE chain as ann_ivf up to the
+    // final assignment `af`, then within-cell lower-id pairs at cosine ≥ τ
+    // resolved to min dup_of — the keep/drop decision bit-matches.
+    "semantic_dedup" ->
+      """WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS ce,
+                  list_transform(embedding::DOUBLE[], x -> floor(x * 1000 + 0.5)) AS qv
+           FROM embeddings),
+         c0 AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cent
+           FROM (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT 16)),
+         sim1 AS (
+           SELECT e.vec_id, c.cell,
+             CASE WHEN list_dot_product(e.qv, e.qv) = 0 OR list_dot_product(c.cent, c.cent) = 0 THEN 0.0
+                  ELSE list_dot_product(e.qv, c.cent)
+                       / (sqrt(list_dot_product(e.qv, e.qv)) * sqrt(list_dot_product(c.cent, c.cent))) END AS sim
+           FROM e CROSS JOIN c0 c),
+         a1 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+             FROM sim1) WHERE rn = 1),
+         s1 AS (
+           SELECT a1.cell, p.pos, sum(e.qv[p.pos + 1])::BIGINT AS s
+           FROM a1 JOIN e USING (vec_id), LATERAL (SELECT unnest(range(64)) AS pos) p
+           GROUP BY a1.cell, p.pos),
+         c1l AS (SELECT cell, list(s::DOUBLE ORDER BY pos) AS cent FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.cell, coalesce(c1l.cent, c0.cent) AS cent
+                FROM c0 LEFT JOIN c1l USING (cell)),
+         sim2 AS (
+           SELECT e.vec_id, c.cell,
+             CASE WHEN list_dot_product(e.qv, e.qv) = 0 OR list_dot_product(c.cent, c.cent) = 0 THEN 0.0
+                  ELSE list_dot_product(e.qv, c.cent)
+                       / (sqrt(list_dot_product(e.qv, e.qv)) * sqrt(list_dot_product(c.cent, c.cent))) END AS sim
+           FROM e CROSS JOIN c1 c),
+         a2 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+             FROM sim2) WHERE rn = 1),
+         s2 AS (
+           SELECT a2.cell, p.pos, sum(e.qv[p.pos + 1])::BIGINT AS s
+           FROM a2 JOIN e USING (vec_id), LATERAL (SELECT unnest(range(64)) AS pos) p
+           GROUP BY a2.cell, p.pos),
+         c2l AS (SELECT cell, list(s::DOUBLE ORDER BY pos) AS cent FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.cell, coalesce(c2l.cent, c1.cent) AS cent
+                FROM c1 LEFT JOIN c2l USING (cell)),
+         simf AS (
+           SELECT e.vec_id, c.cell,
+             CASE WHEN list_dot_product(e.qv, e.qv) = 0 OR list_dot_product(c.cent, c.cent) = 0 THEN 0.0
+                  ELSE list_dot_product(e.qv, c.cent)
+                       / (sqrt(list_dot_product(e.qv, e.qv)) * sqrt(list_dot_product(c.cent, c.cent))) END AS sim
+           FROM e CROSS JOIN c2 c),
+         af AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+             FROM simf) WHERE rn = 1),
+         p AS (
+           SELECT a.vec_id, min(b.vec_id) AS dup_of
+           FROM af a JOIN af b USING (cell)
+           JOIN e ea ON ea.vec_id = a.vec_id
+           JOIN e eb ON eb.vec_id = b.vec_id
+           WHERE b.vec_id < a.vec_id
+             AND round(CASE WHEN list_dot_product(ea.ce, ea.ce) = 0 OR list_dot_product(eb.ce, eb.ce) = 0 THEN 0.0
+                            ELSE list_dot_product(ea.ce, eb.ce)
+                                 / (sqrt(list_dot_product(ea.ce, ea.ce)) * sqrt(list_dot_product(eb.ce, eb.ce))) END, 6) >= 0.4
+           GROUP BY a.vec_id)
+         SELECT af.vec_id, af.cell::INT AS cell,
+                p.dup_of IS NULL AS keep, p.dup_of
+         FROM af LEFT JOIN p USING (vec_id)""",
     // Sign-LSH near-duplicate pairs: candidates agree on ≥1 band, verified
     // by exact cosine ≥ 0.4.
     "embed_neardup" ->

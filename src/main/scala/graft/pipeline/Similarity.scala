@@ -200,4 +200,50 @@ object Similarity {
       .agg(max(col("cos_sim")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** SemDedup-style SEMANTIC deduplication (Abbas et al., "SemDedup",
+    * arXiv:2303.09540 — the embedding sibling of minhash dedup): cluster
+    * the corpus with the k-means coarse quantizer, compare pairs only
+    * WITHIN a cluster, and for each near-dup group keep the lowest vec_id.
+    * Candidate generation by density-adaptive clusters complements
+    * [[embeddingNearDup]]'s data-oblivious LSH bands — near-dups straddling
+    * a band boundary still land in the same k-means cell.
+    *
+    * Returns one row per vector: (vec_id, cell, keep, dup_of) where
+    * `dup_of` is the LOWEST same-cell vec_id with cosine ≥ `tau` below it
+    * (null ⇒ kept) — a deterministic representative choice the DuckDB
+    * oracle replays exactly, because training reuses the integer-quantized
+    * fixed-iteration Lloyd of [[Ivf.trainCentroidsPortable]] and every
+    * cosine is the same sequential double fold on both engines.
+    *
+    * Scale shape: the quantizer is k·dim integers (plan literals); the
+    * cell tag is one narrow map pass; the pair join is cell-bucketed
+    * (never all-pairs) off one cell-partitioned cache, and only
+    * (vec_id, lo_id) longs that passed `tau` reach the resolving
+    * aggregation. Cell population is the budget knob — scale `nCells`
+    * with corpus size to hold n/k constant, exactly how SemDedup runs at
+    * dataset scale (per-cell work stays bounded as the corpus grows).
+    */
+  def semanticDedup(corpus: DataFrame, tau: Double = 0.4,
+                    nCells: Int = 16, iters: Int = 2): DataFrame = {
+    val centroids = Ivf.trainCentroidsPortable(corpus, nCells, iters)
+    // cell-partitioned cache feeds both sides of the pair self-join
+    // (zero-exchange, the Components/triangle trick) and the final output
+    val assigned = InternalCaches.register(
+      Dedup.rebalance(corpus.select(col("vec_id"), col("embedding")))
+        .withColumn("cell",
+          Ivf.assignCellPortable(Ivf.quantized(col("embedding")), centroids))
+        .repartition(col("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val lower = assigned
+      .select(col("cell"), col("vec_id").as("lo_id"), col("embedding").as("lo_emb"))
+    val dupOf = assigned.join(lower, Seq("cell"))
+      .filter(col("lo_id") < col("vec_id"))
+      .filter(round(cosine(col("embedding"), col("lo_emb")), 6) >= tau)
+      .groupBy(col("vec_id")).agg(min(col("lo_id")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNull.as("keep"), col("dup_of"))
+  }
 }
