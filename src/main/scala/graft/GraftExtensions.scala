@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSimilarity, ImageHeader, KmvSmallest, LshBuckets, MinHashSig, PortableHash60, SimHash64, TopKByScore}
+import graft.functions.{CosineSimilarity, ImageHeader, KmvSampleAgg, KmvSmallest, LshBuckets, MinHashSig, PortableHash60, SimHash64, TopKByScore}
 
 /** Session extension: registers the engine's native functions for SQL use.
   *
@@ -73,6 +73,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "kmv_smallest expects (bigint, k)")
         KmvSmallest(children.head, intLit(children(1), "kmv_smallest k"))
+      }),
+    (FunctionIdentifier("kmv_sample"),
+      new ExpressionInfo(classOf[KmvSampleAgg].getName, "kmv_sample"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kmv_sample expects (struct<h,v>, k)")
+        KmvSampleAgg(children.head, intLit(children(1), "kmv_sample k"))
       }))
 
   private def intLit(e: Expression, what: String): Int = e match {

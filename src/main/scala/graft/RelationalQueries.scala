@@ -263,6 +263,52 @@ object RelationalQueries {
         col("exact_users"))
   }
 
+  /** Portable APPROXIMATE QUANTILES: exact quantiles of a deterministic
+    * bottom-k-by-hash uniform sample (`kmv_sample`). t-digest/GK sketches
+    * are engine-specific; a KMV sample is not — the oracle re-draws the
+    * identical sample (`row_number() OVER (ORDER BY hash) <= k`) and reads
+    * the same sorted positions, so an approximate-quantile query gets an
+    * exact cross-engine contract. Sample error is the classic
+    * √(p(1-p)/k) — ~2% absolute rank error at k=512.
+    * One pass, map-side partials, ≤ k (hash, value) pairs per group cross
+    * the shuffle — no full sort of the column anywhere.
+    */
+  def approxQuantiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val k = 512
+    val sample = bridge.column(graft.functions.KmvSampleAgg(
+      bridge.expression(struct(
+        graft.functions.PortableHash.hash60(
+          concat(lit("q_"), col("l_orderkey"), lit("_"), col("l_linenumber"))).as("h"),
+        col("l_extendedprice").as("v"))), k).toAggregateExpression())
+    def quant(vs: org.apache.spark.sql.Column, m: org.apache.spark.sql.Column,
+              p: Double): org.apache.spark.sql.Column =
+      element_at(vs, floor(lit(p) * (m - 1).cast("double")).cast("int") + 1)
+    lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(sample.as("smp"), count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), array_sort(col("smp").getField("v")).as("vs"),
+        size(col("smp")).as("m"), col("n_rows"))
+      .select(col("l_returnflag"), col("m").cast("long").as("sample_n"),
+        quant(col("vs"), col("m"), 0.1).as("p10"),
+        quant(col("vs"), col("m"), 0.5).as("p50"),
+        quant(col("vs"), col("m"), 0.9).as("p90"),
+        quant(col("vs"), col("m"), 0.99).as("p99"),
+        col("n_rows"))
+  }
+
+  /** Unpivot (melt) — the inverse of the pivot surface (reference has
+    * neither; both close §2.6): wide per-line measures to long
+    * (measure, val) rows, one output row per (input row × measure).
+    */
+  def unpivotMeasures(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "val")
+
   /** HLL sketch surface (spec-gated twin of [[approxDistinct]]): Spark's
     * HLL++ and any other engine's sketch give different estimates by
     * design, so this variant is not oracle-checkable — `RecallGatesSpec`

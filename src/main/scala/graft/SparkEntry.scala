@@ -52,6 +52,8 @@ object SparkEntry {
     "top_orders" -> RelationalQueries.topOrders _,
     "outer_join_defaults" -> RelationalQueries.outerJoinDefaults _,
     "approx_distinct" -> RelationalQueries.approxDistinct _,
+    "approx_quantiles" -> RelationalQueries.approxQuantiles _,
+    "unpivot_measures" -> RelationalQueries.unpivotMeasures _,
     "date_agg" -> RelationalQueries.dateAgg _,
     "cube_agg" -> RelationalQueries.cubeAgg _,
     "having_filter" -> RelationalQueries.havingFilter _,
@@ -416,6 +418,34 @@ object SparkEntry {
                 END AS est_users,
                 e.exact_users
          FROM s JOIN e USING (event_type)""",
+    // KMV-sample quantile replay: the oracle re-draws the identical
+    // bottom-k-by-hash sample and reads the same sorted positions.
+    // Colliding hashes keep min(v) — the buffer's order-independent rule.
+    "approx_quantiles" ->
+      """WITH h AS (
+           SELECT l_returnflag AS g, l_extendedprice AS v,
+                  ('0x' || substring(md5('q_' || l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR), 1, 15))::BIGINT AS hv
+           FROM lineitem),
+         d AS (SELECT g, hv, min(v) AS v FROM h GROUP BY g, hv),
+         r AS (SELECT g, hv, v, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM d),
+         s AS (SELECT g, list(v ORDER BY v) AS vs, count(*) AS m
+               FROM r WHERE rn <= 512 GROUP BY g),
+         c AS (SELECT l_returnflag AS g, count(*) AS n_rows FROM lineitem GROUP BY 1)
+         SELECT s.g AS l_returnflag, s.m AS sample_n,
+                s.vs[floor(0.1 * (s.m - 1))::BIGINT + 1] AS p10,
+                s.vs[floor(0.5 * (s.m - 1))::BIGINT + 1] AS p50,
+                s.vs[floor(0.9 * (s.m - 1))::BIGINT + 1] AS p90,
+                s.vs[floor(0.99 * (s.m - 1))::BIGINT + 1] AS p99,
+                c.n_rows
+         FROM s JOIN c USING (g)""",
+    "unpivot_measures" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS val FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount' AS measure, l_discount AS val FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax' AS measure, l_tax AS val FROM lineitem""",
     "events_bin" ->
       """SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS bin, event_type,
                 sum(round(value * 100)::BIGINT) / 100.0 AS sum_value, count(*)::BIGINT AS n

@@ -49,6 +49,48 @@ final class KmvBuffer(val k: Int) {
   }
 }
 
+/** Bounded bottom-k-by-hash (hash, value) sample for [[KmvSampleAgg]]:
+  * the k smallest distinct hashes with an attached payload value, sorted
+  * ascending by hash. Same shape as [[KmvBuffer]] plus a parallel value
+  * array. A colliding hash keeps the MINIMUM value — a deterministic,
+  * order-independent merge rule, so a (cosmically unlikely) 60-bit
+  * collision still cannot make the result depend on partition order.
+  */
+final class KmvSampleBuffer(val k: Int) {
+  private[functions] val hs = new Array[Long](k)
+  private[functions] val vs = new Array[Double](k)
+  private[functions] var n = 0
+
+  def add(h: Long, v: Double): Unit = {
+    if (n == k && h > hs(n - 1)) return
+    val i = java.util.Arrays.binarySearch(hs, 0, n, h)
+    if (i >= 0) { if (v < vs(i)) vs(i) = v; return } // collision: keep min value
+    val ins = -i - 1
+    val last = if (n < k) { n += 1; n - 1 } else k - 1
+    System.arraycopy(hs, ins, hs, ins + 1, last - ins)
+    System.arraycopy(vs, ins, vs, ins + 1, last - ins)
+    hs(ins) = h; vs(ins) = v
+  }
+
+  def mergeFrom(o: KmvSampleBuffer): Unit = {
+    var i = 0
+    while (i < o.n) { add(o.hs(i), o.vs(i)); i += 1 }
+  }
+
+  def toArrayData: GenericArrayData =
+    new GenericArrayData((0 until n).map(i =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](hs(i), vs(i)))).toArray[Any])
+
+  def serialize(): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * n)
+    bb.putInt(n)
+    var i = 0
+    while (i < n) { bb.putLong(hs(i)); bb.putDouble(vs(i)); i += 1 }
+    bb.array()
+  }
+}
+
 /** KMV (k-minimum-values / bottom-k) distinct sketch as a TYPED AGGREGATE:
   * `kmv_smallest(hash, k)` → `array<bigint>` of the k smallest DISTINCT
   * hash values per group, ascending. With a uniform hash over [0, 2^60),
@@ -112,5 +154,72 @@ case class KmvSmallest(child: Expression, k: Int,
   override def withNewInputAggBufferOffset(n: Int): KmvSmallest =
     copy(inputAggBufferOffset = n)
   override protected def withNewChildInternal(newChild: Expression): KmvSmallest =
+    copy(child = newChild)
+}
+
+/** Bottom-k-by-hash UNIFORM SAMPLE as a typed aggregate:
+  * `kmv_sample(struct(hash, value), k)` → `array<struct<h,v>>` ascending
+  * by hash. Rows whose key-hash lands among the k smallest form a
+  * uniform-without-replacement sample of the distinct keys — deterministic
+  * given the hash, so unlike `TABLESAMPLE`/reservoir sampling the oracle
+  * replays it exactly (`row_number() OVER (ORDER BY hash) <= k`). The
+  * basis for portable approximate quantiles: exact quantiles OF the
+  * deterministic sample. Same scale shape as [[KmvSmallest]]: map-side
+  * partials, associative merge, ≤ k rows per group cross the shuffle.
+  */
+case class KmvSampleAgg(child: Expression, k: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvSampleBuffer] with UnaryLike[Expression] {
+  require(k > 0, "kmv_sample: k must be positive")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("h", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_sample"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StructType(fields)
+        if fields.length == 2 && fields(0).dataType == LongType && fields(1).dataType == DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kmv_sample requires struct<h:bigint,v:double>, got ${other.catalogString}")
+    }
+
+  override def createAggregationBuffer(): KmvSampleBuffer = new KmvSampleBuffer(k)
+
+  override def update(b: KmvSampleBuffer, input: InternalRow): KmvSampleBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val r = v.asInstanceOf[InternalRow]
+      if (!r.isNullAt(0) && !r.isNullAt(1)) b.add(r.getLong(0), r.getDouble(1))
+    }
+    b
+  }
+
+  override def merge(b: KmvSampleBuffer, o: KmvSampleBuffer): KmvSampleBuffer = {
+    b.mergeFrom(o); b
+  }
+
+  override def eval(b: KmvSampleBuffer): Any = b.toArrayData
+
+  override def serialize(b: KmvSampleBuffer): Array[Byte] = b.serialize()
+
+  override def deserialize(bytes: Array[Byte]): KmvSampleBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val b = new KmvSampleBuffer(k)
+    val m = bb.getInt
+    var i = 0
+    while (i < m) { b.add(bb.getLong, bb.getDouble); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): KmvSampleAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KmvSampleAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): KmvSampleAgg =
     copy(child = newChild)
 }

@@ -65,6 +65,60 @@ class KmvAggSpec extends AnyFunSuite {
     }
   }
 
+  test("sample buffer keeps bottom-k by hash with values; collisions keep min value") {
+    val rnd = new scala.util.Random(9)
+    for (_ <- 1 to 40) {
+      val k = 1 + rnd.nextInt(12)
+      // small hash domain → frequent collisions exercise the min-value rule
+      val xs = Seq.fill(rnd.nextInt(150))((rnd.nextInt(40).toLong, rnd.nextDouble()))
+      val b = new KmvSampleBuffer(k)
+      xs.foreach { case (h, v) => b.add(h, v) }
+      val expect = xs.groupBy(_._1).map { case (h, hv) => (h, hv.map(_._2).min) }
+        .toSeq.sortBy(_._1).take(k)
+      val got = b.toArrayData.array.toSeq.map { r =>
+        val row = r.asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+        (row.getLong(0), row.getDouble(1))
+      }
+      assert(got == expect)
+      // merge from shuffled partials reaches the same state
+      val parts = rnd.shuffle(xs).grouped(math.max(1, xs.size / 3)).map { p =>
+        val pb = new KmvSampleBuffer(k); p.foreach { case (h, v) => pb.add(h, v) }; pb
+      }
+      val m = new KmvSampleBuffer(k)
+      parts.foreach(m.mergeFrom)
+      val gotM = m.toArrayData.array.toSeq.map { r =>
+        val row = r.asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+        (row.getLong(0), row.getDouble(1))
+      }
+      assert(gotM == expect)
+    }
+  }
+
+  test("approx quantiles land within ~3 rank-σ of exact quantiles (sf0.01)") {
+    val res = graft.RelationalQueries.approxQuantiles(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.1, 0.5, 0.9, 0.99))").as("ps"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(res.nonEmpty && res.keySet == exact.keySet)
+    // rank error of a k-sample quantile ≈ √(p(1-p)/k); compare by VALUE
+    // against the exact quantile at p ± 3σ rank tolerance via the exact
+    // quantiles at the perturbed ranks
+    for ((g, row) <- res; (p, i) <- Seq(0.1, 0.5, 0.9, 0.99).zipWithIndex) {
+      val k = row.getLong(1).toDouble
+      val sigma = math.sqrt(p * (1 - p) / k)
+      val (lo, hi) = (math.max(0, p - 3 * sigma), math.min(1, p + 3 * sigma))
+      val bounds = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+        .filter(col("l_returnflag") === g)
+        .agg(expr(s"percentile(l_extendedprice, array($lo, $hi))")).head().getSeq[Double](0)
+      val v = row.getDouble(2 + i)
+      assert(v >= bounds(0) - 1e-9 && v <= bounds(1) + 1e-9,
+        s"group $g p=$p: sampled $v outside exact-rank band [${bounds(0)}, ${bounds(1)}]")
+    }
+  }
+
   test("SQL registration kmv_smallest matches the DSL") {
     graft.GraftExtensions.register(spark)
     val df = spark.range(0, 500).select((col("id") % 7).as("g"), col("id").as("v"))
