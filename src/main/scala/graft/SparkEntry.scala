@@ -191,6 +191,9 @@ object SparkEntry {
     // quantizer AND the keep/drop decision exactly ---
     "semantic_dedup" -> ((s, d) =>
       pipeline.Similarity.semanticDedup(Tables.embeddings(s, d), 0.4)),
+    // --- per-label class prototypes: exact integer sum centroids ---
+    "label_centroids" -> ((s, d) =>
+      pipeline.Similarity.labelCentroids(Tables.embeddings(s, d))),
     // --- triangle counting: degree-oriented wedge join over a synthetic
     // graph (lineitem keys portable-hashed into a 20011-node space — both
     // engines derive identical edges) ---
@@ -1221,6 +1224,19 @@ object SparkEntry {
          SELECT af.vec_id, af.cell::INT AS cell,
                 p.dup_of IS NULL AS keep, p.dup_of
          FROM af LEFT JOIN p USING (vec_id)""",
+    // Class prototypes: same quantization + integer sums as the IVF
+    // oracle's s1 CTE, grouped by label instead of cell.
+    "label_centroids" ->
+      """WITH q AS (
+           SELECT label, list_transform(embedding::DOUBLE[], x -> floor(x * 1000 + 0.5)) AS qv
+           FROM embeddings),
+         s AS (
+           SELECT label, p.pos::INT AS pos, sum(qv[p.pos + 1])::BIGINT AS component_sum
+           FROM q, LATERAL (SELECT unnest(range(64)) AS pos) p
+           GROUP BY label, p.pos),
+         n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+         SELECT s.label, s.pos, s.component_sum, n.n_vecs
+         FROM s JOIN n USING (label)""",
     // Sign-LSH near-duplicate pairs: candidates agree on ≥1 band, verified
     // by exact cosine ≥ 0.4.
     "embed_neardup" ->

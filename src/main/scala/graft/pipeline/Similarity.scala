@@ -201,6 +201,30 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Per-label class prototypes as EXACT INTEGER SUM VECTORS — the
+    * dataset-cartography / nearest-class-mean primitive over an embedding
+    * column, portable by the same three tricks as the IVF quantizer
+    * (integer quantization, sum-not-mean centroids, associative sums).
+    * Returns the LONG format (label, pos, component_sum, n_vecs) — one row
+    * per centroid component, scalar columns only (the correctness gate
+    * hashes scalar frames); consumers reassemble or consume positionally.
+    * Cosine against a sum centroid equals cosine against the mean (scale
+    * invariance), so nothing is lost to the missing division.
+    *
+    * Scale shape: posexplode fans each vector into dim rows, but the
+    * partial aggregation combines them map-side to ≤ labels·dim rows per
+    * partition — the shuffle carries label-count·dim longs, never the
+    * corpus.
+    */
+  def labelCentroids(corpus: DataFrame): DataFrame = {
+    val q = corpus.select(col("label"), Ivf.quantized(col("embedding")).as("qv"))
+    val sums = q.select(col("label"), posexplode(col("qv")))
+      .groupBy(col("label"), col("pos")).agg(sum(col("col")).as("component_sum"))
+    corpus.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+      .join(sums, Seq("label"))
+      .select(col("label"), col("pos"), col("component_sum"), col("n_vecs"))
+  }
+
   /** SemDedup-style SEMANTIC deduplication (Abbas et al., "SemDedup",
     * arXiv:2303.09540 — the embedding sibling of minhash dedup): cluster
     * the corpus with the k-means coarse quantizer, compare pairs only

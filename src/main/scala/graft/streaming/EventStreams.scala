@@ -34,6 +34,36 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming windowed APPROXIMATE DISTINCT users (KMV bottom-k sketch,
+    * `functions.KmvSmallest`): per (window, event_type), the k smallest
+    * distinct portable user-id hashes — the sketch buffer is the
+    * aggregation state, partials merge in the state store like any other
+    * partial aggregate, and duplicates collapse in the buffer, so state is
+    * ≤ 8·k bytes per open group NO MATTER how many events or distinct
+    * users the window sees (an exact windowed countDistinct would hold
+    * every user id in state). The emitted estimate is IDENTICAL to the
+    * batch KMV sketch over the same rows — deterministic, so the
+    * differential spec asserts equality, not approximation.
+    */
+  def windowedApproxDistinct(events: DataFrame, k: Int = 64,
+                             windowDur: String = "1 hour",
+                             slide: String = "1 hour",
+                             watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val mins = bridge.column(graft.functions.KmvSmallest(
+      bridge.expression(graft.functions.PortableHash.hash60(col("user_id"))), k)
+      .toAggregateExpression())
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
+      .agg(mins.as("mins"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        when(size(col("mins")) < k, size(col("mins")).cast("long"))
+          .otherwise(floor(lit((k - 1).toDouble * math.pow(2.0, 60)) /
+            element_at(col("mins"), k).cast("double")).cast("long"))
+          .as("est_users"))
+  }
+
   /** Streaming exact-dedup at ingestion: drop documents whose content
     * digest was already seen within the watermark horizon — the streaming
     * twin of `pipeline.Dedup.exact`, for dedup-at-ingest in a training-data

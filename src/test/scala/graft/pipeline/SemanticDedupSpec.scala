@@ -56,4 +56,17 @@ class SemanticDedupSpec extends AnyFunSuite {
     val (dropped, n) = check(0.05)
     assert(dropped > 0, s"expected at least one drop among $n at τ=0.05")
   }
+
+  test("labelCentroids equals in-memory integer sums (sf0.001)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val res = Similarity.labelCentroids(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val rows = emb.select(col("label"), col("embedding")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    val expect = rows.groupBy(_._1).flatMap { case (l, vs) =>
+      (0 until vs.head._2.length).map(j => (l, j) ->
+        ((vs.map(v => math.floor(v._2(j).toDouble * 1000.0 + 0.5).toLong).sum, vs.size.toLong)))
+    }
+    assert(res == expect)
+  }
 }

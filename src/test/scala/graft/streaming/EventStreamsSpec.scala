@@ -37,6 +37,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed KMV distinct: streaming result EQUALS the batch sketch on the same rows") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val agg = windowedApproxDistinct(in.toDF(), k = 4, "10 minutes", "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_kmv")
+      .outputMode("append").start()
+    try {
+      // window [0,10): 6 events over 5 distinct users (> k=4 → estimate
+      // path); duplicates must collapse in the sketch state
+      val evs = Seq(
+        Event(1, ts(1), 10, "click", 1.0), Event(2, ts(2), 11, "click", 1.0),
+        Event(3, ts(3), 12, "click", 1.0), Event(4, ts(4), 13, "click", 1.0),
+        Event(5, ts(5), 14, "click", 1.0), Event(6, ts(6), 10, "click", 1.0),
+        Event(7, ts(12), 20, "view", 1.0))
+      in.addData(evs: _*)
+      q.processAllAvailable()
+      in.addData(Event(8, ts(60), 21, "view", 1.0)) // advance watermark
+      q.processAllAvailable()
+      val streamed = spark.table("win_kmv").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2))).toSet
+      // batch twin over the identical rows: same window arithmetic, same
+      // sketch, same estimate — set equality, not an error bound
+      val batch = windowedApproxDistinct(
+        evs.toDF().withColumn("ts", col("ts").cast("timestamp")),
+        k = 4, "10 minutes", "10 minutes", "5 minutes")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2))).toSet
+      // every batch window (the stream closed them all) matches exactly
+      assert(batch.subsetOf(streamed), s"streamed=$streamed batch=$batch")
+      // the 5-distinct-user click window took the estimate path (k=4):
+      // its value is the KMV formula output, not the exact count
+      val clickEst = batch.find(r => r._1 == 0L && r._2 == "click").get._3
+      assert(clickEst > 0L && clickEst != 5L,
+        s"k=4 < 5 distinct users must estimate, got $clickEst")
+    } finally q.stop()
+  }
+
   test("sessionize: gap closes sessions with correct aggregates") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
