@@ -200,6 +200,85 @@ object EventStreams {
       }
   }
 
+  final case class BandedVec(ts: Timestamp, vec_id: Long, band: Int,
+                             bucket: Long, emb: Seq[Float])
+  final case class EmbPair(vec_a: Long, vec_b: Long, cos_sim: Double)
+  final case class VecBucketState(vecs: List[(Long, Seq[Float])], dropped: Long)
+
+  /** Streaming SEMANTIC near-duplicate detection at ingestion: the
+    * embedding twin of [[streamingMinhashPairs]] and the streaming twin of
+    * `Similarity.embeddingNearDup`. Each arriving vector is exploded into
+    * its portable sign-LSH band buckets and cosine-verified against the
+    * per-bucket state of previously seen vectors, emitting
+    * (vec_a, vec_b, cos_sim) with cos ≥ `threshold` as discovered.
+    *
+    * Same bounded-state discipline as the minhash twin: keyed by
+    * (band, bucket) — the batch bucket-join shuffle key, so hot buckets
+    * spread by bucket; per-bucket vector list capped at `maxPerBucket`
+    * with the drop count carried in state (no silent cap; a capped bucket
+    * keeps MATCHING against what it holds); whole-bucket state removed on
+    * event-time timeout. State per bucket ≤ maxPerBucket·(8 + 4·dim)
+    * bytes. The cosine is the same fused fold as the batch verify (and
+    * the same HALF_UP rounding at 6), so a pair discovered by both paths
+    * carries the identical score — the differential spec asserts set
+    * equality against `embeddingNearDup` on the same vectors.
+    */
+  def streamingEmbeddingNearDup(vecs: DataFrame, threshold: Double = 0.4,
+                                bands: Int = 4, planesPerBand: Int = 4, dim: Int = 64,
+                                watermark: String = "1 hour",
+                                stateHorizonMs: Long = 3600000L,
+                                maxPerBucket: Int = 64): Dataset[EmbPair] = {
+    import vecs.sparkSession.implicits._
+    val banded = vecs
+      .select(col("ts"), col("vec_id"), col("embedding"),
+        posexplode(graft.pipeline.Similarity.lshBandBuckets(
+          col("embedding"), bands, planesPerBand, dim)))
+      .select(col("ts"), col("vec_id"), col("pos").as("band"),
+        col("col").as("bucket"), col("embedding").as("emb"))
+      .withWatermark("ts", watermark)
+      .as[BandedVec]
+    def cos6(a: Seq[Float], b: Seq[Float]): Double = {
+      // the CosineSimilarity fold (double accumulators, element order) +
+      // Spark's HALF_UP round(…, 6) — bit-identical to the batch verify
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val xi = a(i).toDouble; val yi = b(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      val c = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    banded
+      .groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[VecBucketState, EmbPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), rows: Iterator[BandedVec], state: GroupState[VecBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(VecBucketState(Nil, 0L))
+            val out = List.newBuilder[EmbPair]
+            var lastTs = 0L
+            for (d <- rows.toSeq.sortBy(x => (x.ts.getTime, x.vec_id))) {
+              lastTs = math.max(lastTs, d.ts.getTime)
+              for ((id0, e0) <- st.vecs if id0 != d.vec_id) {
+                val cs = cos6(e0, d.emb)
+                if (cs >= threshold)
+                  out += EmbPair(math.min(id0, d.vec_id), math.max(id0, d.vec_id), cs)
+              }
+              if (st.vecs.length < maxPerBucket)
+                st = st.copy(vecs = (d.vec_id, d.emb) :: st.vecs)
+              else
+                st = st.copy(dropped = st.dropped + 1) // accounted, not silent
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(lastTs + stateHorizonMs)
+            out.result().iterator
+          }
+      }
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp,

@@ -272,4 +272,37 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(!pairs.keySet.exists { case (a, b) => b == 10L || a == 10L }) // disjoint never pairs
     } finally q.stop()
   }
+
+  test("streamingEmbeddingNearDup matches batch embeddingNearDup on real vectors") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val tau = 0.2
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val batch = graft.pipeline.Similarity.embeddingNearDup(
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.001"), tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(batch.nonEmpty, s"fixture should contain cosine ≥ $tau pairs")
+
+    val in = MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
+    val vecs = in.toDF().toDF("ts", "vec_id", "embedding")
+    val out = EventStreams.streamingEmbeddingNearDup(vecs, tau)
+    val q = out.writeStream.format("memory").queryName("emb_stream")
+      .outputMode("append").start()
+    try {
+      // two batches: later arrivals must match against retained state
+      val (first, second) = emb.splitAt(emb.length / 2)
+      in.addData(first.map { case (id, e) => (ts(60 + id), id, e) }: _*)
+      q.processAllAvailable()
+      in.addData(second.map { case (id, e) => (ts(60 + id), id, e) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("emb_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // same candidates (same portable LSH bands), same fused cosine fold,
+      // same rounding — SET EQUALITY with identical scores
+      assert(streamed == batch,
+        s"streamed-only=${streamed.keySet -- batch.keySet} batch-only=${batch.keySet -- streamed.keySet}")
+    } finally q.stop()
+  }
 }
