@@ -44,6 +44,44 @@ class PlanGuardrailsSpec extends AnyFunSuite {
     }
   }
 
+  test("cached key-partitioned frame self-joins with ZERO per-join exchanges") {
+    // the invariant triangleCount's wedge join and semanticDedup's pair
+    // join rest on: BOTH children of a self-join over a persisted frame
+    // repartitioned on the join key read the cached partitioning, so the
+    // join plans no ENSURE_REQUIREMENTS exchange at all (ComponentsSpec
+    // pins the one-sided variant). Broadcasts disabled: at 100 TB neither
+    // side broadcasts.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    val o = spark.range(0, 200)
+      .select((col("id") % 40).as("u"), col("id").as("v"))
+      .repartition(col("u")).persist()
+    o.count()
+    val savedA = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedB = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = o.join(o.select(col("u"), col("v").as("w")), Seq("u"))
+        .filter(col("v") < col("w"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val perJoin = "ENSURE_REQUIREMENTS".r.findAllIn(plan.toString).size
+      assert(perJoin == 0,
+        s"self-join over the cached partitioning must not re-shuffle, got $perJoin:\n$plan")
+    } finally {
+      o.unpersist()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedA)
+      savedB match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("documents scans are column-pruned to what the query needs") {
     // a scan reading all 5 documents columns for a 2-column operator means
     // pruning never reached parquet — wrong at any scale, fatal at 100 TB
