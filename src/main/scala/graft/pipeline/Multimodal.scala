@@ -83,6 +83,47 @@ object Multimodal {
         (lit(1000L) + col("doc_id")).as("duration_ms"))
         .cast(mediaSchema("meta").dataType).as("meta"))
 
+  /** REAL file ingestion: a directory of raw media files → the media frame
+    * via Spark's `binaryFile` source — the on-cluster path for an actual
+    * image/audio/video corpus (one row per file; Spark parallelizes across
+    * files and packs small files into read tasks). Kind comes from the
+    * magic sniff, metadata from REAL header parsing — image dimensions via
+    * the `MediaKernels.imageHeader` byte parser (no pixel decode in the
+    * ingest pass), WAV rate/duration via the real JDK codec, AVI frame
+    * count via the RIFF walk — all partition-local; payloads never
+    * shuffle, and `media_id` is a portable hash of the file NAME so the
+    * oracle (or a re-run anywhere) derives identical ids.
+    * Unrecognized payloads ingest as kind='binary' with zeroed meta — at
+    * corpus scale rejects are data, not errors.
+    */
+  def mediaFromFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val id = graft.functions.PortableHash.local60(name)
+        if (looksLikeImage(bytes)) {
+          val h = graft.functions.MediaKernels.imageHeader(bytes)
+          val (w, ht) = if (h != null) (h.getInt(1), h.getInt(2)) else (0, 0)
+          MediaRow(id, "image", bytes, w, ht, 0, 0L)
+        } else if (looksLikeAvi(bytes)) { // before WAV: both are RIFF
+          val nf = extractAviFrames(bytes).map(_.length).getOrElse(0)
+          MediaRow(id, "video", bytes, 0, 0, 0, nf * 100L)
+        } else if (looksLikeWav(bytes)) {
+          decodeWav(bytes) match {
+            case Some((rate, samples)) =>
+              MediaRow(id, "audio", bytes, 0, 0, rate,
+                if (rate > 0) samples.length * 1000L / rate else 0L)
+            case None => MediaRow(id, "audio", bytes, 0, 0, 0, 0L)
+          }
+        } else MediaRow(id, "binary", bytes, 0, 0, 0, 0L)
+      }).toDF()
+      .select(col("media_id"), col("kind"), col("bytes"),
+        struct(col("width"), col("height"), col("sample_rate"), col("duration_ms"))
+          .cast(mediaSchema("meta").dataType).as("meta"))
+  }
+
   /** REAL header inspection (not a stub — pure byte parsing, see
     * `graft.functions.MediaKernels`): container format + pixel dimensions
     * from PNG/JPEG/GIF/BMP headers, null for unrecognized payloads. The
@@ -139,6 +180,10 @@ object Multimodal {
   @inline private def looksLikeWav(b: Array[Byte]): Boolean =
     b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  @inline private def looksLikeAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
 
   private[pipeline] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (!looksLikeImage(bytes)) None

@@ -312,4 +312,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(6L) == ((Some("jpeg"), Some(800), Some(600), true)))
     assert(got(7L) == ((None, None, None, false)))
   }
+
+  test("mediaFromFiles: binaryFile source ingests real files with sniffed kinds + real meta") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toFile
+    try {
+      // one real file per kind + one unrecognizable blob
+      val img = new java.awt.image.BufferedImage(9, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 7; x <- 0 until 9) img.setRGB(x, y, (x * 29 + y * 31) & 0xFFFFFF)
+      java.nio.file.Files.write(new java.io.File(dir, "a.png").toPath, Multimodal.encodePng(img))
+      val samples = Array.tabulate[Short](16000)(i => (i % 97).toShort) // 1 s at 16 kHz
+      java.nio.file.Files.write(new java.io.File(dir, "b.wav").toPath,
+        Multimodal.encodeWav(samples, 16000))
+      java.nio.file.Files.write(new java.io.File(dir, "c.avi").toPath,
+        Multimodal.encodeAvi(Seq.fill(3)(Multimodal.encodeDib(img)), 9, 7, 10))
+      java.nio.file.Files.write(new java.io.File(dir, "d.bin").toPath,
+        Array.tabulate[Byte](50)(i => (i * 7).toByte))
+
+      val media = Multimodal.mediaFromFiles(spark, dir.getAbsolutePath)
+      val rows = media.collect().map { r =>
+        val m = r.getStruct(3)
+        r.getString(1) -> ((r.getLong(0), m.getInt(0), m.getInt(1), m.getInt(2), m.getLong(3)))
+      }.toMap
+      assert(rows.keySet == Set("image", "audio", "video", "binary"))
+      // portable ids: derived from the file NAME, reproducible anywhere
+      assert(rows("image")._1 == graft.functions.PortableHash.local60("a.png"))
+      assert((rows("image")._2, rows("image")._3) == ((9, 7)))      // header-parsed dims
+      assert(rows("audio")._4 == 16000 && rows("audio")._5 == 1000L) // real rate + duration
+      assert(rows("video")._5 == 300L)                               // 3 frames walked
+      // and the ingested frame feeds the real decode features downstream
+      val feats = Multimodal.extractFeatures(media, dim = 4).collect()
+        .map(r => r.getString(1) -> r.getSeq[Float](3)).toMap
+      assert(feats("image") == Multimodal.luminanceStripes(img, 4).toSeq)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
 }
