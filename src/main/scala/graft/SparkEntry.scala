@@ -79,6 +79,11 @@ object SparkEntry {
     // --- cross-document duplicated-trigram fraction (boilerplate signal) ---
     "ngram_dupfrac" -> ((s, d) =>
       pipeline.Dedup.duplicatedNgramStats(Tables.documents(s, d))),
+    // --- duplicated-span REMOVAL (rewriting, not just scoring): tokens
+    // covered by cross-corpus-hot trigrams are cut; the oracle rebuilds
+    // the cleaned text and must land on the same fingerprint ---
+    "dedup_spans" -> ((s, d) =>
+      pipeline.Dedup.removeDuplicatedSpans(Tables.documents(s, d))),
     // --- corpus vocabulary: token → (tf, df), deterministic top-k ---
     "vocab_topk" -> ((s, d) =>
       pipeline.TextAnalysis.vocabulary(Tables.documents(s, d), minCount = 2L, k = 100)),
@@ -732,6 +737,41 @@ object SparkEntry {
                 sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS dup_frac
          FROM ng JOIN dfreq USING (ng)
          GROUP BY doc_id""",
+    // Duplicated-span removal replay: positional trigram hashes (same
+    // shingle construction as ngram_dupfrac, WITHOUT the distinct),
+    // df >= 5 hot set, coverage positions, then rebuild the cleaned text
+    // and fingerprint it. coalesce('') because DuckDB's
+    // array_to_string([]) is NULL where Spark's array_join is ''.
+    "dedup_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, t,
+             CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END AS s
+           FROM toks),
+         ph AS (SELECT doc_id, t, [('0x' || substring(md5(x), 1, 15))::BIGINT for x in s] AS ph FROM sh),
+         np AS (SELECT doc_id, u.s['ng'] AS ng, u.s['pos'] AS pos
+                FROM ph, unnest([{'ng': ph[i+1], 'pos': i} for i in range(0, len(ph))]) AS u(s)),
+         dfreq AS (SELECT ng, count(DISTINCT doc_id) AS df FROM np GROUP BY ng),
+         cov AS (
+           SELECT DISTINCT np.doc_id, np.pos + o.o AS cpos
+           FROM np JOIN dfreq USING (ng), LATERAL (SELECT unnest(range(3)) AS o) o
+           WHERE dfreq.df >= 5),
+         cl AS (
+           SELECT p.doc_id, any_value(p.t) AS t,
+                  coalesce(list(c.cpos) FILTER (c.cpos IS NOT NULL), []) AS covered
+           FROM ph p LEFT JOIN cov c USING (doc_id)
+           GROUP BY p.doc_id),
+         fin AS (
+           SELECT doc_id, t,
+                  [t[i+1] for i in range(0, len(t)) if NOT list_contains(covered, i)] AS clean
+           FROM cl)
+         SELECT doc_id, len(t)::BIGINT AS n_tokens,
+                (len(t) - len(clean))::BIGINT AS n_removed,
+                ('0x' || substring(md5(coalesce(array_to_string(clean, ' '), '')), 1, 15))::BIGINT AS clean_fp
+         FROM fin""",
     // Triangles assigned to their minimum vertex: the plain a<b<c 3-way
     // join is orientation-independent, so it checks the engine's
     // degree-oriented plan exactly.

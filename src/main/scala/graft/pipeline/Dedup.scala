@@ -390,6 +390,52 @@ object Dedup {
         (col("n_dup").cast("double") / col("n_ngrams")).as("dup_frac"))
   }
 
+  /** Duplicated-SPAN removal — the REWRITING sibling of
+    * [[duplicatedNgramStats]] (which only scores): every token covered by
+    * an n-gram that appears in ≥ `minDf` distinct documents is removed
+    * from the document, the exact-substring-dedup idea of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499), at n-gram-coverage granularity. Emits
+    * (doc_id, n_tokens, n_removed, clean_fp) where clean_fp is the
+    * portable fingerprint of the cleaned text — the DuckDB oracle rebuilds
+    * the cleaned document and must land on the same fingerprint.
+    *
+    * Scale shape: the cached frame is (doc_id, pos, ng) — three longs per
+    * shingle, never text; df is a two-stage distinct+count; the join-back
+    * moves (doc_id, position) pairs only; the corpus text is read
+    * partition-local in one final pass that rebuilds each document with a
+    * HOF filter against its (bounded, per-doc) covered-position list.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, n: Int = 3, minDf: Long = 5L): DataFrame = {
+    val np = InternalCaches.register(rebalance(docs)
+      .select(col("doc_id"), posexplode(portableBaseHashes(shingles(tokens(col("text")), n))))
+      .select(col("doc_id"), col("pos"), col("col").as("ng"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dfreq = np.select(col("ng"), col("doc_id")).distinct()
+      .groupBy(col("ng")).agg(count(lit(1)).as("df"))
+    val covered = np.join(dfreq.filter(col("df") >= minDf).select(col("ng")), Seq("ng"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("cpos"))
+      .groupBy(col("doc_id")).agg(collect_set(col("cpos")).as("covered"))
+    rebalance(docs).select(col("doc_id"), tokens(col("text")).as("t"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("t"),
+        coalesce(col("covered"), array().cast("array<int>")).as("covered"))
+      .select(col("doc_id"), col("t"),
+        // phantom positions ≥ len(t) in `covered` (short-doc shingles) are
+        // harmless: the filter only visits real indices
+        when(size(col("t")) === 0, array().cast("array<string>"))
+          .otherwise(transform(
+            filter(
+              zip_with(col("t"), sequence(lit(0), size(col("t")) - 1),
+                (tok, i) => struct(tok.as("tok"), i.as("i"))),
+              s => !array_contains(col("covered"), s.getField("i"))),
+            s => s.getField("tok"))).as("clean"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("clean"))).cast("long").as("n_removed"),
+        graft.functions.PortableHash.hash60(array_join(col("clean"), " ")).as("clean_fp"))
+  }
+
   /** 64-bit SimHash signature over a column of token hashes: bit i is set
     * iff more than half the token hashes have bit i set. Backed by the
     * fused single-pass kernel (graft.functions.SimHash64) — the HOF

@@ -43,6 +43,30 @@ class CorpusSignalsSpec extends AnyFunSuite {
 
   // --- vocabulary ---
 
+  test("removeDuplicatedSpans: cross-doc trigram coverage cut, uniques kept, fingerprints exact") {
+    val d = docs(
+      1L -> "a b c d e",   // trigram "a b c" shared with doc 2 → tokens 0..2 cut
+      2L -> "x a b c y",   // its "a b c" sits at pos 1 → tokens 1..3 cut
+      3L -> "p q r s t")   // fully unique → untouched
+    val got = Dedup.removeDuplicatedSpans(d, n = 3, minDf = 2L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def fp(s: String) = graft.functions.PortableHash.local60(s)
+    assert(got(1L) == ((5L, 3L, fp("d e"))))
+    assert(got(2L) == ((5L, 3L, fp("x y"))))
+    assert(got(3L) == ((5L, 0L, fp("p q r s t"))))
+  }
+
+  test("removeDuplicatedSpans: identical docs fully removed; huge minDf removes nothing") {
+    val d = docs(1L -> "w1 w2 w3 w4", 2L -> "w1 w2 w3 w4", 3L -> "solo")
+    val all = Dedup.removeDuplicatedSpans(d, n = 3, minDf = 2L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def fp(s: String) = graft.functions.PortableHash.local60(s)
+    assert(all(1L) == ((4L, 4L, fp(""))) && all(2L) == ((4L, 4L, fp(""))))
+    assert(all(3L)._2 == 0L) // short doc's whole-text shingle is unique
+    val none = Dedup.removeDuplicatedSpans(d, n = 3, minDf = 99L).collect()
+    assert(none.forall(_.getLong(2) == 0L))
+  }
+
   test("vocabulary: tf/df counts, minCount threshold, deterministic tie-break") {
     val d = docs(1L -> "b a b c", 2L -> "a b z", 3L -> "c a")
     // tf: a=3 b=3 c=2 z=1; df: a=3 b=2 c=2 z=1
