@@ -296,6 +296,20 @@ object RelationalQueries {
         col("n_rows"))
   }
 
+  /** Analytic-window variety (lead/lag/ntile) — the navigation and
+    * bucketing family alongside the ranking (`window_topk`) and running
+    * (`window_running`) contract queries. Per-user event sequences;
+    * partitioned window (the guardrail bans unpartitioned ones).
+    */
+  def windowLeadLag(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d).select(col("user_id"), col("event_id"),
+      lag(col("value"), 1).over(w).as("prev_value"),
+      lead(col("value"), 1).over(w).as("next_value"),
+      ntile(4).over(w).as("quartile"))
+  }
+
   /** Unpivot (melt) — the inverse of the pivot surface (reference has
     * neither; both close §2.6): wide per-line measures to long
     * (measure, val) rows, one output row per (input row × measure).

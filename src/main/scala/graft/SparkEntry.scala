@@ -54,6 +54,7 @@ object SparkEntry {
     "approx_distinct" -> RelationalQueries.approxDistinct _,
     "approx_quantiles" -> RelationalQueries.approxQuantiles _,
     "unpivot_measures" -> RelationalQueries.unpivotMeasures _,
+    "window_lead_lag" -> RelationalQueries.windowLeadLag _,
     "date_agg" -> RelationalQueries.dateAgg _,
     "cube_agg" -> RelationalQueries.cubeAgg _,
     "having_filter" -> RelationalQueries.havingFilter _,
@@ -446,6 +447,12 @@ object SparkEntry {
                 s.vs[floor(0.99 * (s.m - 1))::BIGINT + 1] AS p99,
                 c.n_rows
          FROM s JOIN c USING (g)""",
+    "window_lead_lag" ->
+      """SELECT user_id, event_id,
+                lag(value) OVER w AS prev_value,
+                lead(value) OVER w AS next_value,
+                (ntile(4) OVER w)::INT AS quartile
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "unpivot_measures" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
          UNION ALL

@@ -67,6 +67,35 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(none.forall(_.getLong(2) == 0L))
   }
 
+  test("removeDuplicatedSpans: randomized corpora match the brute-force replica") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    for (trial <- 1 to 8) {
+      val corpus = (0 until 12).map(i =>
+        i.toLong -> Seq.fill(rnd.nextInt(11))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      val minDf = 2L + rnd.nextInt(3)
+      // brute force: the same shingle rule as Dedup.shingles (len<=3 → one
+      // whole-text shingle), df = distinct docs, coverage by position
+      def shingleStrs(t: Seq[String]): Seq[String] =
+        if (t.length <= 3) Seq(t.mkString(" "))
+        else t.sliding(3).map(_.mkString(" ")).toSeq
+      val toks = corpus.map { case (id, s) => id -> s.split("\\s+").filter(_.nonEmpty).toSeq }
+      val df0 = toks.flatMap { case (id, t) => shingleStrs(t).distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.size }
+      val expect = toks.map { case (id, t) =>
+        val covered = shingleStrs(t).zipWithIndex.collect {
+          case (s, p) if df0(s) >= minDf => (p until math.min(p + 3, t.length))
+        }.flatten.toSet
+        val clean = t.zipWithIndex.collect { case (tok, i) if !covered(i) => tok }
+        id -> ((t.length.toLong, (t.length - clean.length).toLong,
+          graft.functions.PortableHash.local60(clean.mkString(" "))))
+      }.toMap
+      val got = Dedup.removeDuplicatedSpans(docs(corpus: _*), n = 3, minDf = minDf)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == expect, s"trial $trial minDf=$minDf")
+    }
+  }
+
   test("vocabulary: tf/df counts, minCount threshold, deterministic tie-break") {
     val d = docs(1L -> "b a b c", 2L -> "a b z", 3L -> "c a")
     // tf: a=3 b=3 c=2 z=1; df: a=3 b=2 c=2 z=1
