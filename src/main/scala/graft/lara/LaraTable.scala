@@ -333,6 +333,42 @@ object LaraTable {
     LaraTable(df, LaraSchema(keys, vals))
   }
 
+  /** Compact an append-accumulated store: micro-batch appends (see
+    * `appendStore` / `streaming.EventStreams.streamStore`) leave one-plus
+    * files per batch — the classic small-file problem that throttles scans
+    * at scale (a task and an open per file, tiny row groups, no useful
+    * min-max skipping). Rewrites the store access-path-sorted into
+    * `ceil(bytes / targetFileBytes)` range-partitioned files sized from
+    * the store's ACTUAL on-disk bytes (a metadata-only listing), then
+    * swaps directories. Returns (filesBefore, filesAfter).
+    *
+    * The swap is two renames on the store's filesystem — atomic on HDFS
+    * and local disk; on eventual-consistency object stores run it from a
+    * single maintenance job (the same caveat every rename-based committer
+    * carries).
+    */
+  def compactStore(spark: SparkSession, path: String, keys: Seq[String], vals: Seq[ValSpec],
+                   targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles(hPath)
+    val nFiles = math.max(1, math.ceil(before.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    fs.delete(tmp, true)
+    load(spark, path, keys, vals).df
+      .repartitionByRange(nFiles, keys.map(org.apache.spark.sql.functions.col): _*)
+      .sortWithinPartitions(keys.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
+    fs.delete(old, true)
+    require(fs.rename(hPath, old), s"compactStore: could not stage $path aside")
+    require(fs.rename(tmp, hPath), s"compactStore: could not move compacted store into $path")
+    fs.delete(old, true)
+    (before.length, dataFiles(hPath).length)
+  }
+
   /** Reference `Empty` (`api/TupleOp.kt:285-290`). */
   def empty(spark: SparkSession, schema: LaraSchema): LaraTable = {
     val st = org.apache.spark.sql.types.StructType(

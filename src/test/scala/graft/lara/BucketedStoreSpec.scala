@@ -40,4 +40,29 @@ class BucketedStoreSpec extends AnyFunSuite {
     val ap = agg.queryExecution.executedPlan.toString()
     assert(!ap.contains("Exchange hashpartitioning"), s"bucketed agg shuffles:\n$ap")
   }
+
+  test("compactStore: appended small files collapse, data identical, order restored") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/store"
+    val st = new StructType().add("k", LongType).add("v", IntegerType)
+    val schema = LaraSchema(Seq("k"), Seq(ValSpec("v", IntegerType, 0)))
+    // six micro-batch appends, interleaved key ranges (appends do not
+    // maintain global order — compaction must restore it)
+    for (b <- 0 until 6) {
+      val rows = (0 until 10).map(i => Row((i * 6 + b).toLong, b * 100 + i))
+      LaraTable(df(st, rows), schema).appendStore(dir)
+    }
+    val expected = rowSet(spark.read.parquet(dir))
+    val filesBefore = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesBefore >= 6, s"appends should leave many files, got $filesBefore")
+
+    val (nb, na) = LaraTable.compactStore(spark, dir, Seq("k"), schema.vals)
+    assert(nb == filesBefore && na == 1, s"expected collapse to 1 file, got $nb -> $na")
+    assert(rowSet(spark.read.parquet(dir)) == expected, "compaction must not change data")
+    // single range-partitioned, sorted file => globally ordered scan
+    val ks = spark.read.parquet(dir).collect().map(_.getLong(0)).toSeq
+    assert(ks == ks.sorted, "compacted store must be access-path-sorted")
+    // idempotent: compacting a compacted store is a no-op shape-wise
+    val (nb2, na2) = LaraTable.compactStore(spark, dir, Seq("k"), schema.vals)
+    assert(nb2 == 1 && na2 == 1)
+  }
 }
