@@ -295,6 +295,11 @@ object SparkEntry {
     "media_video" -> ((s, d) =>
       pipeline.Multimodal.decodeVideoStats(
         pipeline.Multimodal.syntheticAvis(Tables.documents(s, d)))),
+    // --- REAL multi-frame GIF: JDK sequence writer + stock ImageIO GIF
+    // reader (no hand-written walker); exact gray palette ⇒ integer-exact ---
+    "media_gif" -> ((s, d) =>
+      pipeline.Multimodal.decodeGifStats(
+        pipeline.Multimodal.syntheticGifs(Tables.documents(s, d)))),
     // --- media curation capstone: real decode → integer luminance filter
     // → exact pixel-fingerprint dedup → portable split, one plan ---
     "media_curate" -> ((s, d) =>
@@ -1484,6 +1489,25 @@ object SparkEntry {
                 max(w)::BIGINT AS w, max(h)::BIGINT AS h,
                 sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
                 sum(b)::BIGINT AS sum_b
+         FROM px GROUP BY media_id, f""",
+    // REAL multi-frame GIF via the stock ImageIO plugin (writer AND
+    // reader — no hand-written walker); the exact 256-gray palette makes
+    // the round trip integer-exact, so the oracle evaluates the same
+    // formula analytically.
+    "media_gif" ->
+      """WITH dims AS (SELECT doc_id AS media_id, 8 + doc_id % 3 AS w,
+                              6 + doc_id % 2 AS h, 2 + doc_id % 3 AS nf
+                       FROM documents),
+         px AS (
+           SELECT media_id, f, w, h,
+             (media_id*7 + f*19 + x*3 + y*5) % 256 AS gray
+           FROM dims,
+                LATERAL (SELECT unnest(range(nf)) AS f),
+                LATERAL (SELECT unnest(range(w)) AS x),
+                LATERAL (SELECT unnest(range(h)) AS y))
+         SELECT media_id, f::BIGINT AS frame_idx, true AS decoded,
+                max(w)::BIGINT AS w, max(h)::BIGINT AS h,
+                sum(gray)::BIGINT AS sum_gray
          FROM px GROUP BY media_id, f""",
   )
 }

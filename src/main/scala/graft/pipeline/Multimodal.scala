@@ -723,6 +723,121 @@ object Multimodal {
       .toDF("media_id", "frame_idx", "decoded", "w", "h", "sum_r", "sum_g", "sum_b")
   }
 
+  // ----------------------------------------------------------------- GIF
+
+  /** Exact 256-level gray palette: any grayscale frame is representable
+    * without quantization, which is what makes the GIF round trip
+    * integer-exact (a true-color frame would force the writer to quantize
+    * or dither — lossy and implementation-defined).
+    */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate[Byte](256)(i => i.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** REAL multi-frame GIF encode via the JDK's sequence writer (the
+    * second REAL multi-frame container after AVI — this one decoded by
+    * the stock ImageIO GIF plugin end to end, no hand-written walker).
+    *
+    * Interlace is explicitly DISABLED: the JDK writer interlaces by
+    * default, and the JDK reader mis-orders interlaced rows for images
+    * under 5 rows tall (verified against an independent LZW decode —
+    * the bytes are valid, the reader is wrong). Non-interlaced output
+    * round-trips at every size; see MediaCodecPropSpec.
+    */
+  private[pipeline] def encodeGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val param = w.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    frames.foreach(f => w.writeToSequence(new javax.imageio.IIOImage(f, null, null), param))
+    w.endWriteSequence()
+    w.dispose()
+    ios.flush()
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame GIF decode: every stored frame via the JDK reader.
+    * None for non-GIF payloads (magic sniff first — corrupt blobs at
+    * corpus scale degrade, NonFatal only, like every other codec path).
+    */
+  private[pipeline] def extractGifFrames(bytes: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] =
+    if (bytes.length < 6 || bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F') None
+    else try {
+      val r = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      r.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)), false)
+      try Some((0 until r.getNumImages(true)).map(r.read(_)))
+      finally r.dispose()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Synthetic REAL animated GIFs, one per document id: `2 + id%3`
+    * grayscale formula frames of `(8 + id%3) × (6 + id%2)` pixels —
+    * gray(x,y) = the [[vR]] formula, exactly representable in the
+    * 256-gray palette, so the decode is integer-exact.
+    */
+  def syntheticGifs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Dedup.rebalance(docs.select(col("doc_id"))).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + id % 3).toInt
+        val h = (6 + id % 2).toInt
+        val nf = (2 + id % 3).toInt
+        val frames = (0 until nf).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, vR(id, f, x, y)); x += 1 }
+            y += 1
+          }
+          img
+        }
+        MediaRow(id, "video", encodeGif(frames), w, h, 0, nf * 100L)
+      }
+    }.toDF()
+      .select(col("media_id"), col("kind"), col("bytes"),
+        struct(col("width"), col("height"), col("sample_rate"), col("duration_ms"))
+          .cast(mediaSchema("meta").dataType).as("meta"))
+  }
+
+  /** REAL GIF decode → per-frame integer gray sums, partition-local (the
+    * GIF sibling of [[decodeVideoStats]]; the contract query `media_gif`).
+    * gray = rgb & 0xFF: the exact palette makes r = g = b = the stored
+    * sample.
+    */
+  def decodeGifStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          extractGifFrames(bytes) match {
+            case Some(frames) if frames.nonEmpty =>
+              frames.iterator.zipWithIndex.map { case (img, f) =>
+                var s = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) { s += img.getRGB(x, y) & 0xFF; x += 1 }
+                  y += 1
+                }
+                (id, f.toLong, true, img.getWidth.toLong, img.getHeight.toLong, s)
+              }
+            case _ => Iterator((id, -1L, false, 0L, 0L, 0L))
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "decoded", "w", "h", "sum_gray")
+  }
+
   /** Media curation capstone — the composition proof for the multimodal
     * surface, shaped like `TrainingData.prepareCorpus`: REAL decode →
     * integer luminance quality filter → exact pixel-fingerprint dedup

@@ -34,7 +34,7 @@ class PlanGuardrailsSpec extends AnyFunSuite {
     // checked per-exchange on the columns it carries, not plan-wide.
     import org.apache.spark.sql.execution.exchange.Exchange
     import org.apache.spark.sql.types.BinaryType
-    for (q <- Seq("media_decode", "media_audio", "media_video")) {
+    for (q <- Seq("media_decode", "media_audio", "media_video", "media_gif")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
       val binaryExchanges = plan.collect {
         case e: Exchange if e.child.output.exists(_.dataType == BinaryType) => e

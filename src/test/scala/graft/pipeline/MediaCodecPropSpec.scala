@@ -90,6 +90,28 @@ class MediaCodecPropSpec extends AnyFunSuite {
       assert((back.get.getRGB(x, y) & 0xFFFFFF) == (img.getRGB(x, y) & 0xFFFFFF))
   }
 
+  test("GIF: arbitrary multi-frame grayscale sequences round-trip bit-exactly") {
+    val rnd = new scala.util.Random(46)
+    def grayPalette = {
+      val g = Array.tabulate[Byte](256)(i => i.toByte)
+      new java.awt.image.IndexColorModel(8, 256, g, g, g)
+    }
+    for (_ <- 1 to 30) {
+      val (nf, w, h) = (1 + rnd.nextInt(4), 1 + rnd.nextInt(14), 1 + rnd.nextInt(10))
+      val pix = Array.fill(nf, h, w)(rnd.nextInt(256))
+      val frames = (0 until nf).map { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, pix(f)(y)(x))
+        img
+      }
+      val got = Multimodal.extractGifFrames(Multimodal.encodeGif(frames)).get
+      assert(got.length == nf)
+      for (f <- 0 until nf; y <- 0 until h; x <- 0 until w)
+        assert((got(f).getRGB(x, y) & 0xFF) == pix(f)(y)(x), s"frame $f pixel ($x,$y)")
+    }
+  }
+
   test("corrupted containers degrade cleanly — never throw, never over-allocate") {
     // flip/truncate random bytes of valid containers (size fields
     // included, so huge/negative chunk sizes occur); every parser must
@@ -111,6 +133,7 @@ class MediaCodecPropSpec extends AnyFunSuite {
         Multimodal.decodeWav(payload)        // must not throw
         Multimodal.extractAviFrames(payload) // must not throw / OOM
         Multimodal.decodeImage(payload)      // must not throw
+        Multimodal.extractGifFrames(payload) // must not throw
       }
     }
   }
