@@ -106,7 +106,14 @@ object Multimodal {
         if (looksLikeImage(bytes)) {
           val h = graft.functions.MediaKernels.imageHeader(bytes)
           val (w, ht) = if (h != null) (h.getInt(1), h.getInt(2)) else (0, 0)
-          MediaRow(id, "image", bytes, w, ht, 0, 0L)
+          // a multi-frame GIF is a video; the frame count is one real
+          // container parse (the same price every classifier pays)
+          val gifFrames =
+            if (bytes.length >= 3 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+              extractGifFrames(bytes).map(_.length).getOrElse(0)
+            else 0
+          if (gifFrames > 1) MediaRow(id, "video", bytes, w, ht, 0, gifFrames * 100L)
+          else MediaRow(id, "image", bytes, w, ht, 0, 0L)
         } else if (looksLikeAvi(bytes)) { // before WAV: both are RIFF
           val nf = extractAviFrames(bytes).map(_.length).getOrElse(0)
           MediaRow(id, "video", bytes, 0, 0, 0, nf * 100L)
@@ -250,8 +257,10 @@ object Multimodal {
         val real: Option[Array[Float]] = m.kind match {
           case "image" => decodeImage(m.bytes).map(luminanceStripes(_, dim))
           case "audio" => decodeWav(m.bytes).map { case (_, s) => amplitudeStripes(s, dim) }
-          case "video" => extractAviFrames(m.bytes)
-            .flatMap(_.headOption).flatMap(decodeDib).map(luminanceStripes(_, dim))
+          case "video" => // container-driven: uncompressed AVI or multi-frame GIF
+            extractAviFrames(m.bytes).flatMap(_.headOption).flatMap(decodeDib)
+              .orElse(extractGifFrames(m.bytes).flatMap(_.headOption))
+              .map(luminanceStripes(_, dim))
           case _ => None
         }
         FeatureRow(m.media_id, m.kind, m.bytes.length.toLong,

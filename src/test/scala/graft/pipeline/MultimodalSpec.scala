@@ -343,6 +343,29 @@ class MultimodalSpec extends AnyFunSuite {
       val feats = Multimodal.extractFeatures(media, dim = 4).collect()
         .map(r => r.getString(1) -> r.getSeq[Float](3)).toMap
       assert(feats("image") == Multimodal.luminanceStripes(img, 4).toSeq)
+
+      // a multi-frame GIF classifies as video and its features come from
+      // the REAL first frame via the GIF reader (not the stub)
+      def grayPal = {
+        val g = Array.tabulate[Byte](256)(i => i.toByte)
+        new java.awt.image.IndexColorModel(8, 256, g, g, g)
+      }
+      val gframes = (0 until 2).map { f =>
+        val gi = new java.awt.image.BufferedImage(6, 5,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPal)
+        for (y <- 0 until 5; x <- 0 until 6) gi.getRaster.setSample(x, y, 0, (f * 50 + x * 7 + y) % 256)
+        gi
+      }
+      java.nio.file.Files.write(new java.io.File(dir, "e.gif").toPath,
+        Multimodal.encodeGif(gframes))
+      val media2 = Multimodal.mediaFromFiles(spark, dir.getAbsolutePath)
+      val gifRow = media2.filter(col("media_id") ===
+        graft.functions.PortableHash.local60("e.gif")).collect().head
+      assert(gifRow.getString(1) == "video" && gifRow.getStruct(3).getLong(3) == 200L)
+      val vfeats = Multimodal.extractFeatures(media2, dim = 4).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+      assert(vfeats(graft.functions.PortableHash.local60("e.gif")) ==
+        Multimodal.luminanceStripes(gframes.head, 4).toSeq)
     } finally {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
