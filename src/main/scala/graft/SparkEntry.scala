@@ -170,6 +170,8 @@ object SparkEntry {
     }),
     // --- training-data pipeline: dataset preparation ---
     "corpus_split" -> ((s, d) => pipeline.TrainingData.splitAssign(Tables.documents(s, d))),
+    // --- RAG-style overlapping chunk windows, fingerprint-exact ---
+    "chunk_docs" -> ((s, d) => pipeline.TrainingData.chunkDocuments(Tables.documents(s, d))),
     "seq_packing" -> ((s, d) => pipeline.TrainingData.packSequences(Tables.documents(s, d))),
     "embed_quantize" -> ((s, d) => pipeline.TrainingData.quantizeEmbeddings(Tables.embeddings(s, d))),
     // --- training-data pipeline: similarity search ---
@@ -1030,6 +1032,22 @@ object SparkEntry {
            ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
          GROUP BY b.band""",
     // Deterministic portable-hash split: same md5 bucket formula.
+    // Chunk replay: same integer chunk count, same 1-based clamped list
+    // slices, same re-joined fingerprint per window.
+    "chunk_docs" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents),
+         n AS (
+           SELECT doc_id, t,
+                  (greatest(1, len(t) - 16) + 47) // 48 AS nc
+           FROM t WHERE len(t) > 0),
+         c AS (
+           SELECT doc_id, k, t[k*48 + 1 : k*48 + 64] AS chunk
+           FROM n, LATERAL (SELECT unnest(range(nc)) AS k) ks(k))
+         SELECT doc_id, k::BIGINT AS chunk_idx, len(chunk)::BIGINT AS n_tokens,
+                ('0x' || substring(md5(array_to_string(chunk, ' ')), 1, 15))::BIGINT AS chunk_fp
+         FROM c""",
     "corpus_split" ->
       """SELECT doc_id,
                 CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split

@@ -92,6 +92,39 @@ object TrainingData {
     * formulation would serialize 100 TB through one; so would a flat
     * global window over the corpus/bucketSize bucket totals).
     */
+  /** RAG-style document CHUNKING: overlapping token windows of `size`
+    * tokens every `stride` (overlap = size − stride), one output row per
+    * chunk with a portable fingerprint — the retrieval-corpus prep that
+    * complements [[packSequences]] (training-batch packing concatenates;
+    * chunking windows WITH overlap so no retrieval boundary splits an
+    * answer span). Chunk count per doc is
+    * `ceil(max(1, len − overlap) / stride)` (0 for empty docs): every doc
+    * yields at least one chunk, the last window keeps its short tail.
+    * All arithmetic is integer, slicing clamps identically in both
+    * engines, and the fingerprint is the portable hash of the re-joined
+    * window — the oracle rebuilds every chunk. Embarrassingly parallel:
+    * one narrow pass, no shuffle at all.
+    */
+  def chunkDocuments(docs: DataFrame, size: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && size >= stride, "chunkDocuments: need size >= stride > 0")
+    val overlap = size - stride
+    docs
+      .select(col("doc_id"), graft.pipeline.Dedup.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        expr(s"CAST((greatest(1, size(t) - $overlap) + ${stride - 1}) DIV $stride AS INT)").as("nc"))
+      // empty docs chunk to nothing; the filter also keeps sequence() away
+      // from the nc=0 case (sequence(0,-1) would count DOWN, not be empty)
+      .filter(size_(col("t")) > 0)
+      .select(col("doc_id"), posexplode(transform(sequence(lit(0), col("nc") - 1),
+        k => slice(col("t"), k * stride + 1, lit(size)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        size_(col("col")).cast("long").as("n_tokens"),
+        PortableHash.hash60(array_join(col("col"), " ")).as("chunk_fp"))
+  }
+
+  // functions.size collides with the chunk `size` parameter name
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   def packSequences(docs: DataFrame, budget: Long = 512L, bucketSize: Long = 1024L): DataFrame = {
     val toks = docs.select(col("doc_id"),
         size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))

@@ -14,6 +14,36 @@ class TrainingDataSpec extends AnyFunSuite {
 
   private val docSchema = new StructType().add("doc_id", LongType).add("text", StringType)
 
+  test("chunkDocuments: window starts, tail handling, fingerprints — hand-checked") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = df(docSchema, Seq(
+      Row(0L, ""),        // no chunks
+      Row(1L, "w1"),      // 1 short chunk
+      Row(4L, words(4)),  // exactly one window
+      Row(5L, words(5)),  // [w1..w4], [w4 w5]
+      Row(8L, words(8)))) // [w1..w4], [w4..w7], [w7 w8]
+    val got = TrainingData.chunkDocuments(d, size = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    def fp(s: String) = graft.functions.PortableHash.local60(s)
+    assert(!got.keySet.exists(_._1 == 0L))
+    assert(got((1L, 0L)) == ((1L, fp("w1"))))
+    assert(got((4L, 0L)) == ((4L, fp("w1 w2 w3 w4"))))
+    assert(got.keySet.count(_._1 == 4L) == 1)
+    assert(got((5L, 0L)) == ((4L, fp("w1 w2 w3 w4"))))
+    assert(got((5L, 1L)) == ((2L, fp("w4 w5"))))
+    assert(got((8L, 0L)) == ((4L, fp("w1 w2 w3 w4"))))
+    assert(got((8L, 1L)) == ((4L, fp("w4 w5 w6 w7"))))
+    assert(got((8L, 2L)) == ((2L, fp("w7 w8"))))
+    assert(got.size == 7)
+    // overlap invariant: consecutive windows share size-stride tokens —
+    // their fingerprints differ but every token index is covered
+    val cover = TrainingData.chunkDocuments(d, size = 4, stride = 3)
+      .groupBy(col("doc_id")).agg(sum(col("n_tokens")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cover(8L) == 10L) // 8 tokens + 2 overlapped twice
+  }
+
   test("splitAssign: deterministic, complete, roughly proportional") {
     val d = df(docSchema, (0L until 1000L).map(i => Row(i, s"doc $i")))
     val s1 = TrainingData.splitAssign(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
