@@ -306,6 +306,11 @@ object SparkEntry {
     // → exact pixel-fingerprint dedup → portable split, one plan ---
     "media_curate" -> ((s, d) =>
       pipeline.Multimodal.curateMedia(Tables.documents(s, d))),
+    // --- CROSS-SURFACE capstone: text boilerplate + embedding SemDedup +
+    // real media decode quality gates in ONE plan, oracle-replayed whole ---
+    "multimodal_curate" -> ((s, d) =>
+      pipeline.TrainingData.curateMultimodal(
+        Tables.documents(s, d), Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1471,6 +1476,116 @@ object SparkEntry {
                      WHEN ('0x' || substring(md5('msplit_' || q.media_id::VARCHAR), 1, 15))::BIGINT % 100 < 90 THEN 'val'
                      ELSE 'test' END AS split
          FROM q JOIN canon USING (media_id)""",
+    // Cross-surface capstone replay: the three proven oracle fragments
+    // (duplicated-trigram fraction, the integer-Lloyd SemDedup chain,
+    // analytic pixel sums) joined on doc_id + the md5 split — one query.
+    "multimodal_curate" ->
+      """WITH toksx AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents),
+         shx AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS s
+           FROM toksx),
+         ngx AS (SELECT doc_id, ('0x' || substring(md5(x), 1, 15))::BIGINT AS ng
+                 FROM shx, unnest(s) AS u(x)),
+         dfx AS (SELECT ng, count(*)::BIGINT AS df FROM ngx GROUP BY ng),
+         txt AS (
+           SELECT doc_id FROM ngx JOIN dfx USING (ng)
+           GROUP BY doc_id
+           HAVING sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) <= 0.65),
+         e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS ce,
+                  list_transform(embedding::DOUBLE[], x -> floor(x * 1000 + 0.5)) AS qv
+           FROM embeddings),
+         c0 AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cent
+           FROM (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT 16)),
+         sim1 AS (
+           SELECT e.vec_id, c.cell,
+             CASE WHEN list_dot_product(e.qv, e.qv) = 0 OR list_dot_product(c.cent, c.cent) = 0 THEN 0.0
+                  ELSE list_dot_product(e.qv, c.cent)
+                       / (sqrt(list_dot_product(e.qv, e.qv)) * sqrt(list_dot_product(c.cent, c.cent))) END AS sim
+           FROM e CROSS JOIN c0 c),
+         a1 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+             FROM sim1) WHERE rn = 1),
+         s1 AS (
+           SELECT a1.cell, p.pos, sum(e.qv[p.pos + 1])::BIGINT AS s
+           FROM a1 JOIN e USING (vec_id), LATERAL (SELECT unnest(range(64)) AS pos) p
+           GROUP BY a1.cell, p.pos),
+         c1l AS (SELECT cell, list(s::DOUBLE ORDER BY pos) AS cent FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.cell, coalesce(c1l.cent, c0.cent) AS cent
+                FROM c0 LEFT JOIN c1l USING (cell)),
+         sim2 AS (
+           SELECT e.vec_id, c.cell,
+             CASE WHEN list_dot_product(e.qv, e.qv) = 0 OR list_dot_product(c.cent, c.cent) = 0 THEN 0.0
+                  ELSE list_dot_product(e.qv, c.cent)
+                       / (sqrt(list_dot_product(e.qv, e.qv)) * sqrt(list_dot_product(c.cent, c.cent))) END AS sim
+           FROM e CROSS JOIN c1 c),
+         a2 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+             FROM sim2) WHERE rn = 1),
+         s2 AS (
+           SELECT a2.cell, p.pos, sum(e.qv[p.pos + 1])::BIGINT AS s
+           FROM a2 JOIN e USING (vec_id), LATERAL (SELECT unnest(range(64)) AS pos) p
+           GROUP BY a2.cell, p.pos),
+         c2l AS (SELECT cell, list(s::DOUBLE ORDER BY pos) AS cent FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.cell, coalesce(c2l.cent, c1.cent) AS cent
+                FROM c1 LEFT JOIN c2l USING (cell)),
+         simf AS (
+           SELECT e.vec_id, c.cell,
+             CASE WHEN list_dot_product(e.qv, e.qv) = 0 OR list_dot_product(c.cent, c.cent) = 0 THEN 0.0
+                  ELSE list_dot_product(e.qv, c.cent)
+                       / (sqrt(list_dot_product(e.qv, e.qv)) * sqrt(list_dot_product(c.cent, c.cent))) END AS sim
+           FROM e CROSS JOIN c2 c),
+         af AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+             FROM simf) WHERE rn = 1),
+         pdup AS (
+           SELECT a.vec_id, min(b.vec_id) AS dup_of
+           FROM af a JOIN af b USING (cell)
+           JOIN e ea ON ea.vec_id = a.vec_id
+           JOIN e eb ON eb.vec_id = b.vec_id
+           WHERE b.vec_id < a.vec_id
+             AND round(CASE WHEN list_dot_product(ea.ce, ea.ce) = 0 OR list_dot_product(eb.ce, eb.ce) = 0 THEN 0.0
+                            ELSE list_dot_product(ea.ce, eb.ce)
+                                 / (sqrt(list_dot_product(ea.ce, ea.ce)) * sqrt(list_dot_product(eb.ce, eb.ce))) END, 6) >= 0.4
+           GROUP BY a.vec_id),
+         sem AS (
+           SELECT af.vec_id AS doc_id FROM af LEFT JOIN pdup USING (vec_id)
+           WHERE pdup.dup_of IS NULL),
+         dimsm AS (SELECT doc_id AS media_id, 16 + doc_id % 5 AS w, 12 + doc_id % 3 AS h
+                   FROM documents),
+         pxm AS (
+           SELECT media_id, w, h,
+             (media_id*7 + x*3 + y*5) % 256 AS r,
+             (media_id*11 + x*5 + y*7) % 256 AS g,
+             (media_id*13 + x*7 + y*11) % 256 AS b
+           FROM dimsm, LATERAL (SELECT unnest(range(w)) AS x), LATERAL (SELECT unnest(range(h)) AS y)),
+         stm AS (
+           SELECT media_id, max(w) AS w, max(h) AS h,
+                  sum(r)::BIGINT AS sr, sum(g)::BIGINT AS sg, sum(b)::BIGINT AS sb
+           FROM pxm GROUP BY media_id),
+         med AS (
+           SELECT media_id AS doc_id, (sr + sg + sb) // (3 * w * h) AS lum
+           FROM stm
+           WHERE (sr + sg + sb) // (3 * w * h) BETWEEN 100 AND 160)
+         SELECT d.doc_id, med.lum::BIGINT AS lum,
+                CASE WHEN ('0x' || substring(md5('mmsplit_' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+                     WHEN ('0x' || substring(md5('mmsplit_' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents d
+         JOIN txt USING (doc_id)
+         JOIN sem USING (doc_id)
+         JOIN med USING (doc_id)""",
     // REAL WAV decode: the engine hand-assembles PCM containers from the
     // sample formula, parses them back with the JDK's real audio codec
     // (format chunk + frame extraction) and sums samples; the oracle

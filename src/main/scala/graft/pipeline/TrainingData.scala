@@ -260,4 +260,46 @@ object TrainingData {
     val clusters = Components.duplicateClusters(survivors)
     splitAssign(Components.dropDuplicates(survivors, clusters))
   }
+
+  /** The CROSS-SURFACE curation capstone (`multimodal_curate`): one plan
+    * that gates each document on all three modality surfaces at once —
+    *  - TEXT: cross-corpus boilerplate (duplicated-trigram fraction ≤
+    *    `maxDupFrac`, the [[graft.pipeline.Dedup.duplicatedNgramStats]]
+    *    signal);
+    *  - EMBEDDING: SemDedup keep decision
+    *    ([[graft.pipeline.Similarity.semanticDedup]] over the aligned
+    *    vector table — near-dup groups keep one representative);
+    *  - MEDIA: REAL image decode with integer luminance in
+    *    `[lumLo, lumHi]` (the `media_curate` quality band);
+    * survivors get the portable hash split. Every constituent is an
+    * independently oracle-checked operator; this is the composition proof
+    * that the surfaces join into one Catalyst plan — and the oracle
+    * replays the WHOLE thing (trigram stats + integer-Lloyd cells +
+    * analytic pixel sums + md5 split) against the same parquet.
+    *
+    * Shapes: three semi/inner joins on doc_id move ids and small scalars
+    * only; each branch keeps its own operator's scale discipline (slim
+    * cached frames, cell-bucketed pairs, partition-local decode).
+    */
+  def curateMultimodal(docs: DataFrame, emb: DataFrame,
+                       maxDupFrac: Double = 0.65,
+                       lumLo: Long = 100L, lumHi: Long = 160L): DataFrame = {
+    val txt = graft.pipeline.Dedup.duplicatedNgramStats(docs)
+      .filter(col("dup_frac") <= maxDupFrac).select(col("doc_id"))
+    val sem = graft.pipeline.Similarity.semanticDedup(emb)
+      .filter(col("keep")).select(col("vec_id").as("doc_id"))
+    val med = graft.pipeline.Multimodal.decodePixelStats(
+        graft.pipeline.Multimodal.syntheticPngs(docs), rw = 7, rh = 5)
+      .filter(col("decoded"))
+      .withColumn("lum", expr("(sum_r + sum_g + sum_b) div (3 * w * h)"))
+      .filter(col("lum").between(lumLo, lumHi))
+      .select(col("media_id").as("doc_id"), col("lum"))
+    val bucket = pmod(PortableHash.hash60(concat(lit("mmsplit_"), col("doc_id"))), lit(100L))
+    docs.select(col("doc_id"))
+      .join(txt, Seq("doc_id"), "left_semi")
+      .join(sem, Seq("doc_id"), "left_semi")
+      .join(med, Seq("doc_id"))
+      .select(col("doc_id"), col("lum"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+  }
 }

@@ -66,4 +66,32 @@ class CurationSpec extends AnyFunSuite {
     val s8 = TrainingData.quotaSample(d, "source", 8).collect().map(_.getLong(0)).toSet
     assert(s5.map(_._1).forall(s8.contains))
   }
+
+  test("curateMultimodal: survivors are exactly the intersection of the three gates") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val emb = graft.Tables.embeddings(spark, sf)
+    val out = TrainingData.curateMultimodal(docs, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // each gate independently
+    val txt = Dedup.duplicatedNgramStats(docs)
+      .filter(col("dup_frac") <= 0.65).collect().map(_.getLong(0)).toSet
+    val sem = Similarity.semanticDedup(emb)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    val med = Multimodal.decodePixelStats(Multimodal.syntheticPngs(docs), 7, 5)
+      .filter(col("decoded"))
+      .withColumn("lum", expr("(sum_r + sum_g + sum_b) div (3 * w * h)"))
+      .filter(col("lum").between(100, 160))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("lum")).toMap
+    val expectIds = txt intersect sem intersect med.keySet
+    assert(out.map(_._1).toSet == expectIds, "survivor set must be the 3-gate intersection")
+    assert(out.nonEmpty && out.size < docs.count(), "non-trivial filter")
+    out.foreach { case (id, lum, split) =>
+      assert(lum == med(id), s"doc $id lum")
+      val b = graft.functions.PortableHash.local60(s"mmsplit_$id") % 100
+      val want = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(split == want, s"doc $id split")
+    }
+  }
 }
