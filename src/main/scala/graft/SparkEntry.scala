@@ -64,6 +64,15 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => pipeline.Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash" -> ((s, d) => pipeline.Dedup.minhashPairs(Tables.documents(s, d))),
     "dedup_jaccard" -> ((s, d) => pipeline.Dedup.jaccardJoin(Tables.documents(s, d))),
+    // --- INCREMENTAL dedup: delta batch probed against a persisted
+    // signature index (built here from the doc_id%5!=0 "history"; the
+    // %5==0 docs are the increment) — history never rescanned ---
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = java.nio.file.Files.createTempDirectory("graft_sigidx").toString + "/idx"
+      pipeline.Dedup.indexSignatures(docs.filter(col("doc_id") % 5 =!= 0), path)
+      pipeline.Dedup.minhashPairsDelta(docs.filter(col("doc_id") % 5 === 0), path)
+    }),
     "dedup_simhash" -> ((s, d) => pipeline.Dedup.simhashPairs(Tables.documents(s, d))),
     // --- near-dup pairs resolved into clusters (connected components):
     // the keep/drop decision a dedup pipeline actually ships ---
@@ -540,6 +549,36 @@ object SparkEntry {
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          WHERE len([bb for bb in range(0, 8)
                     if a.sg[bb*4+1 : bb*4+4] = b.sg[bb*4+1 : bb*4+4]]) > 0""",
+    // Incremental replay: full-corpus banded pairs restricted to those
+    // with >= 1 endpoint in the delta (doc_id % 5 = 0) — exactly the
+    // new-vs-old + new-vs-new set the index probe discovers.
+    "dedup_incremental" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END AS s
+           FROM toks),
+         bs AS (
+           SELECT doc_id, [('0x' || substring(md5(x), 1, 15))::BIGINT for x in s] AS b
+           FROM sh),
+         sig AS (
+           SELECT doc_id,
+             [list_min([((('0x' || substring(md5('a_' || i::VARCHAR), 1, 15))::BIGINT % 2147483646 + 1)
+                         * (h % 2147483647)
+                         + ('0x' || substring(md5('b_' || i::VARCHAR), 1, 15))::BIGINT % 2147483647)
+                        % 2147483647
+                        for h in b])
+              for i in range(0, 32)] AS sg
+           FROM bs)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                len([i for i in range(1, 33) if a.sg[i] = b.sg[i]])::DOUBLE / 32.0 AS est_jaccard
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE len([bb for bb in range(0, 8)
+                    if a.sg[bb*4+1 : bb*4+4] = b.sg[bb*4+1 : bb*4+4]]) > 0
+           AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)""",
     // Same portable minhash pair derivation as dedup_minhash, resolved
     // into connected components by a recursive CTE (min reachable id per
     // node ≡ the engine's min-label fixpoint).

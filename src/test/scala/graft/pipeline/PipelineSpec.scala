@@ -32,6 +32,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
   }
 
+  test("incremental dedup equivalence law: pairs(old ∪ delta) == pairs(old) ∪ delta-probe") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    def pairSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = pairSet(Dedup.minhashPairs(docs))
+    assert(full.nonEmpty, "fixture should contain near-dup candidates")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString + "/idx"
+    Dedup.indexSignatures(old, dir)
+    val incr = pairSet(Dedup.minhashPairs(old)) ++ pairSet(Dedup.minhashPairsDelta(delta, dir))
+    assert(incr == full, "incremental discovery must be lossless vs full recompute")
+
+    // second increment against the APPENDED index: split delta in two
+    val d1 = delta.filter(col("doc_id") % 10 === 0)
+    val d2 = delta.filter(col("doc_id") % 10 =!= 0)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_incr2").toString + "/idx"
+    Dedup.indexSignatures(old, dir2)
+    val p1 = pairSet(Dedup.minhashPairsDelta(d1, dir2))
+    Dedup.indexSignatures(d1, dir2, append = true)
+    val p2 = pairSet(Dedup.minhashPairsDelta(d2, dir2))
+    assert(pairSet(Dedup.minhashPairs(old)) ++ p1 ++ p2 == full,
+      "two-step increments over an appended index must also be lossless")
+  }
+
   test("jaccardJoin: exact shingle-set jaccard via inverted index") {
     // doc1 shingles {a b c, b c d}; doc2 {a b c, b c x}: 1 shared of 3
     val d = docs(1L -> "a b c d", 2L -> "a b c x", 3L -> "q r s t")
