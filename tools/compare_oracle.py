@@ -28,6 +28,14 @@ for q, sql in sorted(oracles.items()):
     spark = pd.concat([pd.read_parquet(f) for f in spark_files])
     o = oracle.reindex(sorted(oracle.columns), axis=1)
     s = spark.reindex(sorted(spark.columns), axis=1)
+    # array-valued columns (numpy arrays / lists) are unhashable and
+    # unsortable — canonicalize to tuples so sort_values/compare work
+    for df in (o, s):
+        for c in df.columns:
+            if df[c].dtype == object and df[c].map(
+                    lambda v: hasattr(v, "__len__") and not isinstance(v, (str, bytes))).any():
+                df[c] = df[c].map(lambda v: tuple(v) if hasattr(v, "__iter__")
+                                  and not isinstance(v, (str, bytes)) else v)
     if list(o.columns) != list(s.columns):
         print(f"{q:24s} SCHEMA cols oracle={list(o.columns)} spark={list(s.columns)}")
         fails.append(q); continue
