@@ -80,4 +80,25 @@ class CurationAtIngestSpec extends AnyFunSuite {
       assert(got.find(_._1 == 1L).get._2 == "mail <EMAIL> from <IP>")
     } finally q.stop()
   }
+
+  test("chunking at ingest: chunkDocuments is stateless — streaming ≡ batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val out = graft.pipeline.TrainingData.chunkDocuments(docs, size = 4, stride = 3)
+    val q = out.writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(1L -> (1 to 9).map(i => s"t$i").mkString(" "), 2L -> "a b", 3L -> "")
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = graft.pipeline.TrainingData.chunkDocuments(
+        rows.toDF("doc_id", "text"), size = 4, stride = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
 }
