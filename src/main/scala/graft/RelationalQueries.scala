@@ -476,4 +476,61 @@ object RelationalQueries {
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
               coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
               col("sum_qty"), col("n"))
+
+  /** Generic exact data profiling: one row per profiled column with null
+    * count, distinct count, and min/max rendered as strings — the schema
+    * audit a pipeline runs on every new 100 TB drop before trusting it.
+    *
+    * Plan shape: ONE scan. Catalyst rewrites the multi-distinct aggregate
+    * into an Expand (one replica of the row per profiled column) feeding a
+    * two-stage hash agg, so the corpus is read once and the shuffle carries
+    * per-column distinct values — the exact-profile floor. When estimates
+    * suffice, the bounded-memory path is the KMV sketch family
+    * (`functions.KmvSmallest`), same contract stance, constant shuffle.
+    *
+    * min/max are cast to string AFTER aggregation (9 scalar results per
+    * column, not per row); callers profile columns whose string rendering
+    * is engine-portable (integers, strings, timestamps — not raw doubles).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      count_distinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")))
+    val total = count(lit(1)).as("n_rows")
+    val wide = df.agg(total, aggs: _*)
+    val stacked = cols.map(c =>
+      s"'$c', n_rows - `nn_$c`, `nd_$c`, `mn_$c`, `mx_$c`").mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.length}, $stacked) AS (col_name, n_nulls, n_distinct, min_val, max_val)")
+  }
+
+  /** Contract instance of [[profile]] over mixed-type lineitem columns. */
+  def profileStats(s: SparkSession, d: String): DataFrame =
+    profile(lineitem(s, d),
+      Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate"))
+
+  /** Adaptive equi-width histogram of a numeric column — the distribution
+    * half of data profiling ([[profile]] covers cardinality). Two passes:
+    * exact min/max (a deterministic scalar, broadcast back), then
+    * bin = (v − min)·nBins div (max − min + 1) in pure BIGINT arithmetic
+    * over integer cents — `div` is exact integer division on both engines,
+    * where a double `floor(a/b)` could round differently at bin edges.
+    *
+    * Scale: two scans (the price of data-adaptive edges), each map-side
+    * combined to ≤ nBins groups; nothing data-sized shuffles.
+    */
+  def histogram(df: DataFrame, cents: org.apache.spark.sql.Column, nBins: Int): DataFrame = {
+    val v = df.select(cents.cast("long").as("v"))
+    val mm = v.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    v.crossJoin(broadcast(mm))
+      .selectExpr(s"(v - mn) * $nBins div (mx - mn + 1) AS bin")
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Contract instance of [[histogram]]: 32 bins over l_extendedprice cents. */
+  def histogramStats(s: SparkSession, d: String): DataFrame =
+    histogram(lineitem(s, d), round(col("l_extendedprice") * 100), 32)
 }

@@ -97,6 +97,19 @@ object SparkEntry {
     // --- corpus vocabulary: token → (tf, df), deterministic top-k ---
     "vocab_topk" -> ((s, d) =>
       pipeline.TextAnalysis.vocabulary(Tables.documents(s, d), minCount = 2L, k = 100)),
+    // --- count-min-sketch heavy hitters: the oracle replays the sketch
+    // itself (portable salted hashes), overestimates and all ---
+    "heavy_hitters" -> ((s, d) =>
+      pipeline.TextAnalysis.heavyHitters(Tables.documents(s, d))),
+    // --- Z-order layout: per-bucket bounding boxes over (user, hour) —
+    // the min/max pruning metadata a two-dimensional clustered scan uses ---
+    "zorder_layout" -> ((s, d) =>
+      pipeline.Layout.zorderStats(Tables.events(s, d))),
+    // --- exact data profiling: nulls/distincts/min/max per column in ONE
+    // scan (Expand + two-stage agg) ---
+    "profile_stats" -> RelationalQueries.profileStats _,
+    // --- adaptive equi-width histogram in exact integer-cents arithmetic ---
+    "histogram_stats" -> RelationalQueries.histogramStats _,
     // --- PII scrub: counts on deterministic synthetic PII (the corpus has
     // none) + digest of the redacted text; both engines build and redact
     // the identical string ---
@@ -880,6 +893,67 @@ object SparkEntry {
                 unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS u(x)
            GROUP BY x)
          WHERE tf >= 2 ORDER BY tf DESC, token LIMIT 100""",
+    // Count-min heavy hitters: replay the SKETCH (4 salted md5-hash rows ×
+    // 1024 buckets over trigram shingles — same shingle construction as
+    // ngram_dupfrac, without the per-doc distinct), estimate = min over
+    // rows, top-100 by (estimate desc, ngram asc) — a total order.
+    "heavy_hitters" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END AS s
+           FROM toks),
+         tri AS (SELECT x AS ngram FROM sh, unnest(s) AS u(x)),
+         sketch AS (
+           SELECT j.j AS row,
+                  ('0x' || substring(md5('cms' || j.j::VARCHAR || '|' || ngram), 1, 15))::BIGINT % 1024 AS bucket,
+                  count(*)::BIGINT AS cnt
+           FROM tri, generate_series(0, 3) AS j(j) GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT ngram FROM tri),
+         est AS (
+           SELECT c.ngram, min(s.cnt) AS cms_count
+           FROM cand c
+           CROSS JOIN generate_series(0, 3) AS j(j)
+           JOIN sketch s ON s.row = j.j
+            AND s.bucket = ('0x' || substring(md5('cms' || j.j::VARCHAR || '|' || c.ngram), 1, 15))::BIGINT % 1024
+           GROUP BY 1)
+         SELECT ngram, cms_count FROM est
+         ORDER BY cms_count DESC, ngram LIMIT 100""",
+    // Z-order layout replay: the bit-interleave expression is GENERATED by
+    // the same Scala loop that builds the Spark plan (Layout.duckdbZValue),
+    // so the two dialects cannot drift. bits=10, bucketBits=6 → shift 14.
+    "zorder_layout" ->
+      s"""WITH pts AS (
+           SELECT (user_id & 1023) AS x,
+                  ((floor(epoch(ts) / 3600))::BIGINT & 1023) AS y
+           FROM events),
+         z AS (SELECT x, y, (${pipeline.Layout.duckdbZValue("x", "y", 10)}) AS zval FROM pts)
+         SELECT (zval >> 14) AS bucket, count(*)::BIGINT AS n,
+                min(x) AS min_x, max(x) AS max_x,
+                min(y) AS min_y, max(y) AS max_y
+         FROM z GROUP BY 1""",
+    // Data profiling: one UNION ALL branch per profiled column. Strings via
+    // ::VARCHAR match Spark's cast-to-string for integers, chars and
+    // zero-fraction timestamps (doubles deliberately not profiled).
+    "profile_stats" ->
+      Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate")
+        .map(c =>
+          s"""SELECT '$c' AS col_name,
+                (count(*) - count($c))::BIGINT AS n_nulls,
+                count(DISTINCT $c)::BIGINT AS n_distinct,
+                min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
+              FROM lineitem""")
+        .mkString(" UNION ALL "),
+    // Histogram: same two-pass plan — exact BIGINT min/max, then integer
+    // floor-division bin arithmetic (// in DuckDB ≡ div in Spark for
+    // non-negative operands).
+    "histogram_stats" ->
+      """WITH v AS (SELECT round(l_extendedprice * 100)::BIGINT AS v FROM lineitem),
+         mm AS (SELECT min(v) AS mn, max(v) AS mx FROM v)
+         SELECT ((v - mn) * 32) // (mx - mn + 1) AS bin, count(*)::BIGINT AS n
+         FROM v, mm GROUP BY 1""",
     // PII scrub on deterministically synthesized PII: both engines build
     // the same string, match the same RE2/java.util.regex-common patterns,
     // and digest the same redacted text. DuckDB regexp_replace needs the

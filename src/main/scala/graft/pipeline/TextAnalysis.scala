@@ -131,6 +131,57 @@ object TextAnalysis {
       .filter(col("tf") >= minCount)
       .orderBy(col("tf").desc, col("token")).limit(k)
 
+  /** Count-min-sketch heavy hitters over word n-grams — the bounded-memory
+    * hot-key detector (Cormode & Muthukrishnan, J.Algorithms 55(1), 2005):
+    * `depth` portable hash rows of `width` counters each, estimate =
+    * min over rows of the landed bucket's count, top-`k` n-grams by
+    * (estimate desc, ngram asc) — a total order, deterministic cut.
+    *
+    * The sketch uses [[graft.functions.PortableHash]] (md5-derived, salted
+    * per row) so the DuckDB oracle replays the SKETCH itself — collisions,
+    * overestimates and all — not an error band: exact cross-engine contract
+    * for an approximate structure, same stance as the KMV family.
+    *
+    * Scale shape: the sketch build is one map-side-combined groupBy whose
+    * post-shuffle cardinality is ≤ depth·width rows REGARDLESS of corpus
+    * size — that boundedness is the whole point of CMS at 100 TB (exact
+    * per-key counting shuffles the full key space; the sketch shuffles a
+    * constant). The candidate enumeration still distincts the n-gram space
+    * (unavoidable: something must name the keys); its probe broadcasts the
+    * tiny sketch and the final min-agg reuses the distinct's hash
+    * partitioning, so no second key-space shuffle. The n-gram frame is
+    * cached once (registered in [[InternalCaches]]) to feed both passes.
+    */
+  def heavyHitters(docs: DataFrame, n: Int = 3, depth: Int = 4,
+                   width: Int = 1024, k: Int = 100): DataFrame = {
+    val tri = InternalCaches.register(Dedup.rebalance(docs)
+      .select(explode(Dedup.shingles(Dedup.tokens(col("text")), n)).as("ngram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // (row, bucket) landing sites for the ngram column of the current frame
+    def sites: Column = explode(cmsSites(col("ngram"), depth, width))
+    val sketch = tri.select(sites.as("rb"))
+      .select(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    tri.distinct()
+      .select(col("ngram"), sites.as("rb"))
+      .select(col("ngram"), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(col("ngram")).agg(min(col("cnt")).as("cms_count"))
+      .orderBy(col("cms_count").desc, col("ngram")).limit(k)
+  }
+
+  /** The CMS landing sites of one n-gram: array of `depth` (row, bucket)
+    * structs, bucket = portable salted hash mod `width`. Shared by the
+    * batch sketch above and the streaming twin
+    * (`streaming.EventStreams.windowedHeavyHitterSketch`) so the two can
+    * never drift.
+    */
+  private[graft] def cmsSites(ngram: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(j => struct(
+      lit(j).as("row"),
+      pmod(graft.functions.PortableHash.hash60(
+        concat(lit(s"cms$j|"), ngram)), lit(width.toLong)).as("bucket"))): _*)
+
   /** PII patterns shared by [[redactPii]] and [[piiStats]]. Deliberately
     * restricted to syntax valid in BOTH java.util.regex and RE2 (no
     * lookaround, no backreferences) so the DuckDB oracle — and any RE2-based

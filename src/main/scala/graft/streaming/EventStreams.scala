@@ -64,6 +64,33 @@ object EventStreams {
           .as("est_users"))
   }
 
+  /** Streaming count-min sketch per event-time window — the CMS twin of
+    * `pipeline.TextAnalysis.heavyHitters`, for hot-n-gram detection in a
+    * document INGEST feed. The aggregation state is the sketch itself:
+    * ≤ depth·width counter rows per open window REGARDLESS of stream
+    * volume (an exact windowed per-n-gram count would hold the full n-gram
+    * space in state). Counts are additive, so the windowed sum IS the
+    * sketch — the differential spec asserts the streamed windows EQUAL the
+    * batch sketch over the same rows, cell for cell. Hot-key queries probe
+    * the emitted sketch exactly as the batch operator does.
+    * Expects columns (ts: timestamp, text: string, ...).
+    */
+  def windowedHeavyHitterSketch(docs: DataFrame, n: Int = 3, depth: Int = 4,
+                                width: Int = 1024,
+                                windowDur: String = "10 minutes",
+                                slide: String = "10 minutes",
+                                watermark: String = "1 hour"): DataFrame = {
+    import graft.pipeline.{Dedup, TextAnalysis}
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(Dedup.shingles(Dedup.tokens(col("text")), n)).as("ngram"))
+      .select(col("ts"), explode(TextAnalysis.cmsSites(col("ngram"), depth, width)).as("rb"))
+      .select(col("ts"), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .groupBy(window(col("ts"), windowDur, slide), col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("row"), col("bucket"), col("cnt"))
+  }
+
   /** Streaming exact-dedup at ingestion: drop documents whose content
     * digest was already seen within the watermark horizon — the streaming
     * twin of `pipeline.Dedup.exact`, for dedup-at-ingest in a training-data

@@ -82,6 +82,29 @@ class PlanGuardrailsSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy_hitters: bounded sketch broadcast; probe agg reuses the distinct's partitioning") {
+    // the CMS plan contract: the sketch (≤ depth·width rows) is broadcast
+    // to the candidate probe — never sort-merge/shuffle-hash joined — and
+    // the final min-aggregation reuses the hash partitioning the distinct
+    // established, so the n-gram key space shuffles exactly once
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE off: the static physical plan shows every exchange explicitly
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("heavy_hitters")(spark, sf)
+        .queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        s"sketch probe must broadcast:\n$plan")
+      // shuffles: sketch build (row,bucket) + candidate distinct (ngram) —
+      // and nothing else (no exchange between the distinct and the min-agg)
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size <= 2, s"CMS plans ${shuffles.size} shuffles (expect ≤ 2):\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      graft.pipeline.InternalCaches.release()
+    }
+  }
+
   test("documents scans are column-pruned to what the query needs") {
     // a scan reading all 5 documents columns for a 2-column operator means
     // pruning never reached parquet — wrong at any scale, fatal at 100 TB

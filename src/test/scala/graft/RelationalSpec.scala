@@ -65,4 +65,45 @@ class RelationalSpec extends AnyFunSuite {
     p.foreach { case (k, v) =>
       assert(math.abs(v - b(k)) <= 1.0, s"$k: portable $v vs batch ${b(k)}") }
   }
+
+  test("profile: exact per-column stats in one scan, null accounting, mixed types") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    val got = RelationalQueries.profileStats(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))))
+      .toMap
+    assert(got.keySet == Set("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate"))
+    // cross-check two columns against directly computed values
+    val ok = li.agg(count_distinct(col("l_orderkey")), min(col("l_orderkey")),
+      max(col("l_orderkey"))).head()
+    assert(got("l_orderkey") == ((0L, ok.getLong(0), ok.getLong(1).toString, ok.getLong(2).toString)))
+    val rf = li.agg(count_distinct(col("l_returnflag")), min(col("l_returnflag")),
+      max(col("l_returnflag"))).head()
+    assert(got("l_returnflag") == ((0L, rf.getLong(0), rf.getString(1), rf.getString(2))))
+    // nulls are counted, not dropped
+    val withNulls = li.withColumn("l_returnflag",
+      when(col("l_linenumber") === 1, lit(null: String)).otherwise(col("l_returnflag")))
+    val n = RelationalQueries.profile(withNulls, Seq("l_returnflag")).head()
+    assert(n.getLong(1) == li.filter(col("l_linenumber") === 1).count())
+    // single scan: exactly one Expand feeds the aggregation, no join/union
+    val pl = plan(RelationalQueries.profileStats(spark, sf))
+    assert(pl.contains("Expand"))
+    assert(!pl.contains("Union") && !pl.contains("Join"))
+  }
+
+  test("histogram: exact integer bin arithmetic matches brute force, conserves rows") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    val got = RelationalQueries.histogramStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keys.forall(b => b >= 0L && b < 32L))
+    assert(got.values.sum == li.count())
+    // brute-force replica on collected cents
+    val cents = li.select(round(col("l_extendedprice") * 100).cast("long")).collect().map(_.getLong(0))
+    val (mn, mx) = (cents.min, cents.max)
+    val exp = cents.groupBy(v => (v - mn) * 32 / (mx - mn + 1)).map { case (b, vs) => b -> vs.length.toLong }
+    assert(got == exp)
+    // min and max land in the first and last bins by construction
+    assert(got.contains(0L) && got.contains(((mx - mn) * 32 / (mx - mn + 1))))
+  }
 }

@@ -184,4 +184,35 @@ class CorpusSignalsSpec extends AnyFunSuite {
       TrainingData.mixtureSample(srcDocs, "source", Map("src0" -> 2000000L))
     }
   }
+
+  // --- count-min heavy hitters ---
+
+  test("heavyHitters: collision-free width is exact; estimates never undercount") {
+    // 4 docs: trigram "a b c" appears in all (tf 4), "b c d" in two (tf 2),
+    // the rest once each. width 1024 » distinct trigrams → no collisions,
+    // so CMS estimates equal exact counts.
+    val d = docs(1L -> "a b c d", 2L -> "a b c d", 3L -> "a b c x", 4L -> "a b c")
+    val got = TextAnalysis.heavyHitters(d, n = 3, depth = 4, width = 1024, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a b c") == 4L && got("b c d") == 2L && got("b c x") == 1L)
+
+    // overestimate property on a forced-collision sketch (width 2): every
+    // estimate must still be >= the exact count, and hot >= its exact 4
+    val tiny = TextAnalysis.heavyHitters(d, n = 3, depth = 2, width = 2, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiny("a b c") >= 4L)
+    assert(tiny.forall(_._2 >= 1L))
+    assert(tiny("b c d") >= 2L)
+  }
+
+  test("heavyHitters: deterministic across partitionings; k cuts on a total order") {
+    val rows = (1L to 60L).map(i => i -> s"w${i % 7} w${i % 5} w${i % 3} w${i % 2} end${i % 11}")
+    val a = TextAnalysis.heavyHitters(docs(rows: _*), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val b = TextAnalysis.heavyHitters(docs(rows: _*).repartition(7), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(a == b && a.length == 5)
+    // the k-cut is (estimate desc, ngram asc): verify monotone estimates
+    assert(a.map(_._2).sliding(2).forall(s => s.length < 2 || s(0) >= s(1)))
+  }
 }

@@ -101,4 +101,43 @@ class CurationAtIngestSpec extends AnyFunSuite {
       assert(streamed == batch && batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("windowed CMS: streamed sketch EQUALS the batch sketch, cell for cell") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val out = graft.streaming.EventStreams.windowedHeavyHitterSketch(
+      docs, n = 3, depth = 2, width = 8, "10 minutes", "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("append").start()
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    try {
+      // window [0,10): repeated boilerplate trigrams + singletons, spread
+      // over micro-batches so sketch state must ACCUMULATE across batches
+      val w0 = Seq(
+        (1L, ts(1), "a b c d"), (2L, ts(3), "a b c d"),
+        (3L, ts(5), "a b c x"))
+      val w1 = Seq((4L, ts(12), "q w e r"))
+      in.addData(w0.take(2): _*)
+      q.processAllAvailable()
+      in.addData(w0.drop(2): _*)
+      q.processAllAvailable()
+      in.addData(w1: _*)
+      q.processAllAvailable()
+      in.addData((9L, ts(60), "z z z")) // advance watermark, close all
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = graft.streaming.EventStreams.windowedHeavyHitterSketch(
+        (w0 ++ w1).toDF("doc_id", "ts", "text"),
+        n = 3, depth = 2, width = 8, "10 minutes", "10 minutes", "5 minutes")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      assert(batch.subsetOf(streamed), s"streamed=$streamed batch=$batch")
+      // the hot trigram "a b c" (3 occurrences) must dominate its cells:
+      // some cell in window 0 carries count >= 3
+      assert(streamed.exists(c => c._1 == 0L && c._4 >= 3L))
+    } finally q.stop()
+  }
 }
