@@ -205,6 +205,21 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(tiny("b c d") >= 2L)
   }
 
+  test("CMS sketches merge via Lara ⊕-union: sketch(A) ⊕ sketch(B) == sketch(A ∪ B)") {
+    import graft.lara.{LaraSchema, LaraTable, PlusFn, ValSpec}
+    val a = Seq(1L -> "a b c d e", 2L -> "a b c x y")
+    val b = Seq(3L -> "a b c d e", 4L -> "q w e r t")
+    val sch = LaraSchema(Seq("row", "bucket"), Seq(ValSpec("cnt", LongType, 0L)))
+    def cells(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val merged = LaraTable(TextAnalysis.cmsSketch(docs(a: _*), width = 64), sch)
+      .union(LaraTable(TextAnalysis.cmsSketch(docs(b: _*), width = 64), sch),
+        Map("cnt" -> PlusFn.sumLong))
+    val whole = TextAnalysis.cmsSketch(docs(a ++ b: _*), width = 64)
+    assert(cells(merged.df.select(col("row"), col("bucket"), col("cnt"))) == cells(whole))
+    assert(cells(whole).nonEmpty)
+  }
+
   test("heavyHitters: deterministic across partitionings; k cuts on a total order") {
     val rows = (1L to 60L).map(i => i -> s"w${i % 7} w${i % 5} w${i % 3} w${i % 2} end${i % 11}")
     val a = TextAnalysis.heavyHitters(docs(rows: _*), k = 5)
