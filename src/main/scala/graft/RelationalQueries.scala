@@ -481,26 +481,35 @@ object RelationalQueries {
     * count, distinct count, and min/max rendered as strings — the schema
     * audit a pipeline runs on every new 100 TB drop before trusting it.
     *
-    * Plan shape: ONE scan. Catalyst rewrites the multi-distinct aggregate
-    * into an Expand (one replica of the row per profiled column) feeding a
-    * two-stage hash agg, so the corpus is read once and the shuffle carries
-    * per-column distinct values — the exact-profile floor. When estimates
+    * Plan shape: TWO pruned scans, deliberately. Packing the regular aggs
+    * (count/min/max) and the multi-distinct into ONE aggregate makes
+    * Catalyst's distinct rewrite replicate every row ×(cols+1) through an
+    * Expand that also drags all the regular-agg columns through the blowup
+    * — measured 5.1 s vs 1.0 s at sf0.1 (ProfileProbe). Splitting gives a
+    * cheap regular pass (pure map-side fold, no expand) plus a
+    * distinct-only pass (Expand over just the distinct columns feeding the
+    * two-stage agg), each producing ONE row, combined by a trivial 1×1
+    * broadcast cross join. At 100 TB a second pruned columnar scan costs
+    * less than a ×(cols+1) in-memory expand of the corpus. When estimates
     * suffice, the bounded-memory path is the KMV sketch family
     * (`functions.KmvSmallest`), same contract stance, constant shuffle.
     *
-    * min/max are cast to string AFTER aggregation (9 scalar results per
+    * min/max are cast to string AFTER aggregation (scalar results per
     * column, not per row); callers profile columns whose string rendering
     * is engine-portable (integers, strings, timestamps — not raw doubles).
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"nn_$c"),
-      count_distinct(col(c)).as(s"nd_$c"),
-      min(col(c)).cast("string").as(s"mn_$c"),
-      max(col(c)).cast("string").as(s"mx_$c")))
-    val total = count(lit(1)).as("n_rows")
-    val wide = df.agg(total, aggs: _*)
+    val regular = df.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))): _*)
+    val distincts = df.agg(
+      count_distinct(col(cols.head)).as(s"nd_${cols.head}"),
+      cols.tail.map(c => count_distinct(col(c)).as(s"nd_$c")): _*)
+    val wide = regular.crossJoin(distincts)
     val stacked = cols.map(c =>
       s"'$c', n_rows - `nn_$c`, `nd_$c`, `mn_$c`, `mx_$c`").mkString(", ")
     wide.selectExpr(

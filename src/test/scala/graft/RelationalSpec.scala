@@ -66,7 +66,7 @@ class RelationalSpec extends AnyFunSuite {
       assert(math.abs(v - b(k)) <= 1.0, s"$k: portable $v vs batch ${b(k)}") }
   }
 
-  test("profile: exact per-column stats in one scan, null accounting, mixed types") {
+  test("profile: exact per-column stats in two cheap passes, null accounting, mixed types") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf)
     val got = RelationalQueries.profileStats(spark, sf).collect()
@@ -85,10 +85,15 @@ class RelationalSpec extends AnyFunSuite {
       when(col("l_linenumber") === 1, lit(null: String)).otherwise(col("l_returnflag")))
     val n = RelationalQueries.profile(withNulls, Seq("l_returnflag")).head()
     assert(n.getLong(1) == li.filter(col("l_linenumber") === 1).count())
-    // single scan: exactly one Expand feeds the aggregation, no join/union
+    // two pruned scans (regular pass + distinct pass), combined by a 1×1
+    // broadcast cross join; the Expand blowup carries ONLY the distinct
+    // pass (see profile's scaladoc for the measured reason)
     val pl = plan(RelationalQueries.profileStats(spark, sf))
     assert(pl.contains("Expand"))
-    assert(!pl.contains("Union") && !pl.contains("Join"))
+    assert(!pl.contains("Union"))
+    assert(pl.contains("BroadcastNestedLoopJoin"), s"1x1 combine must broadcast:\n$pl")
+    assert("Scan parquet".r.findAllIn(pl).size <= 4, // simple+executed string: 2 scans each
+      s"profile must read the table at most twice:\n$pl")
   }
 
   test("histogram: exact integer bin arithmetic matches brute force, conserves rows") {
