@@ -198,6 +198,61 @@ object RelationalQueries {
         Num.centsSumExact(col("value")).as("total_value"))
   }
 
+  /** Ordered funnel analysis: for each user, the deepest prefix of
+    * `stages` completed as a strictly-time-increasing event subsequence —
+    * the canonical product-analytics query (ClickHouse `windowFunnel`,
+    * Snowplow funnels). Greedy earliest-match is optimal for subsequence
+    * matching, so the per-user sorted fold here computes exactly what the
+    * oracle's stage-by-stage `min(ts where ts > prev)` chain computes.
+    *
+    * Plan: ONE groupBy(user) shuffle carrying (micros, type) pairs; the
+    * fold runs bounded per-user work partition-local (the BM25 sorted-fold
+    * pattern). No self-joins — the SQL chain formulation joins the events
+    * table once PER STAGE, which at 100 TB is `stages.length` shuffles of
+    * the full fact table; this is one.
+    */
+  def funnelStages(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    // sentinel keeps element_at(stage+1) in bounds after the last stage —
+    // ANSI mode throws on out-of-range and SQL AND does not short-circuit
+    val stageArr = array((stages :+ " done").map(lit): _*)
+    val evs = array_sort(collect_list(struct(
+      unix_micros(col("ts")).as("us"), col("event_type").as("et"))))
+    val init = struct(lit(0).as("stage"), lit(Long.MinValue).as("last"))
+    events
+      .groupBy(col("user_id"))
+      .agg(aggregate(evs, init, (acc, e) =>
+        when(acc.getField("stage") < stages.length &&
+             e.getField("et") === element_at(stageArr, acc.getField("stage") + 1) &&
+             e.getField("us") > acc.getField("last"),
+          struct((acc.getField("stage") + 1).as("stage"), e.getField("us").as("last")))
+        .otherwise(acc)).getField("stage").cast("long").as("funnel_stage"))
+  }
+
+  /** Contract instance: view → click → purchase over the events table. */
+  def funnelQuery(s: SparkSession, d: String): DataFrame =
+    funnelStages(events(s, d), Seq("view", "click", "purchase"))
+
+  /** Cohort retention: users grouped by first-seen day; for each (cohort
+    * day, day offset), how many of the cohort's users were active. Day
+    * index is integer epoch-day arithmetic on both engines. Two aggregates
+    * off one scan shape (first-seen and active-days), joined on user —
+    * shuffles carry (user, day) longs, never events.
+    */
+  def cohortRetention(ev: DataFrame): DataFrame = {
+    val day = floor(unix_timestamp(col("ts")) / 86400).cast("long")
+    val byUserDay = ev.select(col("user_id"), day.as("d"))
+    val firsts = byUserDay.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    byUserDay.distinct()
+      .join(firsts, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Contract instance over the events table. */
+  def cohortQuery(s: SparkSession, d: String): DataFrame =
+    cohortRetention(events(s, d))
+
   /** BPE-ish token counting over documents (whitespace words, digits, and
     * punctuation as separate tokens) — the subword-cost proxy from
     * TextAnalysis, with a DuckDB oracle.

@@ -46,6 +46,11 @@ object SparkEntry {
     "set_ops" -> RelationalQueries.setOps _,
     "rollup_agg" -> RelationalQueries.rollupAgg _,
     "sessionize_batch" -> ((s, d) => RelationalQueries.sessionizeBatch(s, d)),
+    // --- ordered funnel: deepest strictly-time-increasing stage prefix
+    // per user, ONE shuffle (the SQL chain joins the fact table per stage) ---
+    "funnel_stages" -> RelationalQueries.funnelQuery _,
+    // --- cohort retention: first-seen-day cohorts × active-day offsets ---
+    "cohort_retention" -> RelationalQueries.cohortQuery _,
     "windowed_covariance" -> ((s, d) => RelationalQueries.windowedCovariancePortable(s, d)),
     "bpe_tokens" -> RelationalQueries.bpeTokens _,
     "string_funcs" -> RelationalQueries.stringFuncs _,
@@ -1069,6 +1074,38 @@ object SparkEntry {
                 max(tms) AS session_end, count(*)::BIGINT AS n_events,
                 sum(round(value * 100)::BIGINT) / 100.0 AS total_value
          FROM t GROUP BY user_id, session_id""",
+    // Funnel: the classic stage-chain formulation — min completion time of
+    // each prefix, each stage strictly after the previous stage's earliest
+    // completion. Greedy earliest-match subsequence (the Spark fold) and
+    // this chain compute the same depth.
+    "funnel_stages" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         s1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                WHERE e.event_type = 'click' GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT u.user_id,
+                (CASE WHEN s3.user_id IS NOT NULL THEN 3
+                      WHEN s2.user_id IS NOT NULL THEN 2
+                      WHEN s1.user_id IS NOT NULL THEN 1
+                      ELSE 0 END)::BIGINT AS funnel_stage
+         FROM u
+         LEFT JOIN s1 ON u.user_id = s1.user_id
+         LEFT JOIN s2 ON u.user_id = s2.user_id
+         LEFT JOIN s3 ON u.user_id = s3.user_id""",
+    // Cohort retention: integer epoch-day arithmetic on both engines.
+    "cohort_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+                (floor(epoch(ts) / 86400))::BIGINT AS d FROM events),
+         f AS (SELECT user_id, min(d) AS cohort_day FROM ud GROUP BY 1)
+         SELECT f.cohort_day, ud.d - f.cohort_day AS offset_days,
+                count(*)::BIGINT AS n_users
+         FROM ud JOIN f ON ud.user_id = f.user_id
+         GROUP BY 1, 2""",
     "bpe_tokens" ->
       """SELECT doc_id,
                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe,

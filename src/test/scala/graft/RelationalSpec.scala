@@ -96,6 +96,53 @@ class RelationalSpec extends AnyFunSuite {
       s"profile must read the table at most twice:\n$pl")
   }
 
+  test("funnelStages: greedy subsequence depth with strict time ordering") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val schema = new StructType().add("user_id", LongType)
+      .add("ts", TimestampType).add("event_type", StringType)
+    def ev(u: Long, min: Long, t: String) = Row(u, new java.sql.Timestamp(min * 60000L), t)
+    val evs = TestSpark.df(schema, Seq(
+      // A: clean view→click→purchase
+      ev(1, 1, "view"), ev(1, 2, "click"), ev(1, 3, "purchase"),
+      // B: noise before — depth still found as a subsequence
+      ev(2, 1, "click"), ev(2, 2, "view"), ev(2, 3, "click"), ev(2, 4, "purchase"),
+      // C: view only
+      ev(3, 9, "view"),
+      // D: reversed order — only the view counts
+      ev(4, 1, "purchase"), ev(4, 2, "click"), ev(4, 3, "view"),
+      // E: click at the SAME instant as view — strictly-after required
+      ev(5, 7, "view"), ev(5, 7, "click"),
+      // F: never enters the funnel
+      ev(6, 1, "signup"), ev(6, 2, "error")))
+    val got = RelationalQueries.funnelStages(evs, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 0L))
+  }
+
+  test("cohortRetention: first-seen-day cohorts, per-offset distinct activity") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = new StructType().add("user_id", LongType).add("ts", TimestampType)
+    def d(u: Long, day: Long, h: Long = 0L) =
+      Row(u, new java.sql.Timestamp((day * 24 + h) * 3600000L))
+    val evs = TestSpark.df(schema, Seq(
+      d(1, 0), d(1, 0, 5), d(1, 1), d(1, 3), // u1: cohort 0, active 0,1,3
+      d(2, 0), d(2, 3),                      // u2: cohort 0, active 0,3
+      d(3, 1), d(3, 2)))                     // u3: cohort 1, active 1,2
+    val got = RelationalQueries.cohortRetention(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // cohort day is the epoch-day index (fixture starts at epoch day 0);
+    // multiple same-day events count once (u1 has two day-0 events)
+    assert(got == Map(
+      (0L, 0L) -> 2L, // u1,u2 on their cohort day
+      (0L, 1L) -> 1L, // u1
+      (0L, 3L) -> 2L, // u1,u2
+      (1L, 0L) -> 1L, // u3
+      (1L, 1L) -> 1L)) // u3
+  }
+
   test("histogram: exact integer bin arithmetic matches brute force, conserves rows") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf)
