@@ -211,23 +211,29 @@ object RelationalQueries {
     * table once PER STAGE, which at 100 TB is `stages.length` shuffles of
     * the full fact table; this is one.
     */
-  def funnelStages(events: DataFrame, stages: Seq[String]): DataFrame = {
+  def funnelStages(events: DataFrame, stages: Seq[String]): DataFrame =
+    events.groupBy(col("user_id")).agg(funnelFold(stages))
+
+  /** The greedy funnel fold as an aggregate column — shared by the batch
+    * query above and the streaming twin (`EventStreams.windowedFunnel`)
+    * so the two can never drift.
+    */
+  private[graft] def funnelFold(stages: Seq[String]): org.apache.spark.sql.Column = {
     require(stages.nonEmpty)
     // sentinel keeps element_at(stage+1) in bounds after the last stage —
     // ANSI mode throws on out-of-range and SQL AND does not short-circuit
-    val stageArr = array((stages :+ " done").map(lit): _*)
+    val stageArr = array((stages :+ " done").map(lit): _*)
     val evs = array_sort(collect_list(struct(
       unix_micros(col("ts")).as("us"), col("event_type").as("et"))))
     val init = struct(lit(0).as("stage"), lit(Long.MinValue).as("last"))
-    events
-      .groupBy(col("user_id"))
-      .agg(aggregate(evs, init, (acc, e) =>
-        when(acc.getField("stage") < stages.length &&
-             e.getField("et") === element_at(stageArr, acc.getField("stage") + 1) &&
-             e.getField("us") > acc.getField("last"),
-          struct((acc.getField("stage") + 1).as("stage"), e.getField("us").as("last")))
-        .otherwise(acc)).getField("stage").cast("long").as("funnel_stage"))
+    aggregate(evs, init, (acc, e) =>
+      when(acc.getField("stage") < stages.length &&
+           e.getField("et") === element_at(stageArr, acc.getField("stage") + 1) &&
+           e.getField("us") > acc.getField("last"),
+        struct((acc.getField("stage") + 1).as("stage"), e.getField("us").as("last")))
+      .otherwise(acc)).getField("stage").cast("long").as("funnel_stage")
   }
+
 
   /** Contract instance: view → click → purchase over the events table. */
   def funnelQuery(s: SparkSession, d: String): DataFrame =
@@ -252,6 +258,45 @@ object RelationalQueries {
   /** Contract instance over the events table. */
   def cohortQuery(s: SparkSession, d: String): DataFrame =
     cohortRetention(events(s, d))
+
+  /** Event-rate anomaly detection: per (event_type, hour) counts scored
+    * against the trailing 24-hour window — z = (n − mean)/sd, the
+    * monitoring query a pipeline runs on its own ingest feed. All window
+    * aggregates are EXACT integer sums (S1=Σn, S2=Σn², k) so the engines
+    * agree bit-for-bit; mean/sd/z are then one fixed sequence of IEEE
+    * double ops on those exact integers — deterministic on both engines,
+    * emitted unrounded (same stance as windowed_covariance).
+    *
+    * Plan: map-side-combined groupBy down to (types × hours) rows, then a
+    * window partitioned by type — post-aggregation data is tiny at any
+    * corpus scale; nothing event-sized crosses the window.
+    */
+  def rateAnomaly(ev: DataFrame, trailing: Int = 24, minHours: Int = 12): DataFrame = {
+    val hour = floor(unix_timestamp(col("ts")) / 3600).cast("long")
+    val counts = ev.select(col("event_type"), hour.as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-trailing, -1)
+    counts
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .filter(col("k") >= minHours)
+      .withColumn("mean", col("s1").cast("double") / col("k"))
+      .withColumn("sd", sqrt(
+        (col("k") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("k").cast("double") * (col("k") - lit(1)))))
+      .select(col("event_type"), col("h"), col("n"),
+        // sd = 0 (constant trailing window) has no variance basis to score
+        // against: z is NULL, the row stays visible — forcing z = 0 there
+        // would HIDE a spike right after flat history
+        when(col("sd") === 0d, lit(null).cast("double"))
+          .otherwise((col("n") - col("mean")) / col("sd")).as("z"))
+  }
+
+  /** Contract instance over the events table. */
+  def rateAnomalyQuery(s: SparkSession, d: String): DataFrame =
+    rateAnomaly(events(s, d))
 
   /** BPE-ish token counting over documents (whitespace words, digits, and
     * punctuation as separate tokens) — the subword-cost proxy from

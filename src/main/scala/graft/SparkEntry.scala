@@ -51,6 +51,9 @@ object SparkEntry {
     "funnel_stages" -> RelationalQueries.funnelQuery _,
     // --- cohort retention: first-seen-day cohorts × active-day offsets ---
     "cohort_retention" -> RelationalQueries.cohortQuery _,
+    // --- event-rate anomaly: trailing-window z-score from exact integer
+    // sums (monitoring over the ingest feed itself) ---
+    "rate_anomaly" -> RelationalQueries.rateAnomalyQuery _,
     "windowed_covariance" -> ((s, d) => RelationalQueries.windowedCovariancePortable(s, d)),
     "bpe_tokens" -> RelationalQueries.bpeTokens _,
     "string_funcs" -> RelationalQueries.stringFuncs _,
@@ -1097,6 +1100,27 @@ object SparkEntry {
          LEFT JOIN s1 ON u.user_id = s1.user_id
          LEFT JOIN s2 ON u.user_id = s2.user_id
          LEFT JOIN s3 ON u.user_id = s3.user_id""",
+    // Rate anomaly: trailing-ROWS window of exact integer sums, then one
+    // fixed IEEE double sequence (mean/sd/z) — bit-identical unrounded;
+    // the sd=0 branch decided by exact integer equality.
+    "rate_anomaly" ->
+      """WITH c AS (
+           SELECT event_type, (floor(epoch(ts) / 3600))::BIGINT AS h,
+                  count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, h, n,
+                  sum(n) OVER tw AS s1, sum(n * n) OVER tw AS s2,
+                  count(*) OVER tw AS k
+           FROM c
+           WINDOW tw AS (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, h, n,
+                CASE WHEN k * s2 - s1 * s1 = 0 THEN NULL
+                     ELSE (n - s1::DOUBLE / k) /
+                          sqrt((k * s2 - s1 * s1)::DOUBLE / (k::DOUBLE * (k - 1)))
+                END AS z
+         FROM w WHERE k >= 12""",
     // Cohort retention: integer epoch-day arithmetic on both engines.
     "cohort_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id,

@@ -91,6 +91,25 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("row"), col("bucket"), col("cnt"))
   }
 
+  /** Per-window streaming funnel: the deepest strictly-time-increasing
+    * stage prefix each user completes WITHIN each event-time window — the
+    * streaming twin of `RelationalQueries.funnelStages`, built on the SAME
+    * fold column (`funnelFold`), so the two cannot drift. State per open
+    * (window, user) group is that user's in-window events — bounded by
+    * per-user activity per window, pruned by the watermark. Emitted when
+    * the window closes; the differential spec asserts equality with the
+    * batch fold over the same rows.
+    */
+  def windowedFunnel(events: DataFrame, stages: Seq[String],
+                     windowDur: String = "1 hour",
+                     slide: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slide), col("user_id"))
+      .agg(graft.RelationalQueries.funnelFold(stages))
+      .select(col("window.start").as("win_start"), col("user_id"), col("funnel_stage"))
+
   /** Streaming exact-dedup at ingestion: drop documents whose content
     * digest was already seen within the watermark horizon — the streaming
     * twin of `pipeline.Dedup.exact`, for dedup-at-ingest in a training-data

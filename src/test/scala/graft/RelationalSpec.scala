@@ -143,6 +143,33 @@ class RelationalSpec extends AnyFunSuite {
       (1L, 1L) -> 1L)) // u3
   }
 
+  test("rateAnomaly: trailing-window z from exact sums; degenerate windows null out") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val schema = new StructType().add("ts", TimestampType).add("event_type", StringType)
+    // type "a": hours 0..19 have 2 events each, hour 20 has 6 (a spike
+    // after FLAT history → sd = 0 → z must be NULL, not 0)
+    // type "b": counts 1,2,1,2,... then a spike — scorable z
+    val rows = (0 until 20).flatMap(h => Seq.fill(2)(Row(new java.sql.Timestamp(h * 3600000L), "a"))) ++
+      Seq.fill(6)(Row(new java.sql.Timestamp(20 * 3600000L), "a")) ++
+      (0 until 20).flatMap(h => Seq.fill(1 + h % 2)(Row(new java.sql.Timestamp(h * 3600000L), "b"))) ++
+      Seq.fill(8)(Row(new java.sql.Timestamp(20 * 3600000L), "b"))
+    val got = RelationalQueries.rateAnomaly(TestSpark.df(schema, rows))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    // first 12 hours are filtered (k < minHours); flat history → null z
+    assert(!got.contains(("a", 5L)))
+    assert(got(("a", 15L)) == ((2L, null)))
+    assert(got(("a", 20L)) == ((6L, null)), "spike after flat history: unscoreable, not z=0")
+    // "b" spike: trailing 20 rows alternate 1/2 → mean 1.5, sd ≈ 0.513;
+    // z = (8 − 1.5)/sd ≈ 12.68 — recompute the exact formula
+    val (n, s1, s2, k) = (8.0, 30L, 50L, 20L)
+    val expZ = (n - s1.toDouble / k) /
+      math.sqrt((k * s2 - s1 * s1).toDouble / (k.toDouble * (k - 1)))
+    assert(got(("b", 20L))._2 == expZ, s"got ${got(("b", 20L))._2} want $expZ")
+  }
+
   test("histogram: exact integer bin arithmetic matches brute force, conserves rows") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf)

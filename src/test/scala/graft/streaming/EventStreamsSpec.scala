@@ -305,4 +305,38 @@ class EventStreamsSpec extends AnyFunSuite {
         s"streamed-only=${streamed.keySet -- batch.keySet} batch-only=${batch.keySet -- streamed.keySet}")
     } finally q.stop()
   }
+
+  test("windowed funnel: streamed per-window depth EQUALS the batch fold on the same rows") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val stages = Seq("view", "click", "purchase")
+    val agg = EventStreams.windowedFunnel(in.toDF(), stages, "10 minutes", "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_funnel")
+      .outputMode("append").start()
+    try {
+      // window [0,10): u10 completes across MICRO-BATCHES (state must carry
+      // the partial prefix); u11 has reversed order (depth 1); window
+      // [10,20): u10 view only — per-window isolation
+      val b1 = Seq(Event(1, ts(1), 10, "view", 0), Event(2, ts(2), 10, "click", 0),
+        Event(3, ts(1), 11, "purchase", 0), Event(4, ts(2), 11, "view", 0))
+      val b2 = Seq(Event(5, ts(3), 10, "purchase", 0), Event(6, ts(12), 10, "view", 0))
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      in.addData(Event(9, ts(60), 99, "error", 0)) // advance watermark
+      q.processAllAvailable()
+      val streamed = spark.table("win_funnel").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = EventStreams.windowedFunnel((b1 ++ b2).toDF(), stages,
+        "10 minutes", "10 minutes", "5 minutes").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1)) -> r.getLong(2)).toMap
+      assert(batch.view.filterKeys(_._2 != 99L).toMap.toSet.subsetOf(streamed.toSet),
+        s"streamed=$streamed batch=$batch")
+      assert(streamed((0L, 10L)) == 3L, "cross-micro-batch completion")
+      assert(streamed((0L, 11L)) == 1L, "reversed order scores view only")
+      assert(streamed((10L, 10L)) == 1L, "windows are independent")
+    } finally q.stop()
+  }
 }
