@@ -239,6 +239,38 @@ object RelationalQueries {
   def funnelQuery(s: SparkSession, d: String): DataFrame =
     funnelStages(events(s, d), Seq("view", "click", "purchase"))
 
+  /** Funnel with TIME-TO-CONVERT: depth plus the exact microseconds from
+    * the stage-1 completion to the deepest completed stage (NULL below
+    * depth 2 — no interval exists). Same greedy fold with the accumulator
+    * widened to carry the first-stage timestamp; all integer arithmetic,
+    * so the oracle's stage-chain timestamps subtract to the same value.
+    */
+  def funnelTiming(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    val stageArr = array((stages :+ " done").map(lit): _*)
+    val evs = array_sort(collect_list(struct(
+      unix_micros(col("ts")).as("us"), col("event_type").as("et"))))
+    val init = struct(lit(0).as("stage"), lit(Long.MinValue).as("last"),
+      lit(Long.MinValue).as("first"))
+    val acc = aggregate(evs, init, (a, e) =>
+      when(a.getField("stage") < stages.length &&
+           e.getField("et") === element_at(stageArr, a.getField("stage") + 1) &&
+           e.getField("us") > a.getField("last"),
+        struct((a.getField("stage") + 1).as("stage"), e.getField("us").as("last"),
+          when(a.getField("stage") === 0, e.getField("us"))
+            .otherwise(a.getField("first")).as("first")))
+      .otherwise(a))
+    events.groupBy(col("user_id")).agg(acc.as("acc"))
+      .select(col("user_id"),
+        col("acc.stage").cast("long").as("funnel_stage"),
+        when(col("acc.stage") >= 2, col("acc.last") - col("acc.first"))
+          .as("convert_us"))
+  }
+
+  /** Contract instance of [[funnelTiming]]. */
+  def funnelTimingQuery(s: SparkSession, d: String): DataFrame =
+    funnelTiming(events(s, d), Seq("view", "click", "purchase"))
+
   /** Cohort retention: users grouped by first-seen day; for each (cohort
     * day, day offset), how many of the cohort's users were active. Day
     * index is integer epoch-day arithmetic on both engines. Two aggregates

@@ -49,6 +49,8 @@ object SparkEntry {
     // --- ordered funnel: deepest strictly-time-increasing stage prefix
     // per user, ONE shuffle (the SQL chain joins the fact table per stage) ---
     "funnel_stages" -> RelationalQueries.funnelQuery _,
+    // --- funnel with exact time-to-convert (integer microseconds) ---
+    "funnel_timing" -> RelationalQueries.funnelTimingQuery _,
     // --- cohort retention: first-seen-day cohorts × active-day offsets ---
     "cohort_retention" -> RelationalQueries.cohortQuery _,
     // --- event-rate anomaly: trailing-window z-score from exact integer
@@ -1121,6 +1123,31 @@ object SparkEntry {
                           sqrt((k * s2 - s1 * s1)::DOUBLE / (k::DOUBLE * (k - 1)))
                 END AS z
          FROM w WHERE k >= 12""",
+    // Funnel timing: the stage-chain's earliest per-stage completion
+    // timestamps subtract in exact integer microseconds; NULL below
+    // depth 2 (no interval exists).
+    "funnel_timing" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         s1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                WHERE e.event_type = 'click' GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT u.user_id,
+                (CASE WHEN s3.user_id IS NOT NULL THEN 3
+                      WHEN s2.user_id IS NOT NULL THEN 2
+                      WHEN s1.user_id IS NOT NULL THEN 1
+                      ELSE 0 END)::BIGINT AS funnel_stage,
+                (CASE WHEN s3.user_id IS NOT NULL THEN epoch_us(s3.t) - epoch_us(s1.t)
+                      WHEN s2.user_id IS NOT NULL THEN epoch_us(s2.t) - epoch_us(s1.t)
+                      ELSE NULL END)::BIGINT AS convert_us
+         FROM u
+         LEFT JOIN s1 ON u.user_id = s1.user_id
+         LEFT JOIN s2 ON u.user_id = s2.user_id
+         LEFT JOIN s3 ON u.user_id = s3.user_id""",
     // Cohort retention: integer epoch-day arithmetic on both engines.
     "cohort_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id,

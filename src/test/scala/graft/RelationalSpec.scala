@@ -121,6 +121,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 0L))
   }
 
+  test("funnelTiming: convert interval from stage-1 to deepest; null below depth 2") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = new StructType().add("user_id", LongType)
+      .add("ts", TimestampType).add("event_type", StringType)
+    def ev(u: Long, min: Long, t: String) = Row(u, new java.sql.Timestamp(min * 60000L), t)
+    val evs = TestSpark.df(schema, Seq(
+      ev(1, 1, "view"), ev(1, 2, "click"), ev(1, 5, "purchase"), // 4 min convert
+      ev(2, 3, "view"), ev(2, 9, "click"),                        // depth 2: 6 min
+      ev(3, 4, "view"),                                           // depth 1: null
+      ev(4, 8, "error")))                                         // depth 0: null
+    val got = RelationalQueries.funnelTiming(evs, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 4L * 60000000L)),
+      2L -> ((2L, 6L * 60000000L)),
+      3L -> ((1L, null)),
+      4L -> ((0L, null))))
+  }
+
   test("cohortRetention: first-seen-day cohorts, per-offset distinct activity") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
