@@ -42,6 +42,25 @@ object Layout {
     }
   }
 
+  /** N-dimensional Morton z-value: round-robin bit interleave of the low
+    * `bits` bits of each dimension (dimension d owns bit positions
+    * i·N + d). [[zValue]] is the N=2 case; `OPTIMIZE ZORDER BY (a,b,c)`
+    * shapes use N=3+. Total bits `N·bits` must fit a signed long.
+    */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    require(dims.nonEmpty, "zValueN needs at least one dimension")
+    require(bits >= 1 && dims.length * bits <= 63,
+      s"${dims.length} dims x $bits bits exceeds a signed long")
+    val mask = (1L << bits) - 1
+    val n = dims.length
+    dims.zipWithIndex.foldLeft(lit(0L)) { case (acc, (dim, d)) =>
+      val m = dim.cast("long").bitwiseAND(lit(mask))
+      (0 until bits).foldLeft(acc) { (a, i) =>
+        a + shiftleft(shiftright(m, i).bitwiseAND(lit(1L)), i * n + d)
+      }
+    }
+  }
+
   /** DuckDB SQL fragment computing the same z-value as [[zValue]] — the
     * oracle side of the contract, generated from the same loop so the two
     * dialects cannot drift. `x`/`y` must be already-masked BIGINT fragments.

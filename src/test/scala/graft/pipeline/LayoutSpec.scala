@@ -34,6 +34,37 @@ class LayoutSpec extends AnyFunSuite {
     assert(got((1L, 0L)) == 1L && got((0L, 1L)) == 2L && got((3L, 5L)) == zRef(3, 5, 10))
   }
 
+  test("zValueN: N-dim round-robin interleave; N=2 equals zValue; 3-dim cells bound all dims") {
+    // reference interleave for arbitrary N
+    def zRefN(vs: Seq[Long], bits: Int): Long =
+      vs.zipWithIndex.map { case (v, d) =>
+        (0 until bits).map(i => ((v >> i) & 1L) << (i * vs.length + d)).sum
+      }.sum
+    val schema = new StructType().add("x", LongType).add("y", LongType).add("w", LongType)
+    val rows = Seq((3L, 5L, 9L), (0L, 0L, 0L), (1023L, 1L, 512L), (7L, 1024L, 2L))
+    val d = df(schema, rows.map(r => Row(r._1, r._2, r._3)))
+    val got = d.select(col("x"), col("y"), col("w"),
+        Layout.zValueN(Seq(col("x"), col("y")), 10).as("z2"),
+        Layout.zValue(col("x"), col("y"), 10).as("z2ref"),
+        Layout.zValueN(Seq(col("x"), col("y"), col("w")), 10).as("z3"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(3) == r.getLong(4), "zValueN(2) must equal zValue")
+      val (x, y, w) = (r.getLong(0) & 1023, r.getLong(1) & 1023, r.getLong(2) & 1023)
+      assert(r.getLong(5) == zRefN(Seq(x, y, w), 10), s"3-dim interleave at ($x,$y,$w)")
+    }
+    // 3-dim grid-cell bound: top 6 z-bits fix 2 high bits of each dim
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val z3 = ev.select(
+      Layout.zValueN(Seq(col("user_id"), col("event_id"),
+        floor(unix_timestamp(col("ts")) / 3600)), 10).as("z"),
+      col("user_id").cast("long").bitwiseAND(lit(1023L)).as("x"))
+      .withColumn("bucket", shiftright(col("z"), 24))
+      .groupBy("bucket").agg(min("x").as("mn"), max("x").as("mx"))
+    z3.collect().foreach(r =>
+      assert(r.getLong(2) - r.getLong(1) < 256, s"bucket ${r.getLong(0)} x-span"))
+  }
+
   test("zorderStats buckets are grid cells: per-bucket span bounded by construction") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val stats = Layout.zorderStats(events, bits = 10, bucketBits = 6).collect()
