@@ -348,7 +348,10 @@ object LaraTable {
     * carries).
     */
   def compactStore(spark: SparkSession, path: String, keys: Seq[String], vals: Seq[ValSpec],
-                   targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+                   targetFileBytes: Long = 128L * 1024 * 1024,
+                   zorderBy: Seq[String] = Nil, zorderBits: Int = 10): (Int, Int) = {
+    require(zorderBy.isEmpty || zorderBy.size >= 2,
+      "zorderBy needs >= 2 dimensions (one dimension is just the access-path sort)")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(p: org.apache.hadoop.fs.Path) =
@@ -357,10 +360,33 @@ object LaraTable {
     val nFiles = math.max(1, math.ceil(before.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
     fs.delete(tmp, true)
-    load(spark, path, keys, vals).df
-      .repartitionByRange(nFiles, keys.map(org.apache.spark.sql.functions.col): _*)
-      .sortWithinPartitions(keys.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode("overwrite").parquet(tmp.toString)
+    val loaded = load(spark, path, keys, vals).df
+    val clustered =
+      if (zorderBy.isEmpty)
+        loaded
+          .repartitionByRange(nFiles, keys.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(keys.map(org.apache.spark.sql.functions.col): _*)
+      else {
+        // Z-order layout: cluster on the Morton interleave of `zorderBy`
+        // instead of the access path — every listed dimension then gets
+        // useful per-file min/max pruning (grid-cell bound, see
+        // `pipeline.Layout`), at the cost of the store no longer being
+        // globally key-sorted on disk. Within each file rows stay sorted
+        // by (zval, keys...): key-prefix scans still skip row groups via
+        // parquet min/max, they just span more files than a key-sorted
+        // compaction would. Sound for any reader: a Lara store's sort is
+        // an access-path property re-established by `realizeSorted`, not
+        // a correctness assumption of `load`.
+        val z = graft.pipeline.Layout.zValueN(
+          zorderBy.map(org.apache.spark.sql.functions.col), zorderBits)
+        loaded
+          .withColumn("__zval", z)
+          .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__zval"))
+          .sortWithinPartitions(
+            (org.apache.spark.sql.functions.col("__zval") +: keys.map(org.apache.spark.sql.functions.col)): _*)
+          .drop("__zval")
+      }
+    clustered.write.mode("overwrite").parquet(tmp.toString)
     val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
     fs.delete(old, true)
     require(fs.rename(hPath, old), s"compactStore: could not stage $path aside")

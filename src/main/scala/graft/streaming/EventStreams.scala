@@ -448,4 +448,154 @@ object EventStreams {
           }
       }
   }
+
+  final case class RateRow(event_type: String, h: Long, n: Long, z: Option[Double])
+  /** `open`: hour → count for hours the watermark has not yet passed;
+    * `ring`: the last ≤ `trailing` CLOSED (hour, count) pairs in hour order
+    * — exactly the batch query's `rowsBetween(-trailing, -1)` frame.
+    */
+  final case class RateState(open: Map[Long, Long], ring: List[(Long, Long)])
+
+  /** Streaming twin of `RelationalQueries.rateAnomaly`: per event_type, each
+    * hourly count scored against the trailing `trailing` CLOSED hourly
+    * counts — z = (n − mean)/sd — emitted when the watermark passes the end
+    * of the hour. Built on the same exact-integer contract as the batch
+    * query: the trailing frame is carried as (S1=Σn, S2=Σn², k) integer
+    * sums, and mean/sd/z replay the batch plan's IEEE double op sequence
+    * verbatim, so the differential spec asserts EQUALITY, not closeness.
+    *
+    * The trailing frame is row-based over hours that HAVE events (the batch
+    * window is `rowsBetween`, not `rangeBetween`), so empty hours vanish
+    * from the frame in both engines identically.
+    *
+    * State per event_type is bounded by construction: the ring holds at
+    * most `trailing` pairs, and `open` holds at most watermark-horizon/1h
+    * in-flight hours — independent of event volume, so a 100 TB/day feed
+    * carries the same per-key state as the unit test. One shuffle on
+    * event_type, the same key the batch window partitions by. The ring must
+    * OUTLIVE quiet periods (the batch frame spans arbitrary gaps), so state
+    * is never removed; keys are event types — a handful — and a timeout is
+    * re-armed only while hours are in flight.
+    */
+  def streamingRateAnomaly(events: Dataset[Event], trailing: Int = 24,
+                           minHours: Int = 12,
+                           watermark: String = "2 hours"): Dataset[RateRow] = {
+    import events.sparkSession.implicits._
+    val hourMs = 3600000L
+
+    // Close every open hour the watermark has passed, oldest first; score
+    // each against the ring THEN append it — the batch frame excludes the
+    // current row (`-1` upper bound).
+    def closeReady(st: RateState, wm: Long): (RateState, List[RateRow]) = {
+      val (ready, stillOpen) = st.open.partition { case (h, _) => (h + 1) * hourMs <= wm }
+      var ring = st.ring
+      val out = List.newBuilder[RateRow]
+      for ((h, n) <- ready.toList.sortBy(_._1)) {
+        val k = ring.size
+        if (k >= minHours) {
+          val s1 = ring.iterator.map(_._2).sum
+          val s2 = ring.iterator.map(p => p._2 * p._2).sum
+          val mean = s1.toDouble / k.toDouble
+          val sd = math.sqrt((k * s2 - s1 * s1).toDouble / (k.toDouble * (k - 1).toDouble))
+          out += RateRow(null, h, n,
+            if (sd == 0d) None else Some((n.toDouble - mean) / sd))
+        }
+        ring = (ring :+ (h, n)).takeRight(trailing)
+      }
+      (RateState(stillOpen, ring), out.result())
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[RateState, RateRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (etype: String, rows: Iterator[Event], state: GroupState[RateState]) =>
+          val prev = state.getOption.getOrElse(RateState(Map.empty, Nil))
+          var open = prev.open
+          for (e <- rows) {
+            val h = e.ts.getTime / hourMs
+            open = open.updated(h, open.getOrElse(h, 0L) + 1L)
+          }
+          val (next, closed) =
+            closeReady(RateState(open, prev.ring), state.getCurrentWatermarkMs())
+          state.update(next)
+          if (next.open.nonEmpty) {
+            val nextClose = (next.open.keys.min + 1) * hourMs
+            state.setTimeoutTimestamp(math.max(nextClose, state.getCurrentWatermarkMs() + 1))
+          }
+          closed.map(_.copy(event_type = etype)).iterator
+      }
+  }
+
+  final case class Attribution(user_id: Long, conv_id: Long, conv_ts: Timestamp,
+                               touch_id: Option[Long], touch_ts: Option[Timestamp],
+                               lag_ms: Option[Long])
+  /** `buf`: events the watermark has not yet passed, as
+    * (tsMs, sideBit, event_id) — sideBit 0 = touch, 1 = conversion, the
+    * same sort the batch union carries; `carryId`/`carryTs`: the latest
+    * already-emitted touch (the window's `last(_, ignoreNulls)` carry).
+    */
+  final case class AsOfState(buf: List[(Long, Int, Long)],
+                             carryId: Long, carryTs: Long)
+
+  /** Streaming as-of join (attribution): for each conversion event, the
+    * latest touch event at-or-before it by the same user — the streaming
+    * twin of `operators.AsOf.asOfJoin(keys=user_id)`, with identical
+    * ordering semantics: events replay in (ts, side, event_id) order with
+    * touches BEFORE conversions at equal time (a touch at exactly the
+    * conversion's timestamp is visible to it), latest tied touch wins.
+    * Conversions with no prior touch emit null attribution (left-join
+    * semantics).
+    *
+    * Out-of-order arrivals are buffered until the watermark passes their
+    * event time, then replayed in order — emission is deterministic
+    * because Spark's late filter guarantees no event older than the
+    * watermark arrives afterward. State per user is the in-flight buffer
+    * (bounded by per-user activity within the watermark horizon) plus ONE
+    * carried touch; it shrinks to the carry alone when the user goes
+    * quiet. One shuffle on user_id — the key the batch window partitions
+    * by.
+    */
+  def streamingAsOf(events: Dataset[Event], touchTypes: Set[String],
+                    convTypes: Set[String],
+                    watermark: String = "2 hours"): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    require((touchTypes & convTypes).isEmpty, "an event type cannot be both sides")
+
+    def drain(uid: Long, st: AsOfState, wm: Long): (AsOfState, List[Attribution]) = {
+      val (ready, still) = st.buf.partition(_._1 < wm)
+      var (cId, cTs) = (st.carryId, st.carryTs)
+      val out = List.newBuilder[Attribution]
+      for ((t, side, id) <- ready.sorted) {
+        if (side == 0) { cId = id; cTs = t }
+        else out += Attribution(uid, id, new Timestamp(t),
+          if (cId == Long.MinValue) None else Some(cId),
+          if (cId == Long.MinValue) None else Some(new Timestamp(cTs)),
+          if (cId == Long.MinValue) None else Some(t - cTs))
+      }
+      (AsOfState(still, cId, cTs), out.result())
+    }
+
+    events
+      .filter(e => touchTypes.contains(e.event_type) || convTypes.contains(e.event_type))
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, Attribution](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[AsOfState]) =>
+          val prev = state.getOption.getOrElse(AsOfState(Nil, Long.MinValue, Long.MinValue))
+          var buf = prev.buf
+          for (e <- rows)
+            buf = (e.ts.getTime, if (convTypes.contains(e.event_type)) 1 else 0,
+              e.event_id) :: buf
+          val (next, out) =
+            drain(uid, prev.copy(buf = buf), state.getCurrentWatermarkMs())
+          state.update(next)
+          if (next.buf.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(next.buf.map(_._1).min + 1, state.getCurrentWatermarkMs() + 1))
+          out.iterator
+      }
+  }
 }

@@ -65,4 +65,47 @@ class BucketedStoreSpec extends AnyFunSuite {
     val (nb2, na2) = LaraTable.compactStore(spark, dir, Seq("k"), schema.vals)
     assert(nb2 == 1 && na2 == 1)
   }
+
+  test("compactStore zorderBy: files carry disjoint z-ranges over both dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zcompact").toString + "/store"
+    val st = new StructType().add("x", LongType).add("y", LongType).add("v", IntegerType)
+    val schema = LaraSchema(Seq("x", "y"), Seq(ValSpec("v", IntegerType, 0)))
+    // appends cover a 32x32 grid in row-major slices — the worst layout for
+    // y-pruning; z-order compaction must regain it
+    for (b <- 0 until 4) {
+      val rows = for (x <- 0 until 8; y <- 0 until 32)
+        yield Row((b * 8 + x).toLong, y.toLong, b)
+      LaraTable(df(st, rows), schema).appendStore(dir)
+    }
+    val expected = rowSet(spark.read.parquet(dir))
+
+    val (_, na) = LaraTable.compactStore(spark, dir, Seq("x", "y"), schema.vals,
+      targetFileBytes = 4096, zorderBy = Seq("x", "y"), zorderBits = 5)
+    assert(na >= 2, s"need multiple output files to observe clustering, got $na")
+    assert(rowSet(spark.read.parquet(dir)) == expected, "z-compaction must not change data")
+
+    // per-file z-ranges must be disjoint (range partitioning on zval), and
+    // each file's (x, y) bounding box strictly smaller than the full grid
+    // on at least one axis — the min/max pruning the rewrite buys
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    val spans = files.map { f =>
+      val d = spark.read.parquet(f)
+        .select(graft.pipeline.Layout.zValueN(Seq(col("x"), col("y")), 5).as("z"),
+          col("x"), col("y"))
+        .agg(min(col("z")), max(col("z")),
+          min(col("x")), max(col("x")), min(col("y")), max(col("y")))
+        .head()
+      (d.getLong(0), d.getLong(1), d.getLong(2), d.getLong(3), d.getLong(4), d.getLong(5))
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, hi, _, _, _, _), (lo, _, _, _, _, _)) =>
+        assert(hi <= lo, s"file z-ranges overlap: $spans")
+      case _ =>
+    }
+    val shrunk = spans.count { case (_, _, x0, x1, y0, y1) =>
+      (x1 - x0) < 31 || (y1 - y0) < 31 }
+    assert(shrunk == spans.length,
+      s"every file's bounding box should shrink on some axis: $spans")
+  }
 }

@@ -339,4 +339,157 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(streamed((10L, 10L)) == 1L, "windows are independent")
     } finally q.stop()
   }
+
+  test("streamingRateAnomaly: scores each closed hour against the trailing ring") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    // trailing=3, minHours=2 on hand-sized data; watermark 30 min
+    val out = EventStreams.streamingRateAnomaly(in.toDS(), trailing = 3,
+      minHours = 2, watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("rate_stream")
+      .outputMode("append").start()
+    try {
+      def ev(id: Long, hour: Long, minute: Long) =
+        Event(id, ts(hour * 60 + minute), 1L, "click", 0.0)
+      // hourly counts: h0→2, h1→1, h2→3, h3→6; ring before h3 = (1,3) after
+      // trailing-trim? no: trailing=3 keeps (2,1,3) → mean=2, sd=1, z=(6-2)/1=4
+      in.addData(ev(1, 0, 5), ev(2, 0, 10), ev(3, 1, 5),
+        ev(4, 2, 5), ev(5, 2, 10), ev(6, 2, 15),
+        ev(7, 3, 5), ev(8, 3, 10), ev(9, 3, 15), ev(10, 3, 20), ev(11, 3, 25), ev(12, 3, 30))
+      q.processAllAvailable()
+      // sentinels use a DIFFERENT type: a "click" sentinel would itself
+      // close and score once its hour passed (k=3 ≥ minHours)
+      in.addData(Event(99, ts(50 * 60), 1L, "__wm", 0.0)) // advance watermark past h3
+      q.processAllAvailable()
+      in.addData(Event(100, ts(52 * 60), 1L, "__wm", 0.0)) // fire the timeout
+      q.processAllAvailable()
+      val got = spark.table("rate_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      // h0 (k=0), h1 (k=1) below minHours; h2: ring=(2,1) mean=1.5 sd=.7071…
+      val zH2 = (3.0 - 1.5) / math.sqrt((2L * 5L - 9L).toDouble / 2.0)
+      assert(got.keySet == Set(("click", 2L, 3L), ("click", 3L, 6L)), s"got $got")
+      assert(got(("click", 2L, 3L)) == Some(zH2))
+      assert(got(("click", 3L, 6L)) == Some(4.0))
+    } finally q.stop()
+  }
+
+  test("streamingRateAnomaly EQUALS the batch rateAnomaly on real events") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val in = MemoryStream[Event]
+    val out = EventStreams.streamingRateAnomaly(in.toDS(), trailing = 24, minHours = 12)
+    val q = out.writeStream.format("memory").queryName("rate_diff")
+      .outputMode("append").start()
+    try {
+      // one batch → watermark starts at 0, nothing is late regardless of
+      // file order; sentinels then close every real hour
+      in.addData(evs)
+      q.processAllAvailable()
+      val sentinelMs = evs.map(_.ts.getTime).max + 100L * 3600000
+      in.addData(Event(-1L, new Timestamp(sentinelMs), 0L, "__wm", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(-2L, new Timestamp(sentinelMs + 3600000), 0L, "__wm", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("rate_diff").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      val batch = graft.RelationalQueries.rateAnomaly(
+        graft.Tables.events(spark, dir)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      assert(batch.nonEmpty, "fixture must exercise the trailing window")
+      // EXACT equality: both engines carry integer (S1, S2, k) and replay
+      // the identical IEEE double op sequence — no tolerance needed
+      assert(streamed == batch, {
+        val onlyS = streamed.keySet -- batch.keySet
+        val onlyB = batch.keySet -- streamed.keySet
+        val diff = (streamed.keySet & batch.keySet).filter(k => streamed(k) != batch(k))
+        s"onlyStream=$onlyS onlyBatch=$onlyB valueDiff=${diff.take(5).map(k => (k, streamed(k), batch(k)))}"
+      })
+    } finally q.stop()
+  }
+
+  test("streamingAsOf: attribution with tie and no-touch semantics") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val out = EventStreams.streamingAsOf(in.toDS(), Set("click"), Set("purchase"),
+      watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // u1: click@5, purchase@8 (attributed), click@8... tie at purchase
+      // time: touch at EXACTLY conv time is visible; u2: purchase@3 with
+      // no touch → nulls; OUT-OF-ORDER: u1's click@5 arrives after its
+      // purchase@8 in a later micro-batch, buffer must reorder
+      in.addData(Event(10, ts(8), 1, "purchase", 0), Event(11, ts(8), 1, "click", 0))
+      q.processAllAvailable()
+      in.addData(Event(12, ts(5), 1, "click", 0), Event(13, ts(3), 2, "purchase", 0))
+      q.processAllAvailable()
+      in.addData(Event(99, ts(120), 9, "click", 0)) // advance watermark
+      q.processAllAvailable()
+      in.addData(Event(100, ts(130), 9, "click", 0)) // fire timeouts
+      q.processAllAvailable()
+      val got = spark.table("asof_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      // purchase 10 at ts8: touches click@5 (id 12) and click@8 (id 11);
+      // equal-time click is visible and later in (ts, side, id) order → 11
+      assert(got == Map((1L, 10L) -> Some(11L), (2L, 13L) -> None), s"got $got")
+    } finally q.stop()
+  }
+
+  test("streamingAsOf EQUALS the batch asOfJoin on real events") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val types = evs.map(_.event_type).distinct.sorted
+    assert(types.size >= 2, s"fixture needs >=2 event types, got $types")
+    // split the real type alphabet: first half = touches, rest = conversions
+    val (touches, convs) = types.splitAt(types.size / 2) match {
+      case (a, b) => (a.toSet, b.toSet)
+    }
+    val in = MemoryStream[Event]
+    val out = EventStreams.streamingAsOf(in.toDS(), touches, convs)
+    val q = out.writeStream.format("memory").queryName("asof_diff")
+      .outputMode("append").start()
+    try {
+      in.addData(evs)
+      q.processAllAvailable()
+      val sentinelMs = evs.map(_.ts.getTime).max + 100L * 3600000
+      in.addData(Event(-1L, new Timestamp(sentinelMs), -7L, touches.head, 0.0))
+      q.processAllAvailable()
+      in.addData(Event(-2L, new Timestamp(sentinelMs + 3600000), -7L, touches.head, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("asof_diff").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      val ev = graft.Tables.events(spark, dir)
+      val left = ev.filter(col("event_type").isin(convs.toSeq: _*))
+        .select(col("user_id"), col("event_id").as("conv_id"), col("ts"))
+      val right = ev.filter(col("event_type").isin(touches.toSeq: _*))
+        .select(col("user_id"), col("event_id").as("touch_id"), col("ts"))
+      val batch = graft.operators.AsOf.asOfJoin(left, right, Seq("user_id"),
+        "ts", "ts", Seq("touch_id"), rightOrder = Seq("touch_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      assert(batch.nonEmpty && batch.exists(_._2.isDefined),
+        "fixture must exercise real attributions")
+      assert(streamed == batch, {
+        val onlyS = streamed.keySet -- batch.keySet
+        val onlyB = batch.keySet -- streamed.keySet
+        val diff = (streamed.keySet & batch.keySet).filter(k => streamed(k) != batch(k))
+        s"onlyStream=${onlyS.take(5)} onlyBatch=${onlyB.take(5)} valueDiff=${diff.take(5).map(k => (k, streamed(k), batch(k)))}"
+      })
+    } finally q.stop()
+  }
 }
