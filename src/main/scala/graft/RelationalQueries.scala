@@ -330,6 +330,76 @@ object RelationalQueries {
   def rateAnomalyQuery(s: SparkSession, d: String): DataFrame =
     rateAnomaly(events(s, d))
 
+  /** Skyline (Pareto frontier): parts not dominated on
+    * (minimize p_retailprice, maximize p_size) — the multi-objective
+    * short-list query (cheapest-for-its-size). `a` dominates `b` iff
+    * a.price ≤ b.price ∧ a.size ≥ b.size with one strict.
+    *
+    * The naive formulation is an O(n²) self-theta-join — fatal at scale.
+    * This plan decomposes by price bucket: (1) distinct (price, size)
+    * points — a map-side-combined agg; (2) per-bucket local skyline via a
+    * PARTITIONED running-max window (a point survives iff no
+    * better-priced point in its bucket has ≥ size); (3) cross-bucket
+    * dominance via each bucket's max size, running-maxed over strictly
+    * earlier buckets — a ≤ |buckets| frame on the approved constant-key
+    * single-small-partition idiom — broadcast back. Every shuffle carries
+    * points or bucket aggregates, never parts rows; the final semi-join
+    * broadcasts the skyline (≤ |distinct sizes| points: per size only the
+    * cheapest survives).
+    *
+    * Bucketing by floor(price) is sound because floor is monotone: an
+    * earlier bucket holds strictly smaller prices, so its max size kills
+    * exactly the cross-bucket-dominated points; equal-price dominance is
+    * local to a bucket by construction.
+    */
+  def skyline(parts: DataFrame): DataFrame = {
+    val pts = parts
+      .select(col("p_retailprice").as("price"), col("p_size").cast("long").as("size"))
+      .distinct()
+      .withColumn("bucket", floor(col("price")).cast("long"))
+    val wLoc = Window.partitionBy(col("bucket"))
+      .orderBy(col("price").asc, col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = pts.withColumn("mx", max(col("size")).over(wLoc))
+      .filter(col("mx").isNull || col("mx") < col("size"))
+    val wB = Window.partitionBy(pmod(col("bucket"), lit(1L))).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prior = pts.groupBy(col("bucket")).agg(max(col("size")).as("bmx"))
+      .withColumn("prior_mx", max(col("bmx")).over(wB))
+      .select(col("bucket"), col("prior_mx"))
+    val sky = local.join(broadcast(prior), Seq("bucket"))
+      .filter(col("prior_mx").isNull || col("prior_mx") < col("size"))
+      .select(col("price"), col("size"))
+    parts.join(broadcast(sky),
+        parts("p_retailprice") === col("price") && parts("p_size").cast("long") === col("size"),
+        "left_semi")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long").as("p_size"))
+  }
+
+  /** Contract instance over the part table. */
+  def skylineQuery(s: SparkSession, d: String): DataFrame =
+    skyline(part(s, d))
+
+  /** First-order Markov transition counts over each user's event sequence
+    * (ordered by ts, event_id) — the path-analysis complement to the
+    * funnel queries: which step follows which, corpus-wide. One
+    * user-partitioned lead window + a map-side-combined agg down to
+    * |types|² rows; nothing event-sized crosses the second shuffle.
+    */
+  def eventTransitions(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type").as("from_type"), col("to_type"), col("n"))
+  }
+
+  /** Contract instance over the events table. */
+  def transitionsQuery(s: SparkSession, d: String): DataFrame =
+    eventTransitions(events(s, d))
+
   /** BPE-ish token counting over documents (whitespace words, digits, and
     * punctuation as separate tokens) — the subword-cost proxy from
     * TextAnalysis, with a DuckDB oracle.

@@ -56,6 +56,11 @@ object SparkEntry {
     // --- event-rate anomaly: trailing-window z-score from exact integer
     // sums (monitoring over the ingest feed itself) ---
     "rate_anomaly" -> RelationalQueries.rateAnomalyQuery _,
+    // --- skyline (Pareto frontier) via bucket-decomposed running max —
+    // no O(n²) dominance join ---
+    "skyline" -> RelationalQueries.skylineQuery _,
+    // --- Markov transition counts over per-user event sequences ---
+    "event_transitions" -> RelationalQueries.transitionsQuery _,
     "windowed_covariance" -> ((s, d) => RelationalQueries.windowedCovariancePortable(s, d)),
     "bpe_tokens" -> RelationalQueries.bpeTokens _,
     "string_funcs" -> RelationalQueries.stringFuncs _,
@@ -157,6 +162,10 @@ object SparkEntry {
     // --- per-source quota sampling (hash-ranked, engine-portable) ---
     "quota_sample" -> ((s, d) =>
       pipeline.TrainingData.quotaSample(Tables.documents(s, d), "source", 50)),
+    // --- weighted sampling without replacement (Efraimidis–Spirakis via
+    // integer max-of-w-hashes keys — engine-exact, no pow/ln) ---
+    "weighted_sample" -> ((s, d) =>
+      pipeline.TrainingData.weightedSample(Tables.documents(s, d))),
     // --- the capstone composition: lang filter → exact dedup → near-dup
     // clusters → split, end-to-end as ONE oracle-checked plan ---
     "corpus_prepare" -> ((s, d) => pipeline.TrainingData.prepareCorpus(Tables.documents(s, d))),
@@ -1123,6 +1132,41 @@ object SparkEntry {
                           sqrt((k * s2 - s1 * s1)::DOUBLE / (k::DOUBLE * (k - 1)))
                 END AS z
          FROM w WHERE k >= 12""",
+    // Skyline: the oracle states the DEFINITION — a quadratic NOT-EXISTS
+    // dominance test over distinct points — while the Spark plan is the
+    // bucket-decomposed running max; agreement proves the decomposition.
+    "skyline" ->
+      """WITH pts AS (
+           SELECT DISTINCT p_retailprice AS price, p_size::BIGINT AS size FROM part),
+         sky AS (
+           SELECT price, size FROM pts b
+           WHERE NOT EXISTS (
+             SELECT 1 FROM pts a
+             WHERE a.price <= b.price AND a.size >= b.size
+               AND (a.price < b.price OR a.size > b.size)))
+         SELECT p.p_partkey, p.p_retailprice, p.p_size::BIGINT AS p_size
+         FROM part p JOIN sky s ON p.p_retailprice = s.price AND p.p_size = s.size""",
+    // Markov transitions: lead over (user, ts, event_id) — deterministic
+    // total order, exact integer counts.
+    "event_transitions" ->
+      """WITH nx AS (
+           SELECT event_type,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           FROM events)
+         SELECT event_type AS from_type, to_type, count(*)::BIGINT AS n
+         FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2""",
+    // Weighted sample: max-of-w portable hashes = Efraimidis–Spirakis
+    // u^(1/w) key in pure integers; top-k by (key desc, doc_id).
+    "weighted_sample" ->
+      """WITH wdoc AS (
+           SELECT doc_id, (1 + least(3, n_chars // 150))::BIGINT AS w FROM documents),
+         ex AS (SELECT doc_id, w, unnest(range(1, w + 1)) AS j FROM wdoc),
+         keys AS (
+           SELECT doc_id, w,
+                  max(('0x' || substring(md5('ws_' || doc_id::VARCHAR || '_' || j::VARCHAR), 1, 15))::BIGINT) AS sample_key
+           FROM ex GROUP BY 1, 2)
+         SELECT doc_id, w, sample_key FROM keys
+         ORDER BY sample_key DESC, doc_id LIMIT 100""",
     // Funnel timing: the stage-chain's earliest per-stage completion
     // timestamps subtract in exact integer microseconds; NULL below
     // depth 2 (no interval exists).

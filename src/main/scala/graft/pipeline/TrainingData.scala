@@ -145,6 +145,33 @@ object TrainingData {
       .withColumn("last_chunk", expr(s"(start_token + n_tokens - 1) div $budget"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis) made
+    * engine-exact: a document with integer weight w gets sample key
+    * max(h₁..h_w) of w independent portable hashes — distributionally
+    * identical to the classic u^(1/w) key (the max of w uniforms), but
+    * with NO transcendental math, so the DuckDB oracle reproduces the
+    * selection bit-for-bit (pow/ln differ across libm implementations;
+    * integer max does not). Top-k by (key desc, doc_id) is then a true
+    * weighted sample: P(selected) ∝ weight, higher-weight docs
+    * overrepresented exactly as ES prescribes.
+    *
+    * Weights here are length tiers (1 + min(3, n_chars/150)) — the
+    * longer-docs-matter-more mix policy; any small-integer weight works.
+    * Scale: key computation is per-row (≤ wMax hashes), selection is
+    * TakeOrdered (per-partition top-k, k rows to the driver) — no shuffle
+    * of the corpus.
+    */
+  def weightedSample(docs: DataFrame, k: Int = 100): DataFrame =
+    docs
+      .select(col("doc_id"),
+        (least(lit(3L), floor(col("n_chars") / 150)) + lit(1L)).cast("long").as("w"))
+      .withColumn("sample_key",
+        array_max(transform(sequence(lit(1L), col("w")),
+          j => PortableHash.hash60(
+            concat(lit("ws_"), col("doc_id").cast("string"), lit("_"), j.cast("string"))))))
+      .orderBy(col("sample_key").desc, col("doc_id"))
+      .limit(k)
+
   /** Per-group quota sampling: keep at most `quota` rows per `groupCol`
     * value, chosen by a deterministic portable-hash ranking — caps any one
     * source/domain's contribution to a training mix (the anti-boilerplate

@@ -206,4 +206,47 @@ class RelationalSpec extends AnyFunSuite {
     // min and max land in the first and last bins by construction
     assert(got.contains(0L) && got.contains(((mx - mn) * 32 / (mx - mn + 1))))
   }
+
+  test("skyline: bucket decomposition equals brute-force dominance on random points") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // deterministic pseudo-random points, duplicates included on purpose
+    // (equal points do not dominate each other — both must survive)
+    val rnd = new scala.util.Random(42)
+    val pts = (1 to 400).map { i =>
+      Row(i.toLong, 900.0 + rnd.nextInt(1000) / 10.0, (1 + rnd.nextInt(50)))
+    } ++ Seq(Row(401L, 917.3, 33), Row(402L, 917.3, 33)) // exact duplicate point
+    val st = new StructType().add("p_partkey", LongType)
+      .add("p_retailprice", DoubleType).add("p_size", IntegerType)
+    val parts = TestSpark.df(st, pts)
+    val got = RelationalQueries.skyline(parts).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    // brute force straight from the definition
+    val all = pts.map(r => (r.getLong(0), r.getDouble(1), r.getInt(2).toLong))
+    val exp = all.filter { case (_, p, s) =>
+      !all.exists { case (_, p2, s2) => p2 <= p && s2 >= s && (p2 < p || s2 > s) }
+    }.toSet
+    assert(got == exp, s"missing=${exp -- got} extra=${got -- exp}")
+    assert(exp.exists { case (id, _, _) => id == 401L } ==
+      exp.exists { case (id, _, _) => id == 402L }, "duplicate points live or die together")
+  }
+
+  test("eventTransitions: per-user lead pairs, ties broken by event_id") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val st = new StructType().add("event_id", LongType).add("ts", TimestampType)
+      .add("user_id", LongType).add("event_type", StringType)
+    // u1: a→b→c in ts order; u2: two events at the SAME ts — event_id
+    // orders them (a(5) before b(6)); u3: single event, no transition
+    val ev = TestSpark.df(st, Seq(
+      Row(1L, t(10), 1L, "a"), Row(2L, t(20), 1L, "b"), Row(3L, t(30), 1L, "c"),
+      Row(5L, t(50), 2L, "a"), Row(6L, t(50), 2L, "b"),
+      Row(9L, t(90), 3L, "c")))
+    val got = RelationalQueries.eventTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", "b") -> 2L, ("b", "c") -> 1L), s"got $got")
+  }
 }

@@ -44,6 +44,33 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(cover(8L) == 10L) // 8 tokens + 2 overlapped twice
   }
 
+  test("weightedSample: max-of-w keys match local replay; weight tiers bias selection") {
+    val st = new StructType().add("doc_id", LongType).add("n_chars", IntegerType)
+    // 2000 docs, alternating length tiers: evens short (w=1), odds long (w=4)
+    val docs = df(st, (0L until 2000L).map(i =>
+      Row(i, if (i % 2 == 0) 100 else 600)))
+    val got = TrainingData.weightedSample(docs, k = 200).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 200)
+    // every key replays locally: max of w independent portable hashes
+    def key(id: Long, w: Long) =
+      (1L to w).map(j => graft.functions.PortableHash.local60(s"ws_${id}_$j")).max
+    got.foreach { case (id, w, k) =>
+      assert(w == (if (id % 2 == 0) 1L else 4L), s"doc $id wrong tier $w")
+      assert(k == key(id, w), s"doc $id key mismatch")
+    }
+    // selection is the global top-k of those keys — exact, not a heuristic
+    val expIds = (0L until 2000L)
+      .map(i => (i, key(i, if (i % 2 == 0) 1L else 4L)))
+      .sortBy { case (id, k) => (-k, id) }.take(200).map(_._1).toSet
+    assert(got.map(_._1).toSet == expIds)
+    // Efraimidis–Spirakis bias: w=4 docs must dominate the sample — the
+    // expected share is 1 - (1-p)⁴-ish vs p; with 1000/1000 docs a 200-doc
+    // sample favors the heavy tier ~3-4:1. Deterministic given the hash.
+    val heavy = got.count(_._2 == 4L)
+    assert(heavy > 120, s"weighted bias missing: only $heavy/200 heavy-tier docs")
+  }
+
   test("splitAssign: deterministic, complete, roughly proportional") {
     val d = df(docSchema, (0L until 1000L).map(i => Row(i, s"doc $i")))
     val s1 = TrainingData.splitAssign(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
