@@ -166,6 +166,34 @@ object SparkEntry {
     // integer max-of-w-hashes keys — engine-exact, no pow/ln) ---
     "weighted_sample" -> ((s, d) =>
       pipeline.TrainingData.weightedSample(Tables.documents(s, d))),
+    // --- snapshot reconciliation: added/removed/changed keys between two
+    // snapshots, digests-only across the shuffle ---
+    "snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val newSnap = docs.filter(col("doc_id") % 97 =!= 0)
+        .withColumn("text", when(col("doc_id") % 89 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 101 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000000L))
+      operators.ChangeData.snapshotDiff(docs, newSnap, "doc_id", "text")
+    }),
+    // --- CDC merge (MERGE INTO): latest-op-wins upsert+delete changelog
+    // applied to a base snapshot ---
+    "cdc_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") % 3 =!= 2).select(col("doc_id"), col("text"))
+      val ups = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 3 =!= 2)
+        .select(col("doc_id"), lit("U").as("op"),
+          concat(col("text"), lit(" [rev]")).as("text"), lit(1L).as("seq"))
+      val dels = docs.filter(col("doc_id") % 11 === 0 && col("doc_id") % 3 =!= 2)
+        .select(col("doc_id"), lit("D").as("op"),
+          lit(null).cast("string").as("text"), lit(2L).as("seq"))
+      val ins = docs.filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), lit("I").as("op"), col("text"), lit(1L).as("seq"))
+      operators.ChangeData
+        .cdcMerge(base, ups.unionByName(dels).unionByName(ins), "doc_id", "text", "seq", "op")
+        .select(col("doc_id"), functions.PortableHash.hash60(col("text")).as("h"), col("status"))
+    }),
     // --- the capstone composition: lang filter → exact dedup → near-dup
     // clusters → split, end-to-end as ONE oracle-checked plan ---
     "corpus_prepare" -> ((s, d) => pipeline.TrainingData.prepareCorpus(Tables.documents(s, d))),
@@ -1167,6 +1195,50 @@ object SparkEntry {
            FROM ex GROUP BY 1, 2)
          SELECT doc_id, w, sample_key FROM keys
          ORDER BY sample_key DESC, doc_id LIMIT 100""",
+    // Snapshot diff: digest-compare over a full outer join; the new
+    // snapshot is derived deterministically (drop %97, revise %89,
+    // add %101 under shifted ids).
+    "snapshot_diff" ->
+      """WITH oldd AS (SELECT doc_id, md5(text) AS h FROM documents),
+         newd AS (
+           SELECT doc_id,
+                  md5(CASE WHEN doc_id % 89 = 0 THEN text || ' v2' ELSE text END) AS h
+           FROM documents WHERE doc_id % 97 <> 0
+           UNION ALL
+           SELECT doc_id + 100000000, md5(text) FROM documents WHERE doc_id % 101 = 0)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN o.h <> n.h THEN 'changed' END AS change
+         FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
+         WHERE NOT (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL AND o.h = n.h)""",
+    // CDC merge: latest-seq change per key (U revises, D deletes, I
+    // inserts the %3=2 keys absent from base), full-outer merge, portable
+    // hash of the merged payload.
+    "cdc_merge" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2),
+         chg AS (
+           SELECT doc_id, 'U' AS op, text || ' [rev]' AS text, 1 AS seq
+           FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 <> 2
+           UNION ALL
+           SELECT doc_id, 'D', NULL, 2 FROM documents WHERE doc_id % 11 = 0 AND doc_id % 3 <> 2
+           UNION ALL
+           SELECT doc_id, 'I', text, 1 FROM documents WHERE doc_id % 3 = 2),
+         latest AS (
+           SELECT doc_id, op, text FROM (
+             SELECT doc_id, op, text,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC, op) AS rn
+             FROM chg) WHERE rn = 1),
+         merged AS (
+           SELECT coalesce(b.doc_id, l.doc_id) AS doc_id,
+                  coalesce(l.text, b.text) AS text,
+                  CASE WHEN l.op IS NULL THEN 'kept'
+                       WHEN l.op = 'I' THEN 'inserted'
+                       ELSE 'updated' END AS status
+           FROM base b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
+           WHERE l.op IS NULL OR l.op <> 'D')
+         SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS h, status
+         FROM merged""",
     // Funnel timing: the stage-chain's earliest per-stage completion
     // timestamps subtract in exact integer microseconds; NULL below
     // depth 2 (no interval exists).
