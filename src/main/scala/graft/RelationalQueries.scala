@@ -400,6 +400,72 @@ object RelationalQueries {
   def transitionsQuery(s: SparkSession, d: String): DataFrame =
     eventTransitions(events(s, d))
 
+  /** OHLC downsampling: per (event_type, hour) the opening/closing value
+    * (first/last by the deterministic (ts, event_id) order) plus min/max
+    * and count — the time-series resample that turns a raw feed into a
+    * candle table. open/close/low/high are PICKED doubles (never summed),
+    * so both engines emit bit-identical values.
+    *
+    * Plan: ONE shuffle on (event_type, h) serves both rank windows and
+    * the final aggregate (same partition key, Catalyst reuses the
+    * exchange; the two window sorts are within-partition only).
+    */
+  def ohlcDownsample(ev: DataFrame): DataFrame = {
+    val base = ev.select(col("event_type"),
+      floor(unix_timestamp(col("ts")) / 3600).cast("long").as("h"),
+      col("ts"), col("event_id"), col("value"))
+    val wAsc = Window.partitionBy(col("event_type"), col("h"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy(col("event_type"), col("h"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    base
+      .withColumn("ra", row_number().over(wAsc))
+      .withColumn("rd", row_number().over(wDesc))
+      .groupBy(col("event_type"), col("h"))
+      .agg(max(when(col("ra") === 1, col("value"))).as("o"),
+        max(when(col("rd") === 1, col("value"))).as("c"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Contract instance over the events table. */
+  def ohlcQuery(s: SparkSession, d: String): DataFrame =
+    ohlcDownsample(events(s, d))
+
+  /** Gap-fill with carry-forward (LOCF): densify each event_type's hourly
+    * series over its own [min, max] hour span, filling missing hours with
+    * the last observed closing value — the resample-then-interpolate step
+    * every time-series pipeline needs and Spark has no native operator
+    * for. `observed` = 1 marks real hours.
+    *
+    * Plan: the dense axis is generated from the per-type span aggregate
+    * (|types| rows → sequence+explode), NOT by densifying the fact table;
+    * the carry-forward window is partitioned per type over span-many rows
+    * — bounded by calendar time, independent of event volume.
+    */
+  def gapFill(ev: DataFrame): DataFrame = {
+    val base = ev.select(col("event_type"),
+      floor(unix_timestamp(col("ts")) / 3600).cast("long").as("h"),
+      col("ts"), col("event_id"), col("value"))
+    val wDesc = Window.partitionBy(col("event_type"), col("h"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val hourly = base.withColumn("rd", row_number().over(wDesc))
+      .filter(col("rd") === 1).select(col("event_type"), col("h"), col("value").as("v"))
+    val dense = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val wFill = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dense.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("fv", last(col("v"), ignoreNulls = true).over(wFill))
+      .select(col("event_type"), col("h"),
+        col("v").isNotNull.cast("long").as("observed"), col("fv"))
+  }
+
+  /** Contract instance over the events table. */
+  def gapFillQuery(s: SparkSession, d: String): DataFrame =
+    gapFill(events(s, d))
+
   /** BPE-ish token counting over documents (whitespace words, digits, and
     * punctuation as separate tokens) — the subword-cost proxy from
     * TextAnalysis, with a DuckDB oracle.

@@ -61,6 +61,10 @@ object SparkEntry {
     "skyline" -> RelationalQueries.skylineQuery _,
     // --- Markov transition counts over per-user event sequences ---
     "event_transitions" -> RelationalQueries.transitionsQuery _,
+    // --- OHLC time-series downsample (picked doubles, engine-exact) ---
+    "ohlc_downsample" -> RelationalQueries.ohlcQuery _,
+    // --- LOCF gap-fill over the per-type hourly axis ---
+    "gap_fill" -> RelationalQueries.gapFillQuery _,
     "windowed_covariance" -> ((s, d) => RelationalQueries.windowedCovariancePortable(s, d)),
     "bpe_tokens" -> RelationalQueries.bpeTokens _,
     "string_funcs" -> RelationalQueries.stringFuncs _,
@@ -1174,6 +1178,47 @@ object SparkEntry {
                AND (a.price < b.price OR a.size > b.size)))
          SELECT p.p_partkey, p.p_retailprice, p.p_size::BIGINT AS p_size
          FROM part p JOIN sky s ON p.p_retailprice = s.price AND p.p_size = s.size""",
+    // OHLC: first/last by deterministic (ts, event_id) rank; values are
+    // picked, never summed — exact across engines.
+    "ohlc_downsample" ->
+      """WITH b AS (
+           SELECT event_type, (floor(epoch(ts) / 3600))::BIGINT AS h,
+                  ts, event_id, value
+           FROM events),
+         r AS (
+           SELECT event_type, h, value,
+                  row_number() OVER (PARTITION BY event_type, h
+                                     ORDER BY ts, event_id) AS ra,
+                  row_number() OVER (PARTITION BY event_type, h
+                                     ORDER BY ts DESC, event_id DESC) AS rd
+           FROM b)
+         SELECT event_type, h,
+                max(CASE WHEN ra = 1 THEN value END) AS o,
+                max(CASE WHEN rd = 1 THEN value END) AS c,
+                min(value) AS lo, max(value) AS hi, count(*)::BIGINT AS n
+         FROM r GROUP BY 1, 2""",
+    // Gap-fill: dense hourly axis from each type's span, LOCF via
+    // last_value IGNORE NULLS — both engines carry the same picked double.
+    "gap_fill" ->
+      """WITH b AS (
+           SELECT event_type, (floor(epoch(ts) / 3600))::BIGINT AS h,
+                  ts, event_id, value
+           FROM events),
+         r AS (
+           SELECT event_type, h, value,
+                  row_number() OVER (PARTITION BY event_type, h
+                                     ORDER BY ts DESC, event_id DESC) AS rd
+           FROM b),
+         hourly AS (SELECT event_type, h, value AS v FROM r WHERE rd = 1),
+         span AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+         dense AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS h FROM span),
+         j AS (
+           SELECT d.event_type, d.h, hr.v
+           FROM dense d LEFT JOIN hourly hr ON d.event_type = hr.event_type AND d.h = hr.h)
+         SELECT event_type, h, (v IS NOT NULL)::BIGINT AS observed,
+                last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+         FROM j""",
     // Markov transitions: lead over (user, ts, event_id) — deterministic
     // total order, exact integer counts.
     "event_transitions" ->

@@ -232,6 +232,50 @@ class RelationalSpec extends AnyFunSuite {
       exp.exists { case (id, _, _) => id == 402L }, "duplicate points live or die together")
   }
 
+  test("ohlcDownsample: first/last by (ts, event_id); ONE shuffle serves windows + agg") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val st = new StructType().add("event_id", LongType).add("ts", TimestampType)
+      .add("user_id", LongType).add("event_type", StringType).add("value", DoubleType)
+    // one hour bucket: open decided by event_id tie at t=0; close at t=30
+    val ev = TestSpark.df(st, Seq(
+      Row(2L, t(0), 1L, "a", 5.0), Row(1L, t(0), 1L, "a", 3.0),
+      Row(3L, t(30), 1L, "a", 9.0), Row(4L, t(10), 1L, "a", 1.0)))
+    val d = RelationalQueries.ohlcDownsample(ev)
+    val r = d.collect().head
+    assert((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)) ==
+      ((3.0, 9.0, 1.0, 9.0, 4L)), s"got $r")
+    // the windows and the aggregate share the (event_type, h) partitioning:
+    // exactly one hash exchange in the FINAL plan (the AQE dump repeats
+    // the pre-adaptive plan under "== Initial Plan ==" — don't count it)
+    d.collect()
+    val finalPlan = d.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$finalPlan")
+  }
+
+  test("gapFill: missing hours carry the last close; observed flags real hours") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val st = new StructType().add("event_id", LongType).add("ts", TimestampType)
+      .add("user_id", LongType).add("event_type", StringType).add("value", DoubleType)
+    // type a: hours 0 and 3 observed (gap at 1, 2); close of hour 0 is 7.0
+    val ev = TestSpark.df(st, Seq(
+      Row(1L, t(100), 1L, "a", 2.0), Row(2L, t(200), 1L, "a", 7.0),
+      Row(3L, t(3 * 3600 + 5), 1L, "a", 4.0),
+      Row(4L, t(3600), 1L, "b", 1.0)))
+    val got = RelationalQueries.gapFill(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      ("a", 0L) -> ((1L, 7.0)), ("a", 1L) -> ((0L, 7.0)),
+      ("a", 2L) -> ((0L, 7.0)), ("a", 3L) -> ((1L, 4.0)),
+      ("b", 1L) -> ((1L, 1.0))), s"got $got")
+  }
+
   test("eventTransitions: per-user lead pairs, ties broken by event_id") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.Row
