@@ -466,6 +466,41 @@ object RelationalQueries {
   def gapFillQuery(s: SparkSession, d: String): DataFrame =
     gapFill(events(s, d))
 
+  /** Winsorization: clip each value into its event_type's [p_lo, p_hi]
+    * discrete-percentile band — outlier taming before any moment-based
+    * statistic. Thresholds are PICKED values (row_number = ceil(q·n), the
+    * discrete rule — the value at a rank is deterministic even when ties
+    * make the rank assignment among equal values arbitrary), so both
+    * engines clip at bit-identical bounds; clipping itself is
+    * least/greatest, no arithmetic on the doubles at all.
+    *
+    * Plan: one type-partitioned rank window over the values, a ≤ |types|
+    * threshold aggregate broadcast back over the fact table. At 100 TB
+    * the window sorts within type partitions (AQE-skew-splittable); the
+    * clip pass is map-side.
+    */
+  def winsorize(ev: DataFrame, lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    val vals = ev.select(col("event_type"), col("event_id"), col("value"))
+    val ranked = vals
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("value"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val thr = ranked
+      .filter(col("rn") === ceil(lit(lo) * col("n")) ||
+        col("rn") === ceil(lit(hi) * col("n")))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("rn") === ceil(lit(lo) * col("n")), col("value"))).as("vlo"),
+        max(when(col("rn") === ceil(lit(hi) * col("n")), col("value"))).as("vhi"))
+    vals.join(broadcast(thr), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        greatest(least(col("value"), col("vhi")), col("vlo")).as("clipped"),
+        (col("value") < col("vlo") || col("value") > col("vhi")).cast("long").as("was_clipped"))
+  }
+
+  /** Contract instance over the events table. */
+  def winsorizeQuery(s: SparkSession, d: String): DataFrame =
+    winsorize(events(s, d))
+
   /** BPE-ish token counting over documents (whitespace words, digits, and
     * punctuation as separate tokens) — the subword-cost proxy from
     * TextAnalysis, with a DuckDB oracle.

@@ -65,6 +65,11 @@ object SparkEntry {
     "ohlc_downsample" -> RelationalQueries.ohlcQuery _,
     // --- LOCF gap-fill over the per-type hourly axis ---
     "gap_fill" -> RelationalQueries.gapFillQuery _,
+    // --- winsorization: clip to per-type discrete-percentile bands ---
+    "winsorize" -> RelationalQueries.winsorizeQuery _,
+    // --- leakage-safe split: whole groups assigned to one split ---
+    "group_split" -> ((s, d) =>
+      pipeline.TrainingData.groupSplit(Tables.documents(s, d), "source")),
     "windowed_covariance" -> ((s, d) => RelationalQueries.windowedCovariancePortable(s, d)),
     "bpe_tokens" -> RelationalQueries.bpeTokens _,
     "string_funcs" -> RelationalQueries.stringFuncs _,
@@ -1219,6 +1224,33 @@ object SparkEntry {
                 last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
          FROM j""",
+    // Winsorize: thresholds picked by the discrete rank rule, clip via
+    // least/greatest — no double arithmetic anywhere.
+    "winsorize" ->
+      """WITH v AS (SELECT event_type, event_id, value FROM events),
+         r AS (
+           SELECT event_type, event_id, value,
+                  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM v),
+         thr AS (
+           SELECT event_type,
+                  min(CASE WHEN rn = ceil(0.01 * n) THEN value END) AS vlo,
+                  max(CASE WHEN rn = ceil(0.99 * n) THEN value END) AS vhi
+           FROM r GROUP BY 1)
+         SELECT event_id, v.event_type,
+                greatest(least(value, vhi), vlo) AS clipped,
+                (value < vlo OR value > vhi)::BIGINT AS was_clipped
+         FROM v JOIN thr ON v.event_type = thr.event_type""",
+    // Group split: the split bucket hashes the GROUP value, so groups
+    // never straddle splits.
+    "group_split" ->
+      """SELECT doc_id, source,
+                CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id, source,
+                 ('0x' || substring(md5('split_' || source), 1, 15))::BIGINT % 100 AS b
+               FROM documents)""",
     // Markov transitions: lead over (user, ts, event_id) — deterministic
     // total order, exact integer counts.
     "event_transitions" ->

@@ -145,6 +145,17 @@ object TrainingData {
       .withColumn("last_chunk", expr(s"(start_token + n_tokens - 1) div $budget"))
   }
 
+  /** Leakage-safe split: assign by a hash of the GROUP (source/domain/
+    * dedup-cluster), not the row — every document of a group lands in the
+    * same split, so near-duplicates sharing a group can never straddle
+    * train/test (the contamination vector row-hash splits leave open).
+    * Same bucket formula as [[splitAssign]], keyed on the group value.
+    */
+  def groupSplit(docs: DataFrame, groupCol: String,
+                 trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    docs.select(col("doc_id"), col(groupCol),
+      splitCol(col(groupCol), trainPct, valPct).as("split"))
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis) made
     * engine-exact: a document with integer weight w gets sample key
     * max(h₁..h_w) of w independent portable hashes — distributionally

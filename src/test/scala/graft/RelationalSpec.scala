@@ -276,6 +276,23 @@ class RelationalSpec extends AnyFunSuite {
       ("b", 1L) -> ((1L, 1.0))), s"got $got")
   }
 
+  test("winsorize: discrete-rank thresholds clip tails, interior untouched") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val st = new StructType().add("event_id", LongType).add("ts", TimestampType)
+      .add("user_id", LongType).add("event_type", StringType).add("value", DoubleType)
+    // 10 values 1..10 for one type; lo=0.15 → rank ceil(1.5)=2 → vlo=2;
+    // hi=0.85 → rank ceil(8.5)=9 → vhi=9
+    val ev = TestSpark.df(st, (1 to 10).map(i =>
+      Row(i.toLong, t(i * 60), 1L, "a", i.toDouble)))
+    val got = RelationalQueries.winsorize(ev, lo = 0.15, hi = 0.85).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2.0, 1L)) && got(10L) == ((9.0, 1L)), s"tails: $got")
+    assert(got(2L) == ((2.0, 0L)) && got(9L) == ((9.0, 0L)), "boundary values pass unclipped")
+    assert((3 to 8).forall(i => got(i.toLong) == ((i.toDouble, 0L))), "interior untouched")
+  }
+
   test("eventTransitions: per-user lead pairs, ties broken by event_id") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.Row

@@ -71,6 +71,22 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(heavy > 120, s"weighted bias missing: only $heavy/200 heavy-tier docs")
   }
 
+  test("groupSplit: every group lands wholly in one split") {
+    val st = new StructType().add("doc_id", LongType).add("source", StringType)
+    val docs = df(st, (0L until 300L).map(i => Row(i, s"src${i % 7}")))
+    val got = TrainingData.groupSplit(docs, "source").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(got.groupBy(_._1).values.forall(_.map(_._2).distinct.size == 1),
+      "a group straddles splits")
+    // determinism: same formula as splitCol on the group value
+    val bySrc = got.toMap
+    (0 until 7).foreach { s =>
+      val b = graft.functions.PortableHash.local60(s"split_src$s") % 100
+      val exp = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(bySrc(s"src$s") == exp)
+    }
+  }
+
   test("splitAssign: deterministic, complete, roughly proportional") {
     val d = df(docSchema, (0L until 1000L).map(i => Row(i, s"doc $i")))
     val s1 = TrainingData.splitAssign(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
