@@ -104,4 +104,39 @@ class EdgeCasesSpec extends AnyFunSuite {
       windowSec = 3600L, binSec = 3600L)
     assert(r.count() == 0)
   }
+
+  test("session-3 operators: empty and degenerate inputs") {
+    import graft.RelationalQueries
+    import graft.operators.ChangeData
+    val evSchema = new StructType().add("event_id", LongType).add("ts", TimestampType)
+      .add("user_id", LongType).add("event_type", StringType).add("value", DoubleType)
+    val noEv = df(evSchema, Nil)
+    val oneEv = df(evSchema,
+      Seq(Row(1L, new java.sql.Timestamp(1000L), 1L, "a", 2.0)))
+    for (e <- Seq(noEv, oneEv)) {
+      assert(RelationalQueries.eventTransitions(e).count() == 0) // no pairs
+      assert(RelationalQueries.ohlcDownsample(e).count() == e.count())
+      assert(RelationalQueries.gapFill(e).count() == e.count())
+      // n=1: both thresholds land on the single value → clipped == value
+      assert(RelationalQueries.winsorize(e).collect()
+        .forall(r => r.getDouble(2) == 2.0 && r.getLong(3) == 0L))
+    }
+    val partSchema = new StructType().add("p_partkey", LongType)
+      .add("p_retailprice", DoubleType).add("p_size", IntegerType)
+    assert(RelationalQueries.skyline(df(partSchema, Nil)).count() == 0)
+    // a single part is trivially non-dominated
+    assert(RelationalQueries.skyline(
+      df(partSchema, Seq(Row(1L, 950.0, 7)))).count() == 1)
+    val kv = new StructType().add("id", LongType).add("text", StringType)
+    val noDocs = df(kv, Nil)
+    assert(ChangeData.snapshotDiff(noDocs, noDocs, "id", "text").count() == 0)
+    val chS = new StructType().add("id", LongType).add("op", StringType)
+      .add("text", StringType).add("seq", LongType)
+    // empty changelog: base passes through as "kept"
+    val kept = ChangeData.cdcMerge(df(kv, Seq(Row(1L, "t"))), df(chS, Nil),
+      "id", "text", "seq", "op").collect()
+    assert(kept.length == 1 && kept.head.getString(2) == "kept")
+    assert(TrainingData.weightedSample(
+      df(new StructType().add("doc_id", LongType).add("n_chars", IntegerType), Nil)).count() == 0)
+  }
 }
