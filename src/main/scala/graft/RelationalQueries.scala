@@ -501,6 +501,52 @@ object RelationalQueries {
   def winsorizeQuery(s: SparkSession, d: String): DataFrame =
     winsorize(events(s, d))
 
+  /** Market-basket co-occurrence: for each unordered brand pair, how many
+    * orders contain both — the support table association mining starts
+    * from. The pair join is per-order (equi-join on the order key with
+    * `brand_a < brand_b`), so the blow-up is bounded by distinct brands
+    * PER ORDER (≤ items per order — single digits in order-shaped data),
+    * never a global cross: shuffles carry (order, brand) pairs and the
+    * |brands|²-bounded counts. The part dimension broadcasts.
+    */
+  def basketPairs(s: SparkSession, d: String): DataFrame = {
+    val ob = lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey"))
+      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("o"), col("p_brand").as("b")).distinct()
+    ob.select(col("o"), col("b").as("brand_a"))
+      .join(ob.select(col("o"), col("b").as("brand_b")), Seq("o"))
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** Peak concurrent sessions per day, by sweep-line over session
+    * boundaries: +1 at each session start, −1 at each end, running sum =
+    * instantaneous concurrency (starts sort before ends at equal
+    * timestamps, so touching sessions count as concurrent). The global
+    * prefix sum — the part Spark cannot window without a single task —
+    * decomposes as day-partitioned local running sums plus the
+    * hierarchical `exclusivePrefixSum` carry over per-day nets (≤ one row
+    * per calendar day), the same no-unpartitioned-window idiom
+    * `packSequences` uses. Days with no session boundary are absent
+    * (their concurrency is flat by definition).
+    */
+  def concurrencyPeak(s: SparkSession, d: String): DataFrame = {
+    val sess = sessionizeBatch(s, d)
+    val deltas = sess.select(col("session_start").as("tms"), lit(1L).as("d"))
+      .unionByName(sess.select(col("session_end").as("tms"), lit(-1L).as("d")))
+      .withColumn("day", expr("tms div 86400000"))
+    val wDay = Window.partitionBy(col("day")).orderBy(col("tms").asc, col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = deltas.withColumn("run", sum(col("d")).over(wDay))
+    val offsets = pipeline.TrainingData.exclusivePrefixSum(
+      deltas.groupBy(col("day")).agg(sum(col("d")).as("net")), "day", "net", "off")
+    local.join(offsets, Seq("day"))
+      .groupBy(col("day"))
+      .agg(max(col("off") + col("run")).as("peak"))
+  }
+
   /** BPE-ish token counting over documents (whitespace words, digits, and
     * punctuation as separate tokens) — the subword-cost proxy from
     * TextAnalysis, with a DuckDB oracle.

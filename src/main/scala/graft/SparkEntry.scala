@@ -67,6 +67,11 @@ object SparkEntry {
     "gap_fill" -> RelationalQueries.gapFillQuery _,
     // --- winsorization: clip to per-type discrete-percentile bands ---
     "winsorize" -> RelationalQueries.winsorizeQuery _,
+    // --- market-basket brand co-occurrence (per-order bounded pair join) ---
+    "basket_pairs" -> RelationalQueries.basketPairs _,
+    // --- peak concurrent sessions per day (sweep-line; hierarchical
+    // prefix-sum carry, no unpartitioned window) ---
+    "concurrency_peak" -> RelationalQueries.concurrencyPeak _,
     // --- leakage-safe split: whole groups assigned to one split ---
     "group_split" -> ((s, d) =>
       pipeline.TrainingData.groupSplit(Tables.documents(s, d), "source")),
@@ -1224,6 +1229,41 @@ object SparkEntry {
                 last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
          FROM j""",
+    // Basket pairs: distinct (order, brand) then the per-order pair join —
+    // exact integer support counts.
+    "basket_pairs" ->
+      """WITH ob AS (
+           SELECT DISTINCT l_orderkey AS o, p_brand AS b
+           FROM lineitem JOIN part ON l_partkey = p_partkey)
+         SELECT a.b AS brand_a, c.b AS brand_b, count(*)::BIGINT AS n_orders
+         FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+         GROUP BY 1, 2""",
+    // Concurrency peak: sweep-line over session boundaries; the oracle
+    // runs ONE global running sum (single-node is fine for DuckDB), the
+    // Spark plan decomposes it day-locally + hierarchical carry.
+    "concurrency_peak" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS tms, value FROM events),
+         s AS (
+           SELECT *, CASE WHEN tms - lag(tms) OVER
+               (PARTITION BY user_id ORDER BY tms, event_id) > 1800000
+             THEN 1 ELSE 0 END AS ns
+           FROM e),
+         t AS (
+           SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+           FROM s),
+         sess AS (
+           SELECT user_id, session_id, min(tms) AS st, max(tms) AS en
+           FROM t GROUP BY 1, 2),
+         deltas AS (
+           SELECT st AS tms, 1 AS dd FROM sess
+           UNION ALL SELECT en, -1 FROM sess),
+         r AS (
+           SELECT tms, dd, sum(dd) OVER (ORDER BY tms, dd DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS c
+           FROM deltas)
+         SELECT tms // 86400000 AS day, max(c) AS peak FROM r GROUP BY 1""",
     // Winsorize: thresholds picked by the discrete rank rule, clip via
     // least/greatest — no double arithmetic anywhere.
     "winsorize" ->

@@ -47,7 +47,7 @@ object TrainingData {
     * Returns (`keyCol`, `outCol`) where `outCol` = Σ value over all keys
     * strictly below `keyCol`.
     */
-  private[pipeline] def exclusivePrefixSum(df: DataFrame, keyCol: String, valCol: String,
+  private[graft] def exclusivePrefixSum(df: DataFrame, keyCol: String, valCol: String,
                                            outCol: String, fan: Long = 4096L,
                                            depth: Int = 2): DataFrame = {
     if (depth == 0) {

@@ -293,6 +293,45 @@ class RelationalSpec extends AnyFunSuite {
     assert((3 to 8).forall(i => got(i.toLong) == ((i.toDouble, 0L))), "interior untouched")
   }
 
+  test("concurrencyPeak: decomposed sweep equals the brute-force global sweep") {
+    val sess = RelationalQueries.sessionizeBatch(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3))) // (start, end) ms
+    val deltas = (sess.map { case (st, _) => (st, 1L) } ++
+      sess.map { case (_, en) => (en, -1L) })
+      .sortBy { case (t, d) => (t, -d) } // starts before ends at equal t
+    var run = 0L
+    val exp = scala.collection.mutable.Map.empty[Long, Long]
+    for ((t, d) <- deltas) {
+      run += d
+      val day = t / 86400000L
+      exp(day) = math.max(exp.getOrElse(day, Long.MinValue), run)
+    }
+    val got = RelationalQueries.concurrencyPeak(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp.toMap, s"missing=${exp.toMap.toSet -- got.toSet} extra=${got.toSet -- exp.toMap.toSet}")
+    assert(got.values.max > 1, "fixture must actually exercise overlap")
+  }
+
+  test("basketPairs: per-order pair counts equal the brute force") {
+    val li = Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brand = Tables.part(spark, sf)
+      .select(org.apache.spark.sql.functions.col("p_partkey"),
+        org.apache.spark.sql.functions.col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exp = li.map { case (o, p) => (o, brand(p)) }.distinct
+      .groupBy(_._1).values.flatMap { g =>
+        val bs = g.map(_._2).sorted
+        for (i <- bs.indices; j <- i + 1 until bs.size) yield (bs(i), bs(j))
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = RelationalQueries.basketPairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == exp, s"diff=${(got.toSet diff exp.toSet).take(5)}")
+  }
+
   test("eventTransitions: per-user lead pairs, ties broken by event_id") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.Row
