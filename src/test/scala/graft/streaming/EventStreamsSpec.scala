@@ -415,6 +415,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize EQUALS the batch sessionizeBatch on real events") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS(), gapMs = 1800000L)
+      .writeStream.format("memory").queryName("sess_diff")
+      .outputMode("append").start()
+    try {
+      in.addData(evs)
+      q.processAllAvailable()
+      val sentinelMs = evs.map(_.ts.getTime).max + 100L * 3600000
+      in.addData(Event(-1L, new Timestamp(sentinelMs), -7L, "x", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(-2L, new Timestamp(sentinelMs + 3600000), -7L, "x", 0.0))
+      q.processAllAvailable()
+      // compare on (user, start, end, n, cents): the streaming fold sums
+      // doubles in time order, the batch uses exact cents — round to the
+      // cents grid both engines share
+      val streamed = spark.table("sess_diff").collect()
+        .filter(_.getLong(0) != -7L)
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+          r.getInt(3).toLong, math.round(r.getDouble(4) * 100))).toSet
+      val batch = graft.RelationalQueries.sessionizeBatch(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+          math.round(r.getDouble(5) * 100))).toSet
+      assert(batch.nonEmpty && batch.size > streamed.count(_ => false),
+        "fixture must produce sessions")
+      assert(streamed == batch, {
+        s"onlyStream=${(streamed -- batch).take(5)} onlyBatch=${(batch -- streamed).take(5)}"
+      })
+    } finally q.stop()
+  }
+
   test("streamingAsOf: attribution with tie and no-touch semantics") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
