@@ -528,6 +528,63 @@ object EventStreams {
       }
   }
 
+  final case class OhlcRow(event_type: String, h: Long, o: Double, c: Double,
+                           lo: Double, hi: Double, n: Long)
+  /** Six scalars of state per open (type, hour): the (ts, event_id) rank
+    * keys of the current open/close candidates plus the running extrema —
+    * constant size regardless of event volume.
+    */
+  final case class OhlcState(oTs: Long, oId: Long, o: Double,
+                             cTs: Long, cId: Long, c: Double,
+                             lo: Double, hi: Double, n: Long)
+
+  /** Streaming OHLC: per (event_type, hour) the opening/closing value by
+    * the deterministic (ts, event_id) order plus min/max/count — the
+    * streaming twin of `RelationalQueries.ohlcDownsample`, emitted when
+    * the watermark closes the hour. first/last in a streaming aggregation
+    * have no order guarantee, so the fold carries the rank keys of the
+    * current open/close candidates and replaces them on strict (ts, id)
+    * comparison — arrival order cannot matter, which is what the
+    * differential spec asserts against the batch plan on real events.
+    */
+  def streamingOhlc(events: Dataset[Event],
+                    watermark: String = "2 hours"): Dataset[OhlcRow] = {
+    import events.sparkSession.implicits._
+    val hourMs = 3600000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.event_type, e.ts.getTime / hourMs))
+      .flatMapGroupsWithState[OhlcState, OhlcRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (String, Long), rows: Iterator[Event], state: GroupState[OhlcState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(OhlcRow(key._1, key._2, s.o, s.c, s.lo, s.hi, s.n))
+          } else {
+            var s = state.getOption.orNull
+            for (e <- rows) {
+              val (t, id, v) = (e.ts.getTime, e.event_id, e.value)
+              s =
+                if (s == null) OhlcState(t, id, v, t, id, v, v, v, 1L)
+                else OhlcState(
+                  if (t < s.oTs || (t == s.oTs && id < s.oId)) t else s.oTs,
+                  if (t < s.oTs || (t == s.oTs && id < s.oId)) id else s.oId,
+                  if (t < s.oTs || (t == s.oTs && id < s.oId)) v else s.o,
+                  if (t > s.cTs || (t == s.cTs && id > s.cId)) t else s.cTs,
+                  if (t > s.cTs || (t == s.cTs && id > s.cId)) id else s.cId,
+                  if (t > s.cTs || (t == s.cTs && id > s.cId)) v else s.c,
+                  math.min(s.lo, v), math.max(s.hi, v), s.n + 1L)
+            }
+            state.update(s)
+            val closeAt = (key._2 + 1) * hourMs
+            state.setTimeoutTimestamp(
+              math.max(closeAt, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   final case class Attribution(user_id: Long, conv_id: Long, conv_ts: Timestamp,
                                touch_id: Option[Long], touch_ts: Option[Timestamp],
                                lag_ms: Option[Long])
