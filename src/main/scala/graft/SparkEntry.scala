@@ -67,6 +67,19 @@ object SparkEntry {
     "gap_fill" -> RelationalQueries.gapFillQuery _,
     // --- winsorization: clip to per-type discrete-percentile bands ---
     "winsorize" -> RelationalQueries.winsorizeQuery _,
+    // --- Unicode NFC canonicalization: decomposed combining sequences
+    // re-composed before fingerprinting (native codegen'd expression;
+    // the decomposed input is SYNTHESIZED from the ascii fixture so the
+    // contract genuinely exercises composition) ---
+    "text_normalize" -> ((s, d) => {
+      // "e" + COMBINING ACUTE (U+0301): decomposed on purpose — NFC must
+      // re-compose it to the precomposed U+00E9
+      val decomposed = regexp_replace(col("text"), "e", "e\u0301")
+      Tables.documents(s, d).select(col("doc_id"),
+        md5(functions.TextNormalize.nfc(decomposed)).as("fp_nfc"),
+        length(decomposed).cast("long").as("len_raw"),
+        length(functions.TextNormalize.nfc(decomposed)).cast("long").as("len_nfc"))
+    }),
     // --- market-basket brand co-occurrence (per-order bounded pair join) ---
     "basket_pairs" -> RelationalQueries.basketPairs _,
     // --- peak concurrent sessions per day (sweep-line; hierarchical
@@ -1229,6 +1242,15 @@ object SparkEntry {
                 last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
          FROM j""",
+    // NFC: both engines implement Unicode canonical composition (JDK
+    // Normalizer vs utf8proc); fingerprints and codepoint counts agree
+    // exactly on the synthesized decomposed text.
+    "text_normalize" ->
+      """SELECT doc_id,
+                md5(nfc_normalize(replace(text, 'e', 'e' || chr(769)))) AS fp_nfc,
+                length(replace(text, 'e', 'e' || chr(769)))::BIGINT AS len_raw,
+                length(nfc_normalize(replace(text, 'e', 'e' || chr(769))))::BIGINT AS len_nfc
+         FROM documents""",
     // Basket pairs: distinct (order, brand) then the per-order pair join —
     // exact integer support counts.
     "basket_pairs" ->
