@@ -105,6 +105,29 @@ class PlanGuardrailsSpec extends AnyFunSuite {
     }
   }
 
+  test("no contract query plans an unbounded cartesian product") {
+    // a condition-less inner/cross join is the other whole-corpus-squared
+    // scale killer. Whitelist: joins where one side is BOUNDED by
+    // construction (an aggregate of constant cardinality) — these are
+    // deliberate 1×N combine steps, not data-proportional crosses.
+    import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    def boundedSide(p: LogicalPlan): Boolean = p.collectFirst {
+      // grouping-key-free aggregate → exactly one row
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+    }.nonEmpty
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case j @ Join(l, r, Inner | Cross, None, _)
+          if !boundedSide(l) && !boundedSide(r) => j
+      }
+      if (bad.nonEmpty) Some(s"$name (${bad.size} cartesian join(s))") else None
+    }
+    assert(offenders.isEmpty,
+      s"queries with unbounded cartesian joins:\n  ${offenders.mkString("\n  ")}")
+  }
+
   test("documents scans are column-pruned to what the query needs") {
     // a scan reading all 5 documents columns for a 2-column operator means
     // pruning never reached parquet — wrong at any scale, fatal at 100 TB
