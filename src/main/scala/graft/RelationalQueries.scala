@@ -468,29 +468,53 @@ object RelationalQueries {
 
   /** Winsorization: clip each value into its event_type's [p_lo, p_hi]
     * discrete-percentile band — outlier taming before any moment-based
-    * statistic. Thresholds are PICKED values (row_number = ceil(q·n), the
+    * statistic. Thresholds are PICKED values (rank = ceil(q·n), the
     * discrete rule — the value at a rank is deterministic even when ties
-    * make the rank assignment among equal values arbitrary), so both
-    * engines clip at bit-identical bounds; clipping itself is
-    * least/greatest, no arithmetic on the doubles at all.
+    * make rank assignment among equal values arbitrary), so both engines
+    * clip at bit-identical bounds; clipping itself is least/greatest, no
+    * arithmetic on the doubles at all.
     *
-    * Plan: one type-partitioned rank window over the values, a ≤ |types|
-    * threshold aggregate broadcast back over the fact table. At 100 TB
-    * the window sorts within type partitions (AQE-skew-splittable); the
-    * clip pass is map-side.
+    * Plan — the 100 TB shape: a naive per-type rank window sorts
+    * whole-corpus partitions (|types| tasks carrying everything). Instead
+    * the global rank decomposes through a VALUE-BUCKET histogram: (1)
+    * map-side (type, floor(value)) counts; (2) per-type exclusive prefix
+    * over the BOUNDED bucket axis (bounded by the value range, not the
+    * corpus) locates the bucket containing each target rank; (3) only
+    * that bucket's slice is rank-windowed (partitioned by (type, bucket))
+    * to pick the threshold value. The corpus is scanned, histogrammed,
+    * and clip-joined — never globally sorted.
     */
   def winsorize(ev: DataFrame, lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
     val vals = ev.select(col("event_type"), col("event_id"), col("value"))
-    val ranked = vals
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("event_type")).orderBy(col("value"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
-    val thr = ranked
-      .filter(col("rn") === ceil(lit(lo) * col("n")) ||
-        col("rn") === ceil(lit(hi) * col("n")))
+    val vb = floor(col("value")).cast("long")
+    val counts = vals.groupBy(col("event_type"), vb.as("vb"))
+      .agg(count(lit(1)).as("cnt"))
+    val wPre = Window.partitionBy(col("event_type")).orderBy(col("vb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = counts
+      .withColumn("before", coalesce(sum(col("cnt")).over(wPre), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    // the bucket holding rank r satisfies before < r ≤ before + cnt
+    // fresh column names (and so fresh attribute ids): `targets` shares
+    // lineage with `vals`, and an un-aliased equi-join on the shared
+    // names would be an ambiguous self-join
+    def bucketFor(q: Double, tag: String) = pre
+      .filter(col("before") < ceil(lit(q) * col("n")) &&
+        ceil(lit(q) * col("n")) <= col("before") + col("cnt"))
+      .select(col("event_type").as("t_type"), col("vb").as("t_vb"),
+        (ceil(lit(q) * col("n")) - col("before")).cast("long").as("local_rank"),
+        lit(tag).as("q"))
+    val targets = bucketFor(lo, "lo").unionByName(bucketFor(hi, "hi"))
+    val wIn = Window.partitionBy(col("event_type"), col("t_vb"), col("q"))
+      .orderBy(col("value"))
+    val thr = vals.join(broadcast(targets),
+        col("event_type") === col("t_type") && vb === col("t_vb"))
+      .select(col("event_type"), col("q"), col("value"), col("t_vb"), col("local_rank"))
+      .withColumn("rn", row_number().over(wIn))
+      .filter(col("rn") === col("local_rank"))
       .groupBy(col("event_type"))
-      .agg(min(when(col("rn") === ceil(lit(lo) * col("n")), col("value"))).as("vlo"),
-        max(when(col("rn") === ceil(lit(hi) * col("n")), col("value"))).as("vhi"))
+      .agg(min(when(col("q") === "lo", col("value"))).as("vlo"),
+        max(when(col("q") === "hi", col("value"))).as("vhi"))
     vals.join(broadcast(thr), Seq("event_type"))
       .select(col("event_id"), col("event_type"),
         greatest(least(col("value"), col("vhi")), col("vlo")).as("clipped"),
