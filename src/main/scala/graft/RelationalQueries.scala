@@ -380,6 +380,81 @@ object RelationalQueries {
   def skylineQuery(s: SparkSession, d: String): DataFrame =
     skyline(part(s, d))
 
+  /** THREE-dimensional skyline (minimize price, maximize size and a third
+    * metric) — the [[skyline]] bucket argument generalized one dimension
+    * up. The third metric is SYNTHESIZED (portable hash of the part key,
+    * mod 1000) so both engines derive identical points; the oracle states
+    * the definitional quadratic NOT-EXISTS dominance test.
+    *
+    * Decomposition — dominance splits exactly three ways by the price
+    * relation, each resolved without any quadratic join:
+    *  - price strictly smaller, EARLIER price-bucket: a cumulative
+    *    staircase `max rv over earlier buckets at size ≥ s`, computed on
+    *    the size axis DENSIFIED to s = 1..size (the size domain is
+    *    value-bounded — p_size ≤ 50 — so the explode is a bounded
+    *    constant-factor, corpus-independent); running max over buckets
+    *    within each s, broadcast back (|buckets|·|sizes| rows).
+    *  - price strictly smaller, SAME bucket: the identical staircase one
+    *    level down, price axis within (bucket, s) — aggregated rows of
+    *    longs, windows over bounded-axis partitions.
+    *  - price EQUAL: a 2-dim skyline, one running-max window over
+    *    (size desc, rv desc) within the price partition (points are
+    *    unique per (price, size) after the max-rv reduction, so the
+    *    strictly-preceding frame is exactly the dominating set).
+    * Every shuffle carries (bucket, price, size, rv) longs; the corpus
+    * touches only the distinct-point reduction and the final semi-join
+    * against the broadcast skyline.
+    */
+  def skyline3d(parts: DataFrame): DataFrame = {
+    def rvOf(key: org.apache.spark.sql.Column) =
+      pmod(graft.functions.PortableHash.hash60(concat(lit("sky_"), key)), lit(1000L))
+    val pts0 = parts.select(col("p_retailprice").as("price"),
+      col("p_size").cast("long").as("size"), rvOf(col("p_partkey")).as("rv")).distinct()
+    // same-(price,size) reduction: a lower rv there is strictly dominated
+    val pts = pipeline.InternalCaches.register(
+      pts0.groupBy(col("price"), col("size")).agg(max(col("rv")).as("rv"))
+        .withColumn("bucket", floor(col("price")).cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // (A) earlier-bucket staircase over the densified size axis
+    val perBS = pts.groupBy(col("bucket"), col("size")).agg(max(col("rv")).as("mrv"))
+      .select(col("bucket"), explode(sequence(lit(1L), col("size"))).as("s"), col("mrv"))
+      .groupBy(col("bucket"), col("s")).agg(max(col("mrv")).as("mrv"))
+    val wB = Window.partitionBy(col("s")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val priorB = perBS.withColumn("prior_rv", max(col("mrv")).over(wB))
+      .select(col("bucket"), col("s").as("size"), col("prior_rv"))
+    // (B) same-bucket cheaper-price staircase, one level down
+    val perPS = pts
+      .select(col("bucket"), col("price"), explode(sequence(lit(1L), col("size"))).as("s"),
+        col("rv"))
+      .groupBy(col("bucket"), col("price"), col("s")).agg(max(col("rv")).as("mrv"))
+    val wP = Window.partitionBy(col("bucket"), col("s")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val priorP = perPS.withColumn("prior_rv2", max(col("mrv")).over(wP))
+      .select(col("bucket"), col("price"), col("s").as("size"), col("prior_rv2"))
+    // (C) equal-price 2-dim skyline window
+    val wEq = Window.partitionBy(col("price")).orderBy(col("size").desc, col("rv").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = pts
+      .withColumn("eq_mx", max(col("rv")).over(wEq))
+      .join(priorB, Seq("bucket", "size"), "left")
+      .join(priorP, Seq("bucket", "price", "size"), "left")
+      .filter((col("eq_mx").isNull || col("eq_mx") < col("rv")) &&
+        (col("prior_rv").isNull || col("prior_rv") < col("rv")) &&
+        (col("prior_rv2").isNull || col("prior_rv2") < col("rv")))
+      .select(col("price"), col("size").as("ssize"), col("rv").as("srv"))
+    parts.select(col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast("long").as("p_size"), rvOf(col("p_partkey")).as("rv"))
+      .join(broadcast(sky),
+        col("p_retailprice") === col("price") && col("p_size") === col("ssize") &&
+          col("rv") === col("srv"),
+        "left_semi")
+  }
+
+  /** Contract instance over the part table. */
+  def skyline3dQuery(s: SparkSession, d: String): DataFrame =
+    skyline3d(part(s, d))
+
   /** First-order Markov transition counts over each user's event sequence
     * (ordered by ts, event_id) — the path-analysis complement to the
     * funnel queries: which step follows which, corpus-wide. One
@@ -525,6 +600,52 @@ object RelationalQueries {
   def winsorizeQuery(s: SparkSession, d: String): DataFrame =
     winsorize(events(s, d))
 
+  /** Equi-DEPTH histogram: the k−1 interior quantile boundaries per
+    * event_type, each the PICKED value at discrete rank ⌈j·n/k⌉ (exact
+    * integer arithmetic — no double q·n rounding anywhere). The
+    * equi-WIDTH twin is `histogram_stats`; together they close the
+    * histogram family.
+    *
+    * Plan — same 100 TB shape as [[winsorize]]: a (type, floor(value))
+    * histogram + a prefix over the BOUNDED bucket axis locates the bucket
+    * holding each target rank; only those buckets' slices are
+    * rank-windowed. The corpus is scanned and histogrammed, never
+    * globally sorted; one bucket slice may serve several j (duplicated by
+    * the broadcast join, disambiguated by the `j` window key).
+    */
+  def equiDepth(ev: DataFrame, k: Int = 10): DataFrame = {
+    val vals = ev.select(col("event_type"), col("value"))
+    val vb = floor(col("value")).cast("long")
+    val counts = vals.groupBy(col("event_type"), vb.as("vb"))
+      .agg(count(lit(1)).as("cnt"))
+    val wPre = Window.partitionBy(col("event_type")).orderBy(col("vb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = counts
+      .withColumn("before", coalesce(sum(col("cnt")).over(wPre), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    // integer ceil: ⌈j·n/k⌉ = (j·n + k−1) div k for positive operands
+    // (SQL `div` — BIGINT-exact; a double floor(x/k) would round wrong
+    // past 2^53)
+    def rank(j: Int) = expr(s"(${j}L * n + ${k - 1}) div $k")
+    val targets = (1 until k).map { j =>
+      pre.filter(col("before") < rank(j) && rank(j) <= col("before") + col("cnt"))
+        .select(col("event_type").as("t_type"), col("vb").as("t_vb"),
+          (rank(j) - col("before")).cast("long").as("local_rank"),
+          lit(j.toLong).as("j"))
+    }.reduce(_ unionByName _)
+    val wIn = Window.partitionBy(col("event_type"), col("t_vb"), col("j"))
+      .orderBy(col("value"))
+    vals.join(broadcast(targets),
+        col("event_type") === col("t_type") && vb === col("t_vb"))
+      .withColumn("rn", row_number().over(wIn))
+      .filter(col("rn") === col("local_rank"))
+      .select(col("event_type"), col("j").as("decile"), col("value").as("boundary"))
+  }
+
+  /** Contract instance over the events table. */
+  def equiDepthQuery(s: SparkSession, d: String): DataFrame =
+    equiDepth(events(s, d))
+
   /** Market-basket co-occurrence: for each unordered brand pair, how many
     * orders contain both — the support table association mining starts
     * from. The pair join is per-order (equi-join on the order key with
@@ -569,6 +690,42 @@ object RelationalQueries {
     local.join(offsets, Seq("day"))
       .groupBy(col("day"))
       .agg(max(col("off") + col("run")).as("peak"))
+  }
+
+  /** Interval-overlap join: which pairs of sessions (across different
+    * users) were active at the same time, with the exact shared duration —
+    * the interval×interval join Spark has no native operator for (asof and
+    * point-in-band joins are covered by `asof_join` / `range_join`; this
+    * closes the family). Touching counts as overlapping, consistent with
+    * `concurrency_peak`.
+    *
+    * Plan — no quadratic join anywhere: each session explodes to the
+    * 1-hour grid cells it spans (fan-out bounded by session duration, not
+    * corpus size), pairs meet by an equi-join ON THE CELL, and each pair
+    * is counted exactly once — in the cell containing the later start
+    * (which both sessions span by definition of overlap). Per-cell pair
+    * work is the intrinsic output cost of an overlap join; hot cells are
+    * AQE-skew-split. The oracle states the definitional inequality join
+    * (DuckDB plans it as an IEJoin). Output aggregated per user pair with
+    * BIGINT millisecond overlap — engine-exact.
+    */
+  def intervalOverlap(s: SparkSession, d: String, cellMs: Long = 3600000L): DataFrame = {
+    val sess = sessionizeBatch(s, d)
+      .select(col("user_id"), col("session_start").as("st"), col("session_end").as("en"))
+    val cells = sess.withColumn("cell",
+      explode(sequence(expr(s"st div $cellMs"), expr(s"en div $cellMs"))))
+    val a = cells.select(col("user_id").as("user_a"), col("st").as("sta"),
+      col("en").as("ena"), col("cell"))
+    val b = cells.select(col("user_id").as("user_b"), col("st").as("stb"),
+      col("en").as("enb"), col("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("user_a") < col("user_b") &&
+        col("sta") <= col("enb") && col("stb") <= col("ena") &&
+        col("cell") === expr(s"greatest(sta, stb) div $cellMs"))
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("ena"), col("enb")) - greatest(col("sta"), col("stb")))
+          .as("overlap_ms"))
   }
 
   /** BPE-ish token counting over documents (whitespace words, digits, and

@@ -85,6 +85,31 @@ object SparkEntry {
     // --- peak concurrent sessions per day (sweep-line; hierarchical
     // prefix-sum carry, no unpartitioned window) ---
     "concurrency_peak" -> RelationalQueries.concurrencyPeak _,
+    // --- equi-DEPTH histogram: decile boundaries per type, picked at
+    // integer-ceil ranks via the winsorize bucket-rank decomposition ---
+    "histogram_equidepth" -> RelationalQueries.equiDepthQuery _,
+    // --- 3-dim skyline: per-dimension staircase decomposition, third
+    // dimension synthesized by portable hash ---
+    "skyline_3d" -> RelationalQueries.skyline3dQuery _,
+    // --- interval×interval overlap join over sessionized events (cell
+    // decomposition, count-once-at-later-start-cell) ---
+    "interval_overlap" -> ((s, d) => RelationalQueries.intervalOverlap(s, d)),
+    // --- k-core peeling over the hash-derived graph fixture; oracle CTE
+    // chain generated by the same Scala loop ---
+    "kcore" -> ((s, d) => {
+      val e = pipeline.Dedup.rebalance(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
+        .select(
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tv_"), col("l_orderkey"))),
+            lit(20011L)).as("src"),
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
+            lit(20011L)).as("dst"))
+      sources.GraphLoader.kCore(e, k = 3, rounds = 8)
+    }),
+    // --- bigram LM commonness: corpus bigram frequencies folded back per
+    // doc as exact integers (log-free LM likelihood analog) ---
+    "ngram_lm_score" -> ((s, d) =>
+      pipeline.TextAnalysis.bigramLmScore(Tables.documents(s, d))),
     // --- leakage-safe split: whole groups assigned to one split ---
     "group_split" -> ((s, d) =>
       pipeline.TrainingData.groupSplit(Tables.documents(s, d), "source")),
@@ -1304,6 +1329,87 @@ object SparkEntry {
                 greatest(least(value, vhi), vlo) AS clipped,
                 (value < vlo OR value > vhi)::BIGINT AS was_clipped
          FROM v JOIN thr ON v.event_type = thr.event_type""",
+    // Equi-depth histogram: boundary j is the value at integer-ceil rank
+    // (j·n + 9) // 10 — a picked double, deterministic under ties.
+    "histogram_equidepth" ->
+      """WITH v AS (SELECT event_type, value FROM events),
+         r AS (
+           SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM v)
+         SELECT event_type, j::BIGINT AS decile, value AS boundary
+         FROM r JOIN generate_series(1, 9) AS g(j) ON rn = (j * n + 9) // 10""",
+    // 3-dim skyline: the oracle states the DEFINITION (quadratic
+    // NOT-EXISTS dominance over distinct points, third dim from the same
+    // portable hash) — agreement proves the staircase decomposition.
+    "skyline_3d" ->
+      """WITH pts AS (
+           SELECT DISTINCT p_retailprice AS price, p_size::BIGINT AS size,
+                  ('0x' || substring(md5('sky_' || p_partkey::VARCHAR), 1, 15))::BIGINT % 1000 AS rv
+           FROM part),
+         sky AS (
+           SELECT price, size, rv FROM pts b
+           WHERE NOT EXISTS (
+             SELECT 1 FROM pts a
+             WHERE a.price <= b.price AND a.size >= b.size AND a.rv >= b.rv
+               AND (a.price < b.price OR a.size > b.size OR a.rv > b.rv)))
+         SELECT p.p_partkey, p.p_retailprice, p.p_size::BIGINT AS p_size,
+                ('0x' || substring(md5('sky_' || p.p_partkey::VARCHAR), 1, 15))::BIGINT % 1000 AS rv
+         FROM part p JOIN sky s
+           ON p.p_retailprice = s.price AND p.p_size = s.size
+          AND ('0x' || substring(md5('sky_' || p.p_partkey::VARCHAR), 1, 15))::BIGINT % 1000 = s.rv""",
+    // Interval overlap: the definitional inequality join (DuckDB IEJoin);
+    // closed intervals — touching counts, matching concurrency_peak.
+    "interval_overlap" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS tms, value FROM events),
+         s AS (
+           SELECT *, CASE WHEN tms - lag(tms) OVER
+               (PARTITION BY user_id ORDER BY tms, event_id) > 1800000
+             THEN 1 ELSE 0 END AS ns
+           FROM e),
+         t AS (
+           SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+           FROM s),
+         sess AS (
+           SELECT user_id, session_id, min(tms) AS st, max(tms) AS en
+           FROM t GROUP BY 1, 2)
+         SELECT a.user_id AS user_a, b.user_id AS user_b,
+                count(*)::BIGINT AS n_pairs,
+                sum(least(a.en, b.en) - greatest(a.st, b.st))::BIGINT AS overlap_ms
+         FROM sess a JOIN sess b
+           ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+         GROUP BY 1, 2""",
+    // k-core: the peel-round CTE chain is GENERATED by the same Scala loop
+    // that drives the engine's iterations (the duckdbZValue anti-drift
+    // pattern); 8 unrolled rounds ⊇ the fixpoint on this fixture.
+    "kcore" ->
+      s"""WITH und AS MATERIALIZED (
+           SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+             SELECT ('0x' || substring(md5('tv_' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 20011 AS s,
+                    ('0x' || substring(md5('tw_' || l_partkey::VARCHAR), 1, 15))::BIGINT % 20011 AS t
+             FROM lineitem)
+           WHERE s <> t),
+         ${sources.GraphLoader.kCoreOracleCtes(k = 3, rounds = 8)}
+         SELECT v AS vertex, count(*)::BIGINT AS core_deg FROM adj8 GROUP BY v""",
+    // Bigram LM score: strict bigrams via list comprehension; corpus
+    // frequency fold-back — exact integers, zero-bigram docs kept.
+    "ngram_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents),
+         bg AS (
+           SELECT doc_id, x AS bg
+           FROM toks, unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS u(x)),
+         cnt AS (SELECT bg, count(*)::BIGINT AS c FROM bg GROUP BY 1),
+         per AS (
+           SELECT doc_id, count(*)::BIGINT AS nb, sum(c)::BIGINT AS fs
+           FROM bg JOIN cnt USING (bg) GROUP BY 1)
+         SELECT d.doc_id, coalesce(per.nb, 0)::BIGINT AS n_bigrams,
+                coalesce(per.fs, 0)::BIGINT AS freq_sum
+         FROM documents d LEFT JOIN per USING (doc_id)""",
     // Group split: the split bucket hashes the GROUP value, so groups
     // never straddle splits.
     "group_split" ->

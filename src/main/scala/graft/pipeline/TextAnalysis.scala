@@ -170,6 +170,43 @@ object TextAnalysis {
       .orderBy(col("cms_count").desc, col("ngram")).limit(k)
   }
 
+  /** Bigram language-model commonness score: the corpus bigram frequency
+    * table joined back onto each document's bigrams — `freq_sum / n_bigrams`
+    * is the doc's mean phrase frequency, the integer-exact analog of an
+    * n-gram LM log-likelihood (log-free so the contract is BIGINT-exact
+    * cross-engine; callers wanting log-probs divide/log the two integers).
+    * Common-phrasing docs score high, gibberish scores near 1·n — the
+    * cheap fluency signal next to `text_quality_score`/`text_repetition`.
+    *
+    * STRICT bigrams (docs under 2 tokens score 0/0 but stay in the
+    * output), unlike [[Dedup.shingles]]' short-doc whole-text convention —
+    * an LM has no estimate for a phrase that cannot occur.
+    *
+    * Plan: the exploded bigram frame is built once (cached, registered);
+    * the frequency table is a map-side-combined count; the join-back is
+    * AQE-skew-safe (hot bigrams split like `ngram_dupfrac`'s hot
+    * shingles); the final per-doc aggregate carries (doc_id, count) longs
+    * only. No text crosses a shuffle except the bigram strings themselves.
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val t = Dedup.tokens(col("text"))
+    val bgs = when(size(t) >= 2,
+        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    val bg = InternalCaches.register(Dedup.rebalance(docs)
+      .select(col("doc_id"), explode(bgs).as("bg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cnt = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val per = bg.join(cnt, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"), sum(col("c")).as("fs"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("fs"), lit(0L)).as("freq_sum"))
+  }
+
   /** The raw CMS summary of a corpus: (row, bucket, cnt) counter cells,
     * ≤ depth·width rows total. Sketches are MERGEABLE by cellwise count
     * addition — which is exactly the Lara ⊕-union over key (row, bucket)

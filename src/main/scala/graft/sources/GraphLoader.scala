@@ -185,6 +185,80 @@ object GraphLoader {
     out
   }
 
+  /** k-core peeling: iteratively remove vertices of induced degree < k
+    * until none remain (or the round budget is spent) — the standard
+    * density decomposition (dense dup-cluster cores, spam-farm detection)
+    * the reference's Graphulo degree-filtering loops
+    * (`/root/reference/README.md:77-78` Graph500 fixtures) point at.
+    *
+    * CONTRACT SHAPE: peeling is MONOTONE — the vertex set only ever
+    * shrinks, so an unchanged survivor count IS the fixpoint. The engine
+    * runs at most `rounds` rounds with an early exit exactly at the
+    * fixpoint; the DuckDB oracle ([[kCoreOracleCtes]], generated from the
+    * same parameters so the dialects cannot drift) unrolls exactly
+    * `rounds` rounds — past the fixpoint each round is the identity, so
+    * both land on the identical set whether or not the budget sufficed.
+    *
+    * Plan per round: one map-side-combined degree aggregation + two
+    * left-semi joins, every shuffle carrying id longs only; the adjacency
+    * is eagerly localCheckpointed per round (the Components lineage-cut
+    * discipline) and the previous round's checkpoint released. Returns
+    * (vertex, core_deg) — survivors with their induced degree.
+    */
+  def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 8): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .distinct().filter(col("a") =!= col("b"))
+    var adj = und.select(col("a").as("v"), col("b").as("w"))
+      .unionByName(und.select(col("b").as("v"), col("a").as("w")))
+      .repartition(col("v"))
+      .localCheckpoint(true)
+    var survivors = -1L
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val keep = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("v"))
+        .localCheckpoint(true)
+      val n = keep.count()
+      if (n == survivors) done = true // monotone ⇒ same count = same set
+      else {
+        survivors = n
+        val prev = adj
+        adj = adj
+          .join(keep, Seq("v"), "left_semi")
+          .join(keep.select(col("v").as("w")), Seq("w"), "left_semi")
+          .select(col("v"), col("w")) // keep (v, w) column order
+          .localCheckpoint(true)
+        prev.unpersist()
+      }
+      r += 1
+    }
+    adj.groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
+      .select(col("v").as("vertex"), col("core_deg"))
+  }
+
+  /** The DuckDB twin of [[kCore]]'s loop, generated by the same Scala code
+    * path (the `duckdbZValue` anti-drift pattern): CTE text for `rounds`
+    * unrolled peel rounds over a caller-supplied CTE `und(a, b)` of
+    * canonical undirected edges. The caller appends the final
+    * `SELECT v AS vertex, count(*) AS core_deg FROM adj<rounds> GROUP BY v`.
+    */
+  def kCoreOracleCtes(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED is load-bearing: each round references the previous
+    // three times; inlined CTEs would expand the chain 3^rounds-fold
+    val sb = new StringBuilder(
+      "adj0 AS MATERIALIZED (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und)")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+         keep$i AS MATERIALIZED (SELECT v FROM adj${i - 1} GROUP BY v HAVING count(*) >= $k),
+         adj$i AS MATERIALIZED (SELECT x.v, x.w FROM adj${i - 1} x
+                   JOIN keep$i p ON x.v = p.v JOIN keep$i q ON x.w = q.v)""")
+    }
+    sb.toString
+  }
+
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

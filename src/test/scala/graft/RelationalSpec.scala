@@ -332,6 +332,69 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == exp, s"diff=${(got.toSet diff exp.toSet).take(5)}")
   }
 
+  test("equiDepth: bucket-rank decomposition equals the brute-force sorted pick") {
+    import org.apache.spark.sql.functions._
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val exp = (for {
+      (t, vs) <- vals.toSeq
+      j <- 1 until 10
+      // integer-ceil rank, 1-based
+      r = (j.toLong * vs.length + 9) / 10
+    } yield (t, j.toLong) -> vs(r.toInt - 1)).toMap
+    val got = RelationalQueries.equiDepth(Tables.events(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == exp, s"diff=${(got.toSet diff exp.toSet).take(5)}")
+    // boundaries per type are sorted in j (equal allowed under ties)
+    for ((t, vs) <- vals; j <- 1 until 9)
+      assert(got((t, j.toLong)) <= got((t, j + 1L)))
+  }
+
+  test("skyline3d: staircase decomposition equals brute-force 3-dim dominance") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def rv(key: Long): Long = Math.floorMod(
+      graft.functions.PortableHash.md5Prefix60(s"sky_$key".getBytes("UTF-8")), 1000L)
+    val rnd = new scala.util.Random(7)
+    // clustered prices so buckets hold several points; duplicate (price,
+    // size) pairs land different rv (hash of distinct keys) on purpose
+    val pts = (1 to 500).map { i =>
+      Row(i.toLong, 900.0 + rnd.nextInt(200) / 10.0, 1 + rnd.nextInt(12))
+    }
+    val st = new StructType().add("p_partkey", LongType)
+      .add("p_retailprice", DoubleType).add("p_size", IntegerType)
+    val parts = TestSpark.df(st, pts)
+    val got = RelationalQueries.skyline3d(parts).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+    val all = pts.map(r => (r.getLong(0), r.getDouble(1), r.getInt(2).toLong))
+      .map { case (k, p, s) => (k, p, s, rv(k)) }
+    val exp = all.filter { case (_, p, s, v) =>
+      !all.exists { case (_, p2, s2, v2) =>
+        p2 <= p && s2 >= s && v2 >= v && (p2 < p || s2 > s || v2 > v) }
+    }.toSet
+    assert(got == exp, s"missing=${(exp diff got).take(5)} extra=${(got diff exp).take(5)}")
+    assert(exp.size > 3, "fixture must exercise a non-trivial frontier")
+    graft.pipeline.InternalCaches.release()
+  }
+
+  test("intervalOverlap: cell decomposition equals the brute-force quadratic join") {
+    val sess = RelationalQueries.sessionizeBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))) // (user, start, end)
+    val exp = (for {
+      (ua, sta, ena) <- sess
+      (ub, stb, enb) <- sess
+      if ua < ub && sta <= enb && stb <= ena
+    } yield (ua, ub) -> (math.min(ena, enb) - math.max(sta, stb)))
+      .groupBy(_._1).map { case (k, vs) => k -> ((vs.size.toLong, vs.map(_._2).sum)) }
+    val got = RelationalQueries.intervalOverlap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == exp, s"diff=${(got.toSet diff exp.toSet).take(5)}")
+    assert(exp.nonEmpty, "fixture must actually overlap")
+  }
+
   test("eventTransitions: per-user lead pairs, ties broken by event_id") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.Row

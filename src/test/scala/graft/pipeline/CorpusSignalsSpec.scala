@@ -230,4 +230,27 @@ class CorpusSignalsSpec extends AnyFunSuite {
     // the k-cut is (estimate desc, ngram asc): verify monotone estimates
     assert(a.map(_._2).sliding(2).forall(s => s.length < 2 || s(0) >= s(1)))
   }
+
+  // --- bigramLmScore ---
+
+  test("bigramLmScore: strict bigrams with multiplicity; zero-bigram docs kept") {
+    val d = docs(1L -> "a b a b", 2L -> "a b c", 3L -> "x")
+    val got = TextAnalysis.bigramLmScore(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // corpus counts: "a b"→3 (twice in doc1, once in doc2), "b a"→1, "b c"→1
+    assert(got == Map(
+      1L -> ((3L, 3L + 1L + 3L)), // a b, b a, a b
+      2L -> ((2L, 3L + 1L)),      // a b, b c
+      3L -> ((0L, 0L))), s"got $got")
+    InternalCaches.release()
+  }
+
+  test("bigramLmScore: common phrasing outranks gibberish on mean frequency") {
+    val common = (1L to 6L).map(_ -> "the quick brown fox jumps")
+    val odd = Seq(7L -> "zxqv wkjh pqrs tuvw xyzab")
+    val got = TextAnalysis.bigramLmScore(docs(common ++ odd: _*)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2).toDouble / r.getLong(1))).toMap
+    assert(got(1L) == 6.0 && got(7L) == 1.0, s"got $got")
+    InternalCaches.release()
+  }
 }

@@ -91,4 +91,32 @@ class GraphLoaderSpec extends AnyFunSuite {
       Seq[Any](0L, 2L, 2), Seq[Any](0L, 0L, 1), Seq[Any](1L, 0L, 1),
       Seq[Any](2L, 1L, 2), Seq[Any](2L, 2L, 1)))
   }
+
+  test("kCore: cascade peels the pendant path, keeps the triangle; dups/direction ignored") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // triangle 1-2-3 with pendant path 3-4-5; a duplicate and a reversed
+    // edge must not inflate degrees
+    val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (1L, 2L))
+    val st = new StructType().add("src", LongType).add("dst", LongType)
+    val d = df(st, es.map(e => Row(e._1, e._2)))
+    val got = GraphLoader.kCore(d, k = 2, rounds = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 5 (deg 1) peels first, THEN 4 — the cascade needs two rounds
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $got")
+  }
+
+  test("kCore: fixed round budget is the contract — partial peel at rounds=1, empty at fixpoint") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // path 1-2-3-4-5: 2-core is empty, but peeling takes several rounds
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val st = new StructType().add("src", LongType).add("dst", LongType)
+    val d = df(st, es.map(e => Row(e._1, e._2)))
+    val one = GraphLoader.kCore(d, k = 2, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exactly ONE peel round: endpoints gone, interior degrees re-induced
+    assert(one == Map(2L -> 1L, 3L -> 2L, 4L -> 1L), s"got $one")
+    assert(GraphLoader.kCore(d, k = 2, rounds = 8).collect().isEmpty)
+  }
 }
