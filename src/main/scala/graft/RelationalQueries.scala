@@ -561,6 +561,21 @@ object RelationalQueries {
     */
   def winsorize(ev: DataFrame, lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
     val vals = ev.select(col("event_type"), col("event_id"), col("value"))
+    val thr = winsorizeThresholds(ev, lo, hi)
+    vals.join(broadcast(thr), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        greatest(least(col("value"), col("vhi")), col("vlo")).as("clipped"),
+        (col("value") < col("vlo") || col("value") > col("vhi")).cast("long").as("was_clipped"))
+  }
+
+  /** The per-type [vlo, vhi] discrete-percentile band of [[winsorize]],
+    * exposed as its own frame (|types| rows) so the streaming
+    * clip-at-ingest twin (`EventStreams.streamingClip`) can broadcast the
+    * SAME thresholds into a stream-static join — batch and stream cannot
+    * drift. Same histogram-decomposed plan as documented on [[winsorize]].
+    */
+  def winsorizeThresholds(ev: DataFrame, lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    val vals = ev.select(col("event_type"), col("event_id"), col("value"))
     val vb = floor(col("value")).cast("long")
     val counts = vals.groupBy(col("event_type"), vb.as("vb"))
       .agg(count(lit(1)).as("cnt"))
@@ -582,7 +597,7 @@ object RelationalQueries {
     val targets = bucketFor(lo, "lo").unionByName(bucketFor(hi, "hi"))
     val wIn = Window.partitionBy(col("event_type"), col("t_vb"), col("q"))
       .orderBy(col("value"))
-    val thr = vals.join(broadcast(targets),
+    vals.join(broadcast(targets),
         col("event_type") === col("t_type") && vb === col("t_vb"))
       .select(col("event_type"), col("q"), col("value"), col("t_vb"), col("local_rank"))
       .withColumn("rn", row_number().over(wIn))
@@ -590,10 +605,6 @@ object RelationalQueries {
       .groupBy(col("event_type"))
       .agg(min(when(col("q") === "lo", col("value"))).as("vlo"),
         max(when(col("q") === "hi", col("value"))).as("vhi"))
-    vals.join(broadcast(thr), Seq("event_type"))
-      .select(col("event_id"), col("event_type"),
-        greatest(least(col("value"), col("vhi")), col("vlo")).as("clipped"),
-        (col("value") < col("vlo") || col("value") > col("vhi")).cast("long").as("was_clipped"))
   }
 
   /** Contract instance over the events table. */

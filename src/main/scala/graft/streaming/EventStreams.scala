@@ -19,6 +19,25 @@ import java.sql.Timestamp
   */
 object EventStreams {
 
+  /** Clip-at-ingest: each streamed value clipped into its event_type's
+    * static [vlo, vhi] band — the stream-static join pattern. Thresholds
+    * come from the BATCH winsorize decomposition over history
+    * (`RelationalQueries.winsorizeThresholds`) and broadcast into every
+    * micro-batch; the transform itself is stateless (no watermark, no
+    * state store), so it runs at ingest speed and cannot reorder or drop
+    * rows. Types unseen in history pass through unclipped (left join —
+    * no band, no opinion at ingest). Output schema matches the batch
+    * `RelationalQueries.winsorize` row-for-row; the differential spec
+    * asserts exact equality on real events.
+    */
+  def streamingClip(events: DataFrame, thresholds: DataFrame): DataFrame =
+    events.join(broadcast(thresholds), Seq("event_type"), "left")
+      .select(col("event_id"), col("event_type"),
+        when(col("vlo").isNull, col("value"))
+          .otherwise(greatest(least(col("value"), col("vhi")), col("vlo"))).as("clipped"),
+        coalesce((col("value") < col("vlo") || col("value") > col("vhi"))
+          .cast("long"), lit(0L)).as("was_clipped"))
+
   /** Watermarked sliding-window aggregate per event_type — the streaming
     * twin of `RelationalQueries.eventsBin`.
     */

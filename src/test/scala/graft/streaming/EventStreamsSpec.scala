@@ -415,6 +415,36 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingClip equals batch winsorize on real events; unseen types pass through") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val thr = graft.RelationalQueries
+      .winsorizeThresholds(graft.Tables.events(spark, sf)).cache()
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val in = MemoryStream[Event]
+    val q = EventStreams.streamingClip(in.toDF(), thr)
+      .writeStream.format("memory").queryName("clip_diff")
+      .outputMode("append").start()
+    try {
+      // two micro-batches + one event of a type history never saw
+      val (b1, b2) = evs.splitAt(evs.size / 2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2 :+ Event(-7L, evs.head.ts, 0L, "novel_type", 1e9))
+      q.processAllAvailable()
+      val got = spark.table("clip_diff").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+      val batch = graft.RelationalQueries.winsorize(graft.Tables.events(spark, sf))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(batch.subsetOf(got), s"missing=${(batch diff got).take(5)}")
+      // the novel type passed through unclipped
+      assert(got.contains((-7L, "novel_type", 1e9, 0L)))
+      assert(got.size == batch.size + 1)
+    } finally { q.stop(); thr.unpersist() }
+  }
+
   test("streamingOhlc EQUALS the batch ohlcDownsample on real events") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
