@@ -611,6 +611,107 @@ object RelationalQueries {
   def winsorizeQuery(s: SparkSession, d: String): DataFrame =
     winsorize(events(s, d))
 
+  /** The value at integer rank `rankSql` (a SQL expression over the
+    * per-type count `n`, e.g. `"(n + 1) div 2"`) per event_type of
+    * `vals(event_type, value)` — the histogram-decomposed rank pick
+    * behind [[winsorizeThresholds]]/[[equiDepth]], factored for reuse:
+    * (type, floor(value)) histogram → bounded-axis prefix locates the
+    * target bucket → only that bucket's slice is rank-windowed. Never a
+    * global sort. Negative values bucket correctly (floor is monotone
+    * everywhere).
+    */
+  private def rankPickPerType(vals: DataFrame, rankSql: String): DataFrame = {
+    val vb = floor(col("value")).cast("long")
+    val counts = vals.groupBy(col("event_type"), vb.as("vb"))
+      .agg(count(lit(1)).as("cnt"))
+    val wPre = Window.partitionBy(col("event_type")).orderBy(col("vb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = counts
+      .withColumn("before", coalesce(sum(col("cnt")).over(wPre), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    val r = expr(rankSql)
+    val targets = pre.filter(col("before") < r && r <= col("before") + col("cnt"))
+      .select(col("event_type").as("t_type"), col("vb").as("t_vb"),
+        (r - col("before")).cast("long").as("local_rank"))
+    val wIn = Window.partitionBy(col("event_type"), col("t_vb")).orderBy(col("value"))
+    vals.join(broadcast(targets),
+        col("event_type") === col("t_type") && vb === col("t_vb"))
+      .withColumn("rn", row_number().over(wIn))
+      .filter(col("rn") === col("local_rank"))
+      .select(col("event_type"), col("value").as("picked"))
+  }
+
+  /** Robust (median/MAD) dispersion profile per event_type: the lower
+    * median, the median absolute deviation, and the count of |x − med| >
+    * 3·MAD outliers — the outlier detector that, unlike z-scores, is not
+    * itself corrupted by the outliers it hunts. Both rank picks are
+    * PICKED doubles via [[rankPickPerType]] (no global sort); the
+    * deviation |x − med| and the 3·MAD comparison are single IEEE ops on
+    * identical inputs, so the whole contract is engine-exact.
+    */
+  def robustZscore(ev: DataFrame): DataFrame = {
+    val vals = ev.select(col("event_type"), col("value"))
+    val med = rankPickPerType(vals, "(n + 1) div 2")
+      .withColumnRenamed("picked", "med")
+    val dev = vals.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), abs(col("value") - col("med")).as("value"))
+    val mad = rankPickPerType(dev, "(n + 1) div 2")
+      .withColumnRenamed("picked", "mad")
+    vals.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum((abs(col("value") - col("med")) > col("mad") * 3).cast("long"))
+          .as("n_outliers"))
+  }
+
+  /** Contract instance over the events table. */
+  def robustZscoreQuery(s: SparkSession, d: String): DataFrame =
+    robustZscore(events(s, d))
+
+  /** Time-weighted average per (event_type, day): each observation holds
+    * until the type's next event; a day's last observation holds into
+    * the next day-with-events, the whole interval assigned to the day it
+    * STARTS in. Emitted as the two exact BIGINT components
+    * (Σ cents·ms, Σ ms) — consumers divide; a double quotient would not
+    * be an exact cross-engine contract. The type's final observation has
+    * no end and is excluded from both sums.
+    *
+    * Plan — the no-whole-corpus-window shape: the naive lead() over a
+    * per-TYPE window is |types| tasks sorting the corpus; here lead runs
+    * within (type, day) partitions and only the per-day boundary rows
+    * stitch through a bounded day-axis window (the concurrency_peak /
+    * gap_fill idiom). Day boundaries respect the (tms, event_id) order
+    * because a later day's timestamps are strictly larger, so the
+    * stitched next-start is exactly the global window's lead.
+    */
+  def twap(ev: DataFrame): DataFrame = {
+    val base = ev.select(col("event_type"),
+      unix_millis(col("ts")).as("tms"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("day", expr("tms div 86400000"))
+    val wDay = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("tms"), col("event_id"))
+    val local = base.withColumn("next_tms", lead(col("tms"), 1).over(wDay))
+    val days = base.groupBy(col("event_type"), col("day"))
+      .agg(min(col("tms")).as("first_tms"))
+    val wD = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val stitch = days
+      .withColumn("next_first", lead(col("first_tms"), 1).over(wD))
+      .select(col("event_type"), col("day"), col("next_first"))
+    local.join(broadcast(stitch), Seq("event_type", "day"))
+      .withColumn("dur", coalesce(col("next_tms"), col("next_first")) - col("tms"))
+      .filter(col("dur").isNotNull)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents") * col("dur")).as("num_cents_ms"),
+        sum(col("dur")).as("dur_ms"),
+        count(lit(1)).as("n_holds"))
+  }
+
+  /** Contract instance over the events table. */
+  def twapQuery(s: SparkSession, d: String): DataFrame =
+    twap(events(s, d))
+
   /** Equi-DEPTH histogram: the k−1 interior quantile boundaries per
     * event_type, each the PICKED value at discrete rank ⌈j·n/k⌉ (exact
     * integer arithmetic — no double q·n rounding anywhere). The

@@ -110,6 +110,17 @@ object SparkEntry {
     // doc as exact integers (log-free LM likelihood analog) ---
     "ngram_lm_score" -> ((s, d) =>
       pipeline.TextAnalysis.bigramLmScore(Tables.documents(s, d))),
+    // --- robust median/MAD dispersion + outlier counts (two histogram
+    // rank picks, no global sort) ---
+    "robust_zscore" -> RelationalQueries.robustZscoreQuery _,
+    // --- time-weighted average components per (type, day): day-local
+    // lead + bounded day-axis stitch, exact BIGINT cents·ms ---
+    "twap" -> RelationalQueries.twapQuery _,
+    // --- Levenshtein-≤1 pairs over customer names via symmetric-delete
+    // blocking (equi-join on deletion variants; no quadratic compare) ---
+    "fuzzy_join" -> ((s, d) =>
+      pipeline.Dedup.fuzzyJoin(Tables.customer(s, d), "c_name")
+        .select(col("val_a").as("name_a"), col("val_b").as("name_b"))),
     // --- leakage-safe split: whole groups assigned to one split ---
     "group_split" -> ((s, d) =>
       pipeline.TrainingData.groupSplit(Tables.documents(s, d), "source")),
@@ -1410,6 +1421,57 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(per.nb, 0)::BIGINT AS n_bigrams,
                 coalesce(per.fs, 0)::BIGINT AS freq_sum
          FROM documents d LEFT JOIN per USING (doc_id)""",
+    // Robust median/MAD: lower-median rank picks; |x−med| and 3·mad are
+    // single IEEE ops on identical inputs — engine-exact.
+    "robust_zscore" ->
+      """WITH v AS (SELECT event_type, value FROM events),
+         r AS (
+           SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM v),
+         med AS (
+           SELECT event_type, min(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+           FROM r GROUP BY 1),
+         dv AS (
+           SELECT v.event_type, abs(value - med) AS adev
+           FROM v JOIN med USING (event_type)),
+         r2 AS (
+           SELECT event_type, adev,
+                  row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS m
+           FROM dv),
+         mad AS (
+           SELECT event_type, min(CASE WHEN rn = (m + 1) // 2 THEN adev END) AS mad
+           FROM r2 GROUP BY 1)
+         SELECT v.event_type, med, mad, count(*)::BIGINT AS n,
+                sum((abs(value - med) > mad * 3)::BIGINT)::BIGINT AS n_outliers
+         FROM v JOIN med USING (event_type) JOIN mad USING (event_type)
+         GROUP BY 1, 2, 3""",
+    // TWAP components: the oracle states the global per-type lead; the
+    // engine's day-local lead + day-axis stitch must agree exactly.
+    "twap" ->
+      """WITH e AS (
+           SELECT event_type, epoch_ns(ts) // 1000000 AS tms, event_id,
+                  round(value * 100)::BIGINT AS cents
+           FROM events),
+         w AS (
+           SELECT *, lead(tms) OVER (PARTITION BY event_type
+                                     ORDER BY tms, event_id) AS next_tms
+           FROM e)
+         SELECT event_type, tms // 86400000 AS day,
+                sum(cents * (next_tms - tms))::BIGINT AS num_cents_ms,
+                sum(next_tms - tms)::BIGINT AS dur_ms,
+                count(*)::BIGINT AS n_holds
+         FROM w WHERE next_tms IS NOT NULL
+         GROUP BY 1, 2""",
+    // Fuzzy join: the oracle is the DEFINITIONAL quadratic Levenshtein
+    // join over distinct names — agreement proves the symmetric-delete
+    // blocking loses no pair.
+    "fuzzy_join" ->
+      """WITH n AS (SELECT DISTINCT c_name AS nm FROM customer)
+         SELECT a.nm AS name_a, b.nm AS name_b
+         FROM n a JOIN n b ON a.nm < b.nm AND levenshtein(a.nm, b.nm) <= 1""",
     // Group split: the split bucket hashes the GROUP value, so groups
     // never straddle splits.
     "group_split" ->

@@ -569,4 +569,35 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b")) // band-collision dedup on ids only
       .agg(max(col("hamming")).as("hamming")) // identical per pair
   }
+
+  /** Levenshtein-distance-≤1 string pairs via symmetric-delete (SymSpell)
+    * blocking — the fuzzy-match primitive (typo'd entity names, key
+    * variants) next to the token-level joins above. Every distinct value
+    * generates its |s|+1 deletion-1 variants (itself included); two
+    * strings within distance 1 NECESSARILY share a variant — a
+    * substitution means the same-position deletions coincide, an
+    * insert/delete means the longer's deletion hits the shorter, equality
+    * is the identity variant — so candidates meet by EQUI-join on the
+    * variant: no quadratic comparison exists in the plan. Sharing a
+    * variant is necessary but not sufficient (transpositions collide at
+    * distance 2), so the exact `levenshtein` verification runs on the
+    * blocked candidates only. Pairs are deduped on ids before
+    * verification; per-variant fan-in is alphabet-bounded on id-shaped
+    * data and AQE-skew-split otherwise. Values shorter than `minLen`
+    * don't participate (an empty string would make sequence() degenerate
+    * and matches everything 1-char anyway).
+    */
+  def fuzzyJoin(df: DataFrame, column: String, minLen: Int = 1): DataFrame = {
+    val s = df.select(col(column).cast("string").as("s"))
+      .filter(length(col("s")) >= math.max(minLen, 1)).distinct()
+    val vars = s.select(col("s"), explode(expr(
+      "array_union(array(s), transform(sequence(1, length(s)), " +
+        "i -> concat(substring(s, 1, i - 1), substring(s, i + 1, length(s)))))"))
+      .as("variant"))
+    vars.select(col("s").as("val_a"), col("variant"))
+      .join(vars.select(col("s").as("val_b"), col("variant")), Seq("variant"))
+      .filter(col("val_a") < col("val_b"))
+      .select(col("val_a"), col("val_b")).distinct()
+      .filter(levenshtein(col("val_a"), col("val_b")) <= 1)
+  }
 }

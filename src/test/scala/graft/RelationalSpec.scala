@@ -395,6 +395,48 @@ class RelationalSpec extends AnyFunSuite {
     assert(exp.nonEmpty, "fixture must actually overlap")
   }
 
+  test("twap: day-local lead + day-axis stitch equals the brute-force global lead") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), unix_millis(col("ts")), col("event_id"),
+        round(col("value") * 100).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = rows.groupBy(_._1).toSeq.flatMap { case (t, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3)).toSeq
+      sorted.zip(sorted.drop(1)).map { case ((_, tms, _, cents), (_, nxt, _, _)) =>
+        (t, tms / 86400000L, cents * (nxt - tms), nxt - tms)
+      }
+    }.groupBy(e => (e._1, e._2)).map { case (k, vs) =>
+      k -> ((vs.map(_._3).sum, vs.map(_._4).sum, vs.size.toLong))
+    }
+    val got = RelationalQueries.twap(Tables.events(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == exp, s"diff=${(got.toSet diff exp.toSet).take(3)}")
+    // the fixture must actually exercise cross-day stitching
+    assert(exp.keys.groupBy(_._1).exists(_._2.size > 1), "need multi-day types")
+  }
+
+  test("robustZscore: histogram rank picks equal brute-force median/MAD") {
+    import org.apache.spark.sql.functions._
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def lowerMedian(vs: Seq[Double]): Double = vs.sorted.apply((vs.size + 1) / 2 - 1)
+    val exp = byType.map { case (t, vs) =>
+      val med = lowerMedian(vs)
+      val mad = lowerMedian(vs.map(v => math.abs(v - med)))
+      t -> ((med, mad, vs.size.toLong,
+        vs.count(v => math.abs(v - med) > mad * 3).toLong))
+    }
+    val got = RelationalQueries.robustZscore(Tables.events(spark, sf)).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == exp, s"got=$got exp=$exp")
+    assert(exp.values.exists(_._4 > 0), "fixture must have outliers")
+  }
+
   test("eventTransitions: per-user lead pairs, ties broken by event_id") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.Row

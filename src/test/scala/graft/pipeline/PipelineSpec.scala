@@ -146,6 +146,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(buckets > 4, s"expected >4 distinct buckets, got $buckets")
   }
 
+  test("fuzzyJoin: symmetric-delete blocking equals brute-force Levenshtein ≤ 1") {
+    // substitution, deletion, insertion, transposition (distance 2 — must
+    // NOT pair), equality (collapses in distinct), unrelated
+    val vals = Seq("spark", "spork", "spar", "sparkk", "psark", "spark",
+      "quartz", "quart", "xyz", "xzy", "banana")
+    val d = df(new StructType().add("v", StringType), vals.map(Row(_)))
+    val got = Dedup.fuzzyJoin(d, "v").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val uniq = vals.distinct
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val exp = (for {
+      a <- uniq; b <- uniq
+      if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(got == exp, s"missing=${exp -- got} extra=${got -- exp}")
+    assert(exp.contains(("spark", "spork")) && exp.contains(("spar", "spark")) &&
+      exp.contains(("spark", "sparkk")), "sub/del/ins all present")
+    assert(!exp.contains(("psark", "spark")), "transposition is distance 2")
+  }
+
   test("quality stats and language id on constructed docs") {
     val ds = new StructType().add("doc_id", LongType).add("text", StringType)
     val d = df(ds, Seq(
