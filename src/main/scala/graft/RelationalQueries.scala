@@ -475,6 +475,53 @@ object RelationalQueries {
   def transitionsQuery(s: SparkSession, d: String): DataFrame =
     eventTransitions(events(s, d))
 
+  /** Second-order path mining: 3-step event-type paths per user sequence
+    * (ordered by ts, event_id) — [[eventTransitions]] one step deeper,
+    * where funnels and loops become visible. Two leads over the SAME
+    * user-partitioned window (one sort serves both), then a map-side-
+    * combined aggregate down to ≤ |types|³ rows.
+    */
+  def eventPaths(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("step2", lead(col("event_type"), 1).over(w))
+      .withColumn("step3", lead(col("event_type"), 2).over(w))
+      .filter(col("step3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Contract instance over the events table. */
+  def eventPathsQuery(s: SparkSession, d: String): DataFrame =
+    eventPaths(events(s, d))
+
+  /** Period-over-period deltas: per (event_type, day) the event count
+    * and exact cents volume next to the PREVIOUS day-with-data's values
+    * (absent days don't emit rows, so "previous" is the previous
+    * observed day — gap semantics live in [[gapFill]]). The lag window
+    * runs over the per-day AGGREGATE rows only — bounded by calendar
+    * time per type, never corpus-sized.
+    */
+  def periodOverPeriod(ev: DataFrame): DataFrame = {
+    val daily = ev.select(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("prev_n", coalesce(lag(col("n"), 1).over(w), lit(0L)))
+      .withColumn("prev_cents", coalesce(lag(col("cents"), 1).over(w), lit(0L)))
+      .select(col("event_type"), col("day"), col("n"), col("prev_n"),
+        (col("n") - col("prev_n")).as("delta_n"),
+        col("cents"), col("prev_cents"),
+        (col("cents") - col("prev_cents")).as("delta_cents"))
+  }
+
+  /** Contract instance over the events table. */
+  def periodOverPeriodQuery(s: SparkSession, d: String): DataFrame =
+    periodOverPeriod(events(s, d))
+
   /** OHLC downsampling: per (event_type, hour) the opening/closing value
     * (first/last by the deterministic (ts, event_id) order) plus min/max
     * and count — the time-series resample that turns a raw feed into a

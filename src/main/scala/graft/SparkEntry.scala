@@ -121,6 +121,20 @@ object SparkEntry {
     "fuzzy_join" -> ((s, d) =>
       pipeline.Dedup.fuzzyJoin(Tables.customer(s, d), "c_name")
         .select(col("val_a").as("name_a"), col("val_b").as("name_b"))),
+    // --- 3-step path mining (transitions one step deeper) ---
+    "event_paths" -> RelationalQueries.eventPathsQuery _,
+    // --- period-over-period daily deltas (bounded day-axis lag) ---
+    "period_over_period" -> RelationalQueries.periodOverPeriodQuery _,
+    // --- boolean conjunctive retrieval over the token index ---
+    "keyword_search" -> ((s, d) =>
+      pipeline.Ranking.keywordSearch(Tables.documents(s, d),
+        must = Seq("spark", "join", "vector"), mustNot = Seq("slow"))),
+    // --- entity resolution capstone: SymSpell fuzzy pairs → connected
+    // components → lexicographic-min canonical per cluster (the %10
+    // customer subset keeps the oracle's reachability walk bounded) ---
+    "entity_resolution" -> ((s, d) =>
+      pipeline.Dedup.entityResolution(
+        Tables.customer(s, d).filter(col("c_custkey") % 10 === 0), "c_name")),
     // --- leakage-safe split: whole groups assigned to one split ---
     "group_split" -> ((s, d) =>
       pipeline.TrainingData.groupSplit(Tables.documents(s, d), "source")),
@@ -1472,6 +1486,56 @@ object SparkEntry {
       """WITH n AS (SELECT DISTINCT c_name AS nm FROM customer)
          SELECT a.nm AS name_a, b.nm AS name_b
          FROM n a JOIN n b ON a.nm < b.nm AND levenshtein(a.nm, b.nm) <= 1""",
+    // 3-step paths: two leads over the deterministic per-user order.
+    "event_paths" ->
+      """WITH nx AS (
+           SELECT event_type AS step1,
+                  lead(event_type, 1) OVER w AS step2,
+                  lead(event_type, 2) OVER w AS step3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT step1, step2, step3, count(*)::BIGINT AS n
+         FROM nx WHERE step3 IS NOT NULL GROUP BY 1, 2, 3""",
+    // Period-over-period: lag over observed days only; exact cents.
+    "period_over_period" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_ns(ts) // 1000000 // 86400000 AS day,
+                  count(*)::BIGINT AS n,
+                  sum(round(value * 100)::BIGINT)::BIGINT AS cents
+           FROM events GROUP BY 1, 2),
+         l AS (
+           SELECT *, coalesce(lag(n) OVER w, 0)::BIGINT AS prev_n,
+                  coalesce(lag(cents) OVER w, 0)::BIGINT AS prev_cents
+           FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+         SELECT event_type, day, n, prev_n, (n - prev_n)::BIGINT AS delta_n,
+                cents, prev_cents, (cents - prev_cents)::BIGINT AS delta_cents
+         FROM l""",
+    // Conjunctive retrieval: ALL of (spark, join, vector), NONE of slow.
+    "keyword_search" ->
+      """WITH toks AS (
+           SELECT doc_id, source,
+                  list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents)
+         SELECT doc_id, source FROM toks
+         WHERE list_contains(t, 'spark') AND list_contains(t, 'join')
+           AND list_contains(t, 'vector') AND NOT list_contains(t, 'slow')""",
+    // Entity resolution: reachability walk over the DEFINITIONAL
+    // Levenshtein pairs; canonical = min name per component (hash-free
+    // contract — the engine's internal hash ids never surface).
+    "entity_resolution" ->
+      """WITH RECURSIVE n AS (
+           SELECT DISTINCT c_name AS nm FROM customer WHERE c_custkey % 10 = 0),
+         p AS (
+           SELECT a.nm AS na, b.nm AS nb
+           FROM n a JOIN n b ON a.nm < b.nm AND levenshtein(a.nm, b.nm) <= 1),
+         edges AS (SELECT na AS s, nb AS t FROM p UNION ALL SELECT nb, na FROM p),
+         walk(id, lab) AS (
+           SELECT s, s FROM edges
+           UNION
+           SELECT e.s, w.lab FROM edges e JOIN walk w ON w.id = e.t),
+         comp AS (SELECT id, min(lab) AS canon FROM walk GROUP BY id)
+         SELECT n.nm AS name, coalesce(c.canon, n.nm) AS canonical
+         FROM n LEFT JOIN comp c ON n.nm = c.id""",
     // Group split: the split bucket hashes the GROUP value, so groups
     // never straddle splits.
     "group_split" ->

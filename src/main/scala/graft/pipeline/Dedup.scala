@@ -600,4 +600,32 @@ object Dedup {
       .select(col("val_a"), col("val_b")).distinct()
       .filter(levenshtein(col("val_a"), col("val_b")) <= 1)
   }
+
+  /** Entity resolution over a string key column: [[fuzzyJoin]] candidate
+    * pairs resolved into clusters by [[Components.connectedComponents]],
+    * every value mapped to its cluster's LEXICOGRAPHICALLY SMALLEST
+    * member — the canonical-form assignment record linkage ships.
+    * Singletons (nothing within distance 1) are their own canonical.
+    *
+    * The component loop runs on 60-bit portable hashes of the values
+    * (the id-typed machinery), but the CONTRACT is hash-free: canonical
+    * = min name within the cluster, so the oracle's recursive walk over
+    * the definitional Levenshtein pairs lands on identical output. A
+    * 60-bit collision could merge two clusters at ~10^9 distinct values
+    * (birthday bound) — swap in a 128-bit key derivation there.
+    */
+  def entityResolution(df: DataFrame, column: String): DataFrame = {
+    val pairs = fuzzyJoin(df, column)
+    val comp = Components.connectedComponents(
+      pairs.select(
+        graft.functions.PortableHash.hash60(col("val_a")).as("ha"),
+        graft.functions.PortableHash.hash60(col("val_b")).as("hb")),
+      srcCol = "ha", dstCol = "hb")
+    val names = df.select(col(column).cast("string").as("name")).distinct()
+      .withColumn("h", graft.functions.PortableHash.hash60(col("name")))
+    val labeled = names.join(comp, names("h") === comp("doc_id"), "left")
+      .select(col("name"), coalesce(col("cluster_id"), col("h")).as("cid"))
+    val canon = labeled.groupBy(col("cid")).agg(min(col("name")).as("canonical"))
+    labeled.join(canon, Seq("cid")).select(col("name"), col("canonical"))
+  }
 }

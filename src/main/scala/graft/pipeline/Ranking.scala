@@ -73,4 +73,31 @@ object Ranking {
                k1: Double = 1.2, b: Double = 0.75): DataFrame =
     bm25(docs, queryTerms, k1, b)
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+
+  /** Boolean conjunctive retrieval: documents containing ALL of `must`
+    * and NONE of `mustNot` — the filter-side retrieval next to [[bm25]]'s
+    * scoring side. Inverted-index shape: tokens are filtered to the query
+    * terms BEFORE any shuffle (postings of |must|+|mustNot| terms move,
+    * never the corpus posting list); ALL-of is the classic
+    * count-distinct-terms == |must| aggregate; NONE-of is a left-anti
+    * join on the negative postings. Output keeps (doc_id, source) for
+    * downstream mixture accounting.
+    */
+  def keywordSearch(docs: DataFrame, must: Seq[String],
+                    mustNot: Seq[String] = Nil): DataFrame = {
+    require(must.nonEmpty, "keywordSearch: at least one required term")
+    val toks = docs.select(col("doc_id"),
+      explode(Dedup.tokens(col("text"))).as("tok"))
+    val hits = toks.filter(col("tok").isin(must: _*))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("k"))
+      .filter(col("k") === must.size)
+    val out = docs.join(hits, Seq("doc_id"), "left_semi")
+    val neg =
+      if (mustNot.isEmpty) out
+      else out.join(
+        toks.filter(col("tok").isin(mustNot: _*)).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    neg.select(col("doc_id"), col("source"))
+  }
 }

@@ -437,6 +437,40 @@ class RelationalSpec extends AnyFunSuite {
     assert(exp.values.exists(_._4 > 0), "fixture must have outliers")
   }
 
+  test("eventPaths: 3-step paths equal the brute-force sliding window") {
+    import org.apache.spark.sql.functions._
+    val seqs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_millis(col("ts")), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._2, e._3)).map(_._4).toSeq).toMap
+    val exp = seqs.values.toSeq.flatMap(_.sliding(3).filter(_.size == 3).map(s => (s(0), s(1), s(2))))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = RelationalQueries.eventPaths(Tables.events(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(got == exp, s"diff=${(got.toSet diff exp.toSet).take(3)}")
+  }
+
+  test("periodOverPeriod: lag over observed days, first day lags zero") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"),
+        round(col("value") * 100).cast("long").as("cents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(e => (e._1, e._2)).view
+      .mapValues(vs => (vs.size.toLong, vs.map(_._3).sum)).toMap
+    val exp = daily.map { case ((t, d), (n, c)) =>
+      val prevDay = daily.keys.filter(k => k._1 == t && k._2 < d)
+        .map(_._2).maxOption
+      val (pn, pc) = prevDay.map(pd => daily((t, pd))).getOrElse((0L, 0L))
+      (t, d) -> ((n, pn, n - pn, c, pc, c - pc))
+    }
+    val got = RelationalQueries.periodOverPeriod(Tables.events(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    assert(got == exp, s"diff=${(got.toSet diff exp.toSet).take(3)}")
+  }
+
   test("eventTransitions: per-user lead pairs, ties broken by event_id") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.Row

@@ -172,6 +172,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(!exp.contains(("psark", "spark")), "transposition is distance 2")
   }
 
+  test("keywordSearch: ALL-of and NONE-of semantics, repeated terms count once") {
+    val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+      .add("source", StringType)
+    val d = df(schema, Seq(
+      Row(1L, "spark join vector fast", "s0"),      // all three → hit
+      Row(2L, "spark spark join join vector", "s1"), // repeats count once → hit
+      Row(3L, "spark join", "s0"),                  // missing vector → miss
+      Row(4L, "spark join vector slow", "s1"),      // has the stopword → miss
+      Row(5L, "unrelated text", "s0")))
+    val got = Ranking.keywordSearch(d,
+      must = Seq("spark", "join", "vector"), mustNot = Seq("slow"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "s0"), (2L, "s1")), s"got $got")
+  }
+
+  test("entityResolution: transitive fuzzy clusters, lexicographic-min canonical, singletons") {
+    val schema = new StructType().add("name", StringType)
+    // chain: acme ~ acme1 ~ acme12 (transitive through distance-1 hops,
+    // ends are distance 2 apart); bobco alone; cases collapse via distinct
+    val d = df(schema, Seq("acme", "acme1", "acme12", "bobco", "acme").map(Row(_)))
+    val got = Dedup.entityResolution(d, "name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "acme" -> "acme", "acme1" -> "acme", "acme12" -> "acme",
+      "bobco" -> "bobco"), s"got $got")
+  }
+
   test("quality stats and language id on constructed docs") {
     val ds = new StructType().add("doc_id", LongType).add("text", StringType)
     val d = df(ds, Seq(
