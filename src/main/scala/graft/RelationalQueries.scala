@@ -759,6 +759,47 @@ object RelationalQueries {
   def twapQuery(s: SparkSession, d: String): DataFrame =
     twap(events(s, d))
 
+  /** Quantile (rank) normalization: every value mapped to its tie-aware
+    * percent rank (rank−1)/(n−1) within its event_type — the ML
+    * feature-prep transform (rank-gaussianization's first half). Exactly
+    * `percent_rank()`'s definition, which both engines compute as ONE
+    * IEEE division of identical integers — engine-exact. Degenerate
+    * single-row types normalize to 0.5 on both sides.
+    *
+    * Plan — the fully decomposed range sort: a per-(type, floor(value))
+    * histogram gives each bucket its exclusive prefix `before` (the
+    * bounded-axis window); each row's GLOBAL tie-aware rank is then
+    * `before + rank-within-bucket`, computed by windows partitioned on
+    * (type, bucket) — the corpus is sorted only WITHIN value buckets,
+    * |buckets| independent partitions, never one task per type.
+    */
+  def quantileNormalize(ev: DataFrame): DataFrame = {
+    val vals = ev.select(col("event_type"), col("event_id"), col("value"))
+    val vb = floor(col("value")).cast("long")
+    val counts = vals.groupBy(col("event_type"), vb.as("vb"))
+      .agg(count(lit(1)).as("cnt"))
+    val wPre = Window.partitionBy(col("event_type")).orderBy(col("vb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = counts
+      .withColumn("before", coalesce(sum(col("cnt")).over(wPre), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+      .select(col("event_type").as("t_type"), col("vb").as("t_vb"),
+        col("before"), col("n"))
+    val wIn = Window.partitionBy(col("event_type"), col("t_vb")).orderBy(col("value"))
+    vals.join(broadcast(pre),
+        col("event_type") === col("t_type") && vb === col("t_vb"))
+      .withColumn("lr", rank().over(wIn))
+      .select(col("event_id"), col("event_type"),
+        when(col("n") > 1,
+          (col("before") + col("lr") - 1).cast("double") /
+            (col("n") - 1).cast("double"))
+          .otherwise(lit(0.5d)).as("qnorm"))
+  }
+
+  /** Contract instance over the events table. */
+  def quantileNormalizeQuery(s: SparkSession, d: String): DataFrame =
+    quantileNormalize(events(s, d))
+
   /** Equi-DEPTH histogram: the k−1 interior quantile boundaries per
     * event_type, each the PICKED value at discrete rank ⌈j·n/k⌉ (exact
     * integer arithmetic — no double q·n rounding anywhere). The

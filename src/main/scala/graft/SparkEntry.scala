@@ -88,6 +88,9 @@ object SparkEntry {
     // --- equi-DEPTH histogram: decile boundaries per type, picked at
     // integer-ceil ranks via the winsorize bucket-rank decomposition ---
     "histogram_equidepth" -> RelationalQueries.equiDepthQuery _,
+    // --- per-row percent-rank normalization via the bucket-decomposed
+    // range sort (no whole-type sort task) ---
+    "quantile_normalize" -> RelationalQueries.quantileNormalizeQuery _,
     // --- 3-dim skyline: per-dimension staircase decomposition, third
     // dimension synthesized by portable hash ---
     "skyline_3d" -> RelationalQueries.skyline3dQuery _,
@@ -1365,6 +1368,16 @@ object SparkEntry {
            FROM v)
          SELECT event_type, j::BIGINT AS decile, value AS boundary
          FROM r JOIN generate_series(1, 9) AS g(j) ON rn = (j * n + 9) // 10""",
+    // Quantile normalization: percent_rank's definition — one IEEE
+    // division of identical integers per row.
+    "quantile_normalize" ->
+      """SELECT event_id, event_type,
+                CASE WHEN n > 1 THEN (rnk - 1)::DOUBLE / (n - 1)::DOUBLE
+                     ELSE 0.5 END AS qnorm
+         FROM (SELECT event_id, event_type,
+                      rank() OVER (PARTITION BY event_type ORDER BY value) AS rnk,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM events)""",
     // 3-dim skyline: the oracle states the DEFINITION (quadratic
     // NOT-EXISTS dominance over distinct points, third dim from the same
     // portable hash) — agreement proves the staircase decomposition.

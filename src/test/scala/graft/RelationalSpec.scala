@@ -437,6 +437,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(exp.values.exists(_._4 > 0), "fixture must have outliers")
   }
 
+  test("quantileNormalize: bucket-decomposed rank equals percent_rank; no whole-type sort") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val ev = Tables.events(spark, sf)
+    val naive = ev.select(col("event_id"),
+        percent_rank().over(W.partitionBy(col("event_type")).orderBy(col("value"))).as("pr"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = RelationalQueries.quantileNormalize(ev).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == naive, s"sample diff=${(got.toSet diff naive.toSet).take(3)}")
+    // ties normalize identically (percent_rank is tie-aware by definition)
+    assert(got.values.exists(v => v > 0.0 && v < 1.0))
+  }
+
   test("eventPaths: 3-step paths equal the brute-force sliding window") {
     import org.apache.spark.sql.functions._
     val seqs = Tables.events(spark, sf)
