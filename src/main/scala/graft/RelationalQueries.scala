@@ -110,6 +110,95 @@ object RelationalQueries {
            count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q7 family (volume shipping): supplier-nation → customer-nation
+    * trade volume per shipping year. The same dimension table joins twice
+    * under two roles (supplier side and customer side) — both resolve
+    * through broadcasts, so the only shuffle is the final group-by whose
+    * key space is |nations|² · |years|, corpus-independent.
+    */
+  def q7Volume(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val o = orders(s, d)
+    val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val cus = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val n1 = nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = nation(s, d)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(Num.e4SumExact(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q10 family (returned-item reporting): top 20 customers by
+    * revenue lost to returns in a half-year. Revenue stays an integer
+    * e4-units BIGINT so the (revenue desc, custkey) order — and therefore
+    * the LIMIT-20 frontier — is a total order both engines resolve
+    * identically. The global top-20 is a TakeOrdered over per-customer
+    * aggregate rows, never the fact table.
+    */
+  def q10Returns(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+    val l = lineitem(s, d).filter(col("l_returnflag") === "R")
+    val c = customer(s, d)
+    val n = nation(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+        .cast("long")).as("rev_e4"))
+      .orderBy(col("rev_e4").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14 family (promotion effect): monthly promo vs total revenue.
+    * Both sums stay exact integer e4 units — the promo share is a trivial
+    * client-side division we deliberately do NOT emit, keeping the
+    * contract integer-exact. One broadcast of the part dim, one shuffle
+    * of 12 aggregate rows.
+    */
+  def q14Promo(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+    val p = part(s, d).select(col("p_partkey"), col("p_type"))
+    val e4 = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("ym"))
+      .agg(sum(when(col("p_type") === "PROMO", e4).otherwise(0L)).as("promo_e4"),
+           sum(e4).as("total_e4"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  /** Per-group argmax: for each part, the supplier that shipped the
+    * highest total quantity (ties → lowest suppkey). The rank window runs
+    * over (part, supplier) AGGREGATE rows only — the fact table collapses
+    * in the map-side-combined group-by first, so the window's sort input
+    * is bounded by the key-pair space, not the corpus.
+    */
+  def partTopSupplier(s: SparkSession, d: String): DataFrame = {
+    val per = lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty")) // integral values: exact in any order
+    val w = Window.partitionBy(col("l_partkey")).orderBy(col("qty").desc, col("l_suppkey"))
+    per.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("l_partkey"), col("l_suppkey"), col("qty"))
+  }
+
   /** Left-semi / left-anti joins (EXISTS / NOT EXISTS): customers with and
     * without orders. The reference has no outer/semi joins (SURVEY §2.4) —
     * this extends the surface with Spark built-ins.

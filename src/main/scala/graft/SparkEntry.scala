@@ -38,6 +38,14 @@ object SparkEntry {
     "q5_multijoin" -> RelationalQueries.q5MultiJoin _,
     "q6_forecast" -> RelationalQueries.q6Forecast _,
     "q4_priority" -> RelationalQueries.q4PriorityExists _,
+    // --- TPC-H Q7 flavor: nation-pair trade volume, one dim broadcast per
+    // role; Q10 flavor: integer-e4 top-20 returned-revenue customers;
+    // Q14 flavor: monthly promo/total revenue as exact integers ---
+    "q7_volume" -> RelationalQueries.q7Volume _,
+    "q10_returns" -> RelationalQueries.q10Returns _,
+    "q14_promo" -> RelationalQueries.q14Promo _,
+    // --- per-group argmax over pre-aggregated (part, supplier) rows ---
+    "part_top_supplier" -> RelationalQueries.partTopSupplier _,
     "semi_anti_join" -> RelationalQueries.semiAntiJoin _,
     "window_topk" -> RelationalQueries.windowTopk _,
     "window_running" -> RelationalQueries.windowRunning _,
@@ -519,6 +527,59 @@ object SparkEntry {
          JOIN customer c ON o.o_custkey = c.c_custkey
          WHERE c.c_mktsegment = 'BUILDING'
          GROUP BY o.o_orderkey""",
+    // Q7 flavor: nation joins twice under two roles; volume is the shared
+    // e4-exact sum convention.
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                year(l_shipdate)::BIGINT AS l_year,
+                sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT) / 10000.0
+                  AS volume,
+                count(*)::BIGINT AS n_lines
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+         WHERE n1.n_name <> n2.n_name
+           AND l.l_shipdate >= '1995-01-01' AND l.l_shipdate < '1997-01-01'
+         GROUP BY 1, 2, 3""",
+    // Q10 flavor: the LIMIT frontier is deterministic because the order
+    // key (integer e4 revenue, custkey) is a total order.
+    "q10_returns" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+                sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT)::BIGINT
+                  AS rev_e4
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE l.l_returnflag = 'R'
+           AND o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-07-01'
+         GROUP BY 1, 2, 3
+         ORDER BY rev_e4 DESC, c.c_custkey
+         LIMIT 20""",
+    // Q14 flavor: promo and total revenue stay integer e4 — no division.
+    "q14_promo" ->
+      """SELECT (year(l_shipdate) * 100 + month(l_shipdate))::BIGINT AS ym,
+                sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT
+                         ELSE 0 END)::BIGINT AS promo_e4,
+                sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT)::BIGINT
+                  AS total_e4,
+                count(*)::BIGINT AS n_lines
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE l.l_shipdate >= '1995-01-01' AND l.l_shipdate < '1996-01-01'
+         GROUP BY 1""",
+    // Per-part argmax supplier: rank over aggregate rows; integral
+    // quantities make the double sum exact in any order.
+    "part_top_supplier" ->
+      """WITH per AS (
+           SELECT l_partkey, l_suppkey, sum(l_quantity)::BIGINT AS qty
+           FROM lineitem GROUP BY 1, 2),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY l_partkey
+                                        ORDER BY qty DESC, l_suppkey) AS rk
+           FROM per)
+         SELECT l_partkey, l_suppkey, qty FROM r WHERE rk = 1""",
     "q5_multijoin" ->
       """SELECT n.n_name,
                 sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT) / 10000.0 AS revenue,

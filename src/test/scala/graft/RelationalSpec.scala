@@ -502,4 +502,48 @@ class RelationalSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == Map(("a", "b") -> 2L, ("b", "c") -> 1L), s"got $got")
   }
+
+  test("q7Volume: both nation roles broadcast; no same-nation pairs") {
+    val df = RelationalQueries.q7Volume(spark, sf)
+    val p = plan(df)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, s"dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getString(0) != r.getString(1)), "same-nation pair emitted")
+  }
+
+  test("q10Returns: exactly the top-20 frontier by (rev_e4 desc, custkey)") {
+    val rows = RelationalQueries.q10Returns(spark, sf).collect()
+      .map(r => (r.getLong(r.fieldIndex("rev_e4")), r.getLong(r.fieldIndex("c_custkey"))))
+    assert(rows.length <= 20)
+    // returned set must be the minimal elements under (-rev, key) ordering
+    val sorted = rows.sortBy { case (rev, k) => (-rev, k) }
+    assert(rows.toSeq == sorted.toSeq, "result not ordered by the contract's total order")
+  }
+
+  test("q14Promo: promo revenue never exceeds total; 12 months of 1995") {
+    val rows = RelationalQueries.q14Promo(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 12)
+    rows.foreach { r =>
+      val ym = r.getLong(r.fieldIndex("ym"))
+      assert(ym >= 199501L && ym <= 199512L, s"month outside filter: $ym")
+      assert(r.getLong(r.fieldIndex("promo_e4")) <= r.getLong(r.fieldIndex("total_e4")))
+    }
+  }
+
+  test("partTopSupplier: one winner per part; winner's qty is the max; ties → min suppkey") {
+    import org.apache.spark.sql.functions._
+    val per = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = per.groupBy(_._1).map { case (pk, rs) =>
+      val best = rs.minBy { case (_, sk, q) => (-q, sk) }
+      pk -> ((best._2, best._3))
+    }
+    val got = RelationalQueries.partTopSupplier(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect, "argmax disagrees with brute force")
+  }
 }
