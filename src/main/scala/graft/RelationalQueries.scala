@@ -611,6 +611,118 @@ object RelationalQueries {
   def periodOverPeriodQuery(s: SparkSession, d: String): DataFrame =
     periodOverPeriod(events(s, d))
 
+  /** Gaps-and-islands: merge each user's overlapping intervals into
+    * maximal islands. Intervals are VARIABLE length (duration derived
+    * deterministically from the event value), so an early long interval
+    * can span past several later short ones — the running-max-of-end
+    * break test is load-bearing, unlike sessionize's prev-row gap test.
+    * Touching intervals (start == running end) merge (closed-open
+    * adjacency). Both windows share one (user_id, (s_ms, event_id))
+    * sort; islands are per-user sequences — no global state.
+    */
+  def intervalMerge(ev: DataFrame): DataFrame = {
+    // duration = cents × prime mod 1 day: spreads the small value domain
+    // across [1 ms, 1 day] so intervals genuinely overlap (≈⅔ of events
+    // merge at sf0.01) — a plain cents-ms duration is ≤ 10 s and never
+    // overlaps sparse per-user event sequences
+    val base = ev.select(col("user_id"),
+      expr("unix_millis(ts)").as("s_ms"), col("event_id"),
+      (expr("unix_millis(ts)") +
+        pmod(round(col("value") * 100).cast("long") * 104729L, lit(86400000L)) + 1L)
+        .as("e_ms"))
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("s_ms"), col("event_id"))
+    val flagged = base
+      .withColumn("pme", max(col("e_ms")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pme").isNull || col("s_ms") > col("pme"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("brk")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("user_id"), col("island"))
+      .agg(min(col("s_ms")).as("start_ms"), max(col("e_ms")).as("end_ms"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Contract instance over the events table. */
+  def intervalMergeQuery(s: SparkSession, d: String): DataFrame =
+    intervalMerge(events(s, d))
+
+  /** Cumulative distinct active users per observed day: a rolling
+    * COUNT(DISTINCT) made linear by the first-touch identity — the
+    * cumulative distinct count at day d is the number of users whose
+    * FIRST day ≤ d. One per-user min, one per-day count, then the
+    * hierarchical exclusive prefix carry over day-axis rows (bounded by
+    * calendar time) — no unpartitioned window, no per-day re-scan of the
+    * user set, nothing user-cardinality-sized in the cumulative step.
+    */
+  def rollingActives(ev: DataFrame): DataFrame = {
+    val days = ev.select(expr("unix_millis(ts) div 86400000").as("day"))
+    val firstDay = ev.select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("fday"))
+    val newPerDay = firstDay.groupBy(col("fday")).agg(count(lit(1)).as("n_new"))
+    val observed = days.distinct()
+      .join(newPerDay, col("day") === col("fday"), "left")
+      .select(col("day"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val prior = pipeline.TrainingData.exclusivePrefixSum(observed, "day", "n_new", "prior")
+    observed.join(prior, Seq("day"))
+      .select(col("day"), col("n_new"), (col("prior") + col("n_new")).as("cum_actives"))
+  }
+
+  /** Contract instance over the events table. */
+  def rollingActivesQuery(s: SparkSession, d: String): DataFrame =
+    rollingActives(events(s, d))
+
+  /** Last-touch attribution: each purchase credits the user's most recent
+    * STRICTLY PRIOR non-purchase event type ('none' when the purchase is
+    * the user's first event). One per-user window (last-with-ignoreNulls
+    * over the preceding frame), then a map-side-combined aggregate down
+    * to |types|+1 rows — the fact table crosses exactly one shuffle.
+    */
+  def attributionLastTouch(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("att",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("att"), lit("none")).as("att_type"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+  }
+
+  /** Contract instance over the events table. */
+  def attributionQuery(s: SparkSession, d: String): DataFrame =
+    attributionLastTouch(events(s, d))
+
+  /** Referential-integrity audit across the star schema: per FK
+    * relationship, the child rows whose key has no parent (orphans) and
+    * the parent rows no child references (childless). Each relation is an
+    * anti-join collapsing straight into a count — only keys shuffle, and
+    * the dimension sides broadcast; the result is a fixed handful of
+    * audit rows regardless of corpus size.
+    */
+  def refIntegrity(s: SparkSession, d: String): DataFrame = {
+    def one(rel: String, child: DataFrame, ck: String,
+            parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.select(col(ck).as("k"))
+        .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val childless = parent.select(col(pk).as("k"))
+        .join(child.select(col(ck).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_childless"))
+      orphans.crossJoin(childless) // 1×1 rows: a deliberate scalar pairing
+        .select(lit(rel).as("relationship"), col("n_orphans"), col("n_childless"))
+    }
+    one("lineitem->orders", lineitem(s, d), "l_orderkey", orders(s, d), "o_orderkey")
+      .unionByName(one("lineitem->part", lineitem(s, d), "l_partkey", part(s, d), "p_partkey"))
+      .unionByName(
+        one("lineitem->supplier", lineitem(s, d), "l_suppkey", supplier(s, d), "s_suppkey"))
+      .unionByName(
+        one("orders->customer", orders(s, d), "o_custkey", customer(s, d), "c_custkey"))
+      .unionByName(
+        one("customer->nation", customer(s, d), "c_nationkey", nation(s, d), "n_nationkey"))
+  }
+
   /** OHLC downsampling: per (event_type, hour) the opening/closing value
     * (first/last by the deterministic (ts, event_id) order) plus min/max
     * and count — the time-series resample that turns a raw feed into a

@@ -136,6 +136,16 @@ object SparkEntry {
     "event_paths" -> RelationalQueries.eventPathsQuery _,
     // --- period-over-period daily deltas (bounded day-axis lag) ---
     "period_over_period" -> RelationalQueries.periodOverPeriodQuery _,
+    // --- gaps-and-islands merge of variable-length intervals (running
+    // max-of-end break test — not the sessionize prev-row gap) ---
+    "interval_merge" -> RelationalQueries.intervalMergeQuery _,
+    // --- rolling distinct actives via the first-touch identity + the
+    // hierarchical prefix carry (linear, no rolling COUNT DISTINCT) ---
+    "rolling_actives" -> RelationalQueries.rollingActivesQuery _,
+    // --- last-touch attribution of purchases to the prior event type ---
+    "attribution" -> RelationalQueries.attributionQuery _,
+    // --- referential-integrity audit: orphan/childless counts per FK ---
+    "ref_integrity" -> RelationalQueries.refIntegrity _,
     // --- boolean conjunctive retrieval over the token index ---
     "keyword_search" -> ((s, d) =>
       pipeline.Ranking.keywordSearch(Tables.documents(s, d),
@@ -1584,6 +1594,88 @@ object SparkEntry {
          SELECT event_type, day, n, prev_n, (n - prev_n)::BIGINT AS delta_n,
                 cents, prev_cents, (cents - prev_cents)::BIGINT AS delta_cents
          FROM l""",
+    // Gaps-and-islands: the oracle states the same running-max-of-end
+    // break test; durations are integer ms derived from cents (the
+    // double-% dance keeps negative values portable).
+    "interval_merge" ->
+      """WITH b AS (
+           SELECT user_id, epoch_ns(ts) // 1000000 AS s_ms, event_id,
+                  epoch_ns(ts) // 1000000 +
+                    ((round(value * 100)::BIGINT * 104729 % 86400000) + 86400000) % 86400000
+                    + 1 AS e_ms
+           FROM events),
+         f AS (
+           SELECT *, max(e_ms) OVER (PARTITION BY user_id ORDER BY s_ms, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS pme
+           FROM b),
+         g AS (
+           SELECT *, CASE WHEN pme IS NULL OR s_ms > pme THEN 1 ELSE 0 END AS brk
+           FROM f),
+         h AS (
+           SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY s_ms, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                    AS island
+           FROM g)
+         SELECT user_id, island, min(s_ms)::BIGINT AS start_ms,
+                max(e_ms)::BIGINT AS end_ms, count(*)::BIGINT AS n_events
+         FROM h GROUP BY 1, 2""",
+    // Rolling actives: cumulative distinct = count of first-days ≤ d.
+    "rolling_actives" ->
+      """WITH fd AS (
+           SELECT user_id, min(epoch_ns(ts) // 1000000 // 86400000) AS fday
+           FROM events GROUP BY 1),
+         np AS (SELECT fday, count(*)::BIGINT AS n_new FROM fd GROUP BY 1),
+         od AS (SELECT DISTINCT epoch_ns(ts) // 1000000 // 86400000 AS day FROM events)
+         SELECT od.day, coalesce(np.n_new, 0)::BIGINT AS n_new,
+                (SELECT count(*) FROM fd WHERE fd.fday <= od.day)::BIGINT AS cum_actives
+         FROM od LEFT JOIN np ON od.day = np.fday""",
+    // Last-touch attribution: strictly-prior frame, ignore-nulls last.
+    "attribution" ->
+      """WITH w AS (
+           SELECT user_id, ts, event_id, event_type,
+                  round(value * 100)::BIGINT AS cents,
+                  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                             IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS att
+           FROM events)
+         SELECT coalesce(att, 'none') AS att_type, count(*)::BIGINT AS n_purchases,
+                sum(cents)::BIGINT AS cents
+         FROM w WHERE event_type = 'purchase' GROUP BY 1""",
+    // Referential integrity: NOT-EXISTS counts in both directions.
+    "ref_integrity" ->
+      """SELECT 'lineitem->orders' AS relationship,
+                (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+                  AS n_orphans,
+                (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                  (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))::BIGINT
+                  AS n_childless
+         UNION ALL
+         SELECT 'lineitem->part',
+                (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                  (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))::BIGINT,
+                (SELECT count(*) FROM part p WHERE NOT EXISTS
+                  (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey))::BIGINT
+         UNION ALL
+         SELECT 'lineitem->supplier',
+                (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                  (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))::BIGINT,
+                (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+                  (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey))::BIGINT
+         UNION ALL
+         SELECT 'orders->customer',
+                (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT,
+                (SELECT count(*) FROM customer c WHERE NOT EXISTS
+                  (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))::BIGINT
+         UNION ALL
+         SELECT 'customer->nation',
+                (SELECT count(*) FROM customer c WHERE NOT EXISTS
+                  (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))::BIGINT,
+                (SELECT count(*) FROM nation n WHERE NOT EXISTS
+                  (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey))::BIGINT""",
     // Conjunctive retrieval: ALL of (spark, join, vector), NONE of slow.
     "keyword_search" ->
       """WITH toks AS (

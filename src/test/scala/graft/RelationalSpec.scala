@@ -532,6 +532,76 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalMerge: running-max-of-end merges spans a prev-row gap test would split") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val st = new StructType().add("event_id", LongType).add("ts", TimestampType)
+      .add("user_id", LongType).add("value", DoubleType)
+    // durations here = pmod(cents·104729, 1 day)+1. Pick cents so the math
+    // is easy: cents c → dur = (c·104729) % 86400000 + 1.
+    def durFor(c: Long) = java.lang.Math.floorMod(c * 104729L, 86400000L) + 1L
+    // u1: long interval [0, d0) spanning two short ones that do NOT touch
+    // each other — one island only because of the running max; then a
+    // fourth event starting exactly at the running end (touching → merges);
+    // then a fifth far beyond everything (new island).
+    val c0 = 500L; val d0 = durFor(c0) // 52_364_501 ms — spans most of a day
+    val rows = Seq(
+      Row(1L, t(0L), 1L, c0 / 100.0),
+      Row(2L, t(1000L), 1L, 0.01), // dur 104730: ends long before event 3
+      Row(3L, t(2000000L), 1L, 0.01), // gap from event 2, but inside event 1's span
+      Row(4L, t(d0), 1L, 0.01), // starts AT the running end → touches → merges
+      Row(5L, t(d0 + 200000000L), 1L, 0.01)) // beyond: new island
+    val got = RelationalQueries.intervalMerge(TestSpark.df(st, rows))
+      .orderBy(col("island")).collect()
+      .map(r => (r.getLong(r.fieldIndex("n_events")),
+        r.getLong(r.fieldIndex("start_ms")), r.getLong(r.fieldIndex("end_ms"))))
+    assert(got.length == 2, s"expected 2 islands, got ${got.toSeq}")
+    assert(got(0) == ((4L, 0L, d0 + 104730L)), s"island 1 wrong: ${got(0)}")
+    assert(got(1)._1 == 1L)
+  }
+
+  test("rollingActives: cumulative distinct equals the brute-force COUNT DISTINCT per day") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = ev.map(_._2).distinct.sorted
+    val expect = days.map(d => d -> ev.filter(_._2 <= d).map(_._1).distinct.length.toLong).toMap
+    val got = RelationalQueries.rollingActivesQuery(spark, sf).collect()
+      .map(r => r.getLong(r.fieldIndex("day")) -> r.getLong(r.fieldIndex("cum_actives"))).toMap
+    assert(got == expect, "cumulative distinct disagrees with brute force")
+  }
+
+  test("attribution: purchases credit the strictly-prior non-purchase type; first → none") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val st = new StructType().add("event_id", LongType).add("ts", TimestampType)
+      .add("user_id", LongType).add("event_type", StringType).add("value", DoubleType)
+    val ev = TestSpark.df(st, Seq(
+      Row(1L, t(10), 1L, "click", 0.0), Row(2L, t(20), 1L, "purchase", 5.0),
+      Row(3L, t(30), 1L, "view", 0.0), Row(4L, t(40), 1L, "purchase", 7.0),
+      Row(5L, t(5), 2L, "purchase", 3.0), // user 2's first event: none
+      // same-ts tie: event_id 6 (click) precedes event_id 7 (purchase)
+      Row(6L, t(50), 3L, "click", 0.0), Row(7L, t(50), 3L, "purchase", 9.0)))
+    val got = RelationalQueries.attributionLastTouch(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("click" -> ((2L, 1400L)), "view" -> ((1L, 700L)),
+      "none" -> ((1L, 300L))), s"got $got")
+  }
+
+  test("refIntegrity: synthetic star schema is referentially intact on the child side") {
+    val rows = RelationalQueries.refIntegrity(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_orphans")) == 0L,
+        s"unexpected orphans in ${r.getString(0)}")
+    }
+  }
+
   test("partTopSupplier: one winner per part; winner's qty is the max; ties → min suppkey") {
     import org.apache.spark.sql.functions._
     val per = Tables.lineitem(spark, sf)
