@@ -117,6 +117,34 @@ object SparkEntry {
             lit(20011L)).as("dst"))
       sources.GraphLoader.kCore(e, k = 3, rounds = 8)
     }),
+    // --- fixed-round BFS hop levels over the hash-derived graph; oracle
+    // CTE chain generated by the same Scala loop ---
+    "bfs_levels" -> ((s, d) => {
+      val e = pipeline.Dedup.rebalance(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
+        .select(
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tv_"), col("l_orderkey"))),
+            lit(20011L)).as("src"),
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
+            lit(20011L)).as("dst"))
+      sources.GraphLoader.bfsLevels(e, rounds = 6)
+    }),
+    // --- per-edge common-neighbor / degree counts (neighborhood Jaccard
+    // components) via the degree-oriented wedge join ---
+    "neighbor_jaccard" -> ((s, d) => {
+      val e = pipeline.Dedup.rebalance(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
+        .select(
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tv_"), col("l_orderkey"))),
+            lit(20011L)).as("src"),
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
+            lit(20011L)).as("dst"))
+      sources.GraphLoader.neighborJaccard(e)
+    }),
+    // --- per-key reservoir sample via the bounded heap aggregate (k rows
+    // per group cross the shuffle, not the corpus) ---
+    "reservoir_sample" -> ((s, d) =>
+      pipeline.TrainingData.reservoirSample(Tables.events(s, d), "event_type", "event_id", 8)),
     // --- bigram LM commonness: corpus bigram frequencies folded back per
     // doc as exact integers (log-free LM likelihood analog) ---
     "ngram_lm_score" -> ((s, d) =>
@@ -1503,6 +1531,52 @@ object SparkEntry {
            WHERE s <> t),
          ${sources.GraphLoader.kCoreOracleCtes(k = 3, rounds = 8)}
          SELECT v AS vertex, count(*)::BIGINT AS core_deg FROM adj8 GROUP BY v""",
+    // BFS levels: unrolled relaxation rounds generated by the same Scala
+    // loop that drives the engine (bfsOracleCtes anti-drift pattern).
+    "bfs_levels" ->
+      s"""WITH und AS MATERIALIZED (
+           SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+             SELECT ('0x' || substring(md5('tv_' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 20011 AS s,
+                    ('0x' || substring(md5('tw_' || l_partkey::VARCHAR), 1, 15))::BIGINT % 20011 AS t
+             FROM lineitem)
+           WHERE s <> t),
+         ${sources.GraphLoader.bfsOracleCtes(rounds = 6)}
+         SELECT v AS vertex, dist FROM d6""",
+    // Neighborhood Jaccard components: the oracle is the definitional
+    // common-neighbor join over the full adjacency.
+    "neighbor_jaccard" ->
+      """WITH und AS MATERIALIZED (
+           SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+             SELECT ('0x' || substring(md5('tv_' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 20011 AS s,
+                    ('0x' || substring(md5('tw_' || l_partkey::VARCHAR), 1, 15))::BIGINT % 20011 AS t
+             FROM lineitem)
+           WHERE s <> t),
+         adj AS MATERIALIZED (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
+         deg AS (SELECT v, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+         com AS (
+           SELECT e.a, e.b, count(*)::BIGINT AS common
+           FROM und e
+           JOIN adj x ON x.v = e.a
+           JOIN adj y ON y.v = e.b AND y.w = x.w
+           GROUP BY 1, 2)
+         SELECT e.a, e.b, coalesce(c.common, 0)::BIGINT AS common,
+                da.deg AS deg_a, db.deg AS deg_b
+         FROM und e
+         JOIN deg da ON da.v = e.a
+         JOIN deg db ON db.v = e.b
+         LEFT JOIN com c ON c.a = e.a AND c.b = e.b""",
+    // Reservoir sample: bottom-8 by the low-52-bit portable hash
+    // (hex digits 3..15 of md5 = the low 52 of the 60-bit hash60).
+    "reservoir_sample" ->
+      """WITH h AS (
+           SELECT event_type, event_id,
+                  ('0x' || substring(md5('rsv_' || event_id::VARCHAR), 3, 13))::BIGINT AS hv
+           FROM events),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY event_type
+                                        ORDER BY hv, event_id) AS rk
+           FROM h)
+         SELECT event_type, event_id, rk::BIGINT AS rk FROM r WHERE rk <= 8""",
     // Bigram LM score: strict bigrams via list comprehension; corpus
     // frequency fold-back — exact integers, zero-bigram docs kept.
     "ngram_lm_score" ->

@@ -202,6 +202,29 @@ object TrainingData {
       .filter(col("rk") <= quota)
   }
 
+  /** Per-key reservoir sample: k ids per group, uniform by deterministic
+    * hash — [[quotaSample]]'s contract with the SCALE plan: the window
+    * formulation shuffles and sorts every candidate row per group, while
+    * this one folds through the bounded TopKByScore heap aggregate, so
+    * partial heaps combine map-side and only k rows per group ever cross
+    * the shuffle. The heap keeps (score desc, id asc); score is the
+    * NEGATED low-52-bit portable hash — 52 bits so the double cast is
+    * exact and the order equals the oracle's (hash asc, id asc).
+    */
+  def reservoirSample(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, "reservoirSample: k must be positive")
+    import org.apache.spark.sql.graft.bridge
+    val h = pmod(PortableHash.hash60(concat(lit("rsv_"), col(idCol))), lit(1L << 52))
+    val tk = bridge.column(graft.functions.TopKByScore(
+      bridge.expression(struct((-h).cast("double").as("score"),
+        col(idCol).cast("long").as("id"))), k).toAggregateExpression())
+    df.select(col(groupCol), col(idCol))
+      .groupBy(col(groupCol)).agg(tk.as("tk"))
+      .select(col(groupCol), posexplode(col("tk")))
+      .select(col(groupCol), col("col").getField("id").as(idCol),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
   /** Deterministic weighted mixture sampling — the "data mixing" step of a
     * training pipeline: each group (source/domain) is downsampled at its own
     * rate, expressed in parts-per-million. Rates are INTEGERS by design:

@@ -259,6 +259,107 @@ object GraphLoader {
     sb.toString
   }
 
+  /** Fixed-round BFS hop distances from the graph's min-id vertex: `rounds`
+    * full relaxations of `dist(w) = min(dist(w), dist(v)+1)` over the
+    * undirected adjacency — the Pregel shape, one join + one min-aggregate
+    * per round, every shuffle carrying (id, dist) longs. Rounds are FIXED
+    * (no convergence exit) so the unrolled oracle CTE chain
+    * ([[bfsOracleCtes]]) states the identical computation; vertices not
+    * reached within `rounds` hops simply don't emit. The adjacency is
+    * checkpointed once and reused every round; each round's frontier
+    * checkpoint releases the previous (the Components lineage-cut
+    * discipline).
+    */
+  def bfsLevels(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .distinct().filter(col("a") =!= col("b"))
+    val adj = und.select(col("a").as("v"), col("b").as("w"))
+      .unionByName(und.select(col("b").as("v"), col("a").as("w")))
+      .repartition(col("v"))
+      .localCheckpoint(true)
+    var dist = adj.agg(min(col("v")).as("v")).select(col("v"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val proposals = adj.join(dist, Seq("v"))
+        .select(col("w").as("v"), (col("dist") + 1L).as("dist"))
+      val prev = dist
+      dist = dist.unionByName(proposals)
+        .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      prev.unpersist()
+    }
+    adj.unpersist()
+    dist.select(col("v").as("vertex"), col("dist"))
+  }
+
+  /** DuckDB twin of [[bfsLevels]]' loop (the kCoreOracleCtes anti-drift
+    * pattern): CTE text over a caller-supplied `und(a, b)`. The caller
+    * appends `SELECT v AS vertex, dist FROM d<rounds>`. MATERIALIZED is
+    * load-bearing — each round references the previous twice.
+    */
+  def bfsOracleCtes(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """badj AS MATERIALIZED (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
+         d0 AS MATERIALIZED (SELECT min(v) AS v, 0::BIGINT AS dist FROM badj)""")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+         d$i AS MATERIALIZED (SELECT v, min(dist)::BIGINT AS dist FROM (
+           SELECT v, dist FROM d${i - 1}
+           UNION ALL
+           SELECT a.w, x.dist + 1 FROM badj a JOIN d${i - 1} x ON a.v = x.v)
+           GROUP BY v)""")
+    }
+    sb.toString
+  }
+
+  /** Per-edge link prediction: for each undirected edge (a, b), the number
+    * of common neighbors (= triangles through the edge) next to both
+    * endpoint degrees — the integer components of neighborhood Jaccard
+    * (|N∩| = common, |N∪| = deg_a + deg_b − 2 − common), kept as exact
+    * counts so the contract is engine-portable with no division.
+    *
+    * Same O(m^1.5) degree-oriented wedge machinery as [[triangleCount]]
+    * (the power-law cap): each triangle is found once, then fans out to
+    * its three edges — id longs only on every shuffle, no neighborhood
+    * sets materialized per pair.
+    */
+  def neighborJaccard(edges: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = graft.pipeline.InternalCaches.register(edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .distinct().filter(col("a") =!= col("b")).persist(lvl))
+    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val oriented = graft.pipeline.InternalCaches.register(und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b")).otherwise(col("a")).as("v"))
+      .repartition(col("u")) // zero-exchange cached self-join (triangleCount's trick)
+      .persist(lvl))
+    val wedges = oriented.join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+    val tri = wedges.join(und, wedges("v") === und("a") && wedges("w") === und("b"))
+      .select(col("u"), col("v"), col("w"))
+    val perEdge = tri
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .unionByName(
+        tri.select(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")))
+      .unionByName(tri.select(col("v").as("a"), col("w").as("b"))) // v < w canonical already
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    und
+      .join(deg.select(col("id").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .join(perEdge, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("common"), lit(0L)).as("common"),
+        col("deg_a"), col("deg_b"))
+  }
+
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -118,6 +118,26 @@ class TrainingDataSpec extends AnyFunSuite {
     packed.foreach { case (id, (_, start, _, _)) => assert(start == naive(id), s"doc $id") }
   }
 
+  test("reservoirSample: heap aggregate == window formulation; no Window in the plan") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val got = TrainingData.reservoirSample(ev, "event_type", "event_id", 5)
+    // differential twin: the window formulation over the same hash order
+    val h = pmod(graft.functions.PortableHash.hash60(concat(lit("rsv_"), col("event_id"))),
+      lit(1L << 52))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(h, col("event_id"))
+    val twin = ev.select(col("event_type"), col("event_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+    assert(rowSet(got) == rowSet(twin), "heap aggregate disagrees with the window twin")
+    // the scale contract: the plan aggregates (partial heaps), never
+    // window-sorts the corpus
+    val p = got.queryExecution.executedPlan.toString
+    assert(!p.contains("WindowExec") && !p.contains("WindowGroupLimit"),
+      s"reservoir must not plan a window:\n$p")
+    assert(p.contains("topk_by_score"), s"heap aggregate missing from plan:\n$p")
+  }
+
   test("exclusivePrefixSum: hierarchical == naive at every recursion depth") {
     // fan=4, depth=2 over 100 sparse keys → both recursion levels and the
     // bounded base case are exercised (100 → 25 → 7 rows)

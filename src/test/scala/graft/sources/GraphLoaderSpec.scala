@@ -119,4 +119,42 @@ class GraphLoaderSpec extends AnyFunSuite {
     assert(one == Map(2L -> 1L, 3L -> 2L, 4L -> 1L), s"got $one")
     assert(GraphLoader.kCore(d, k = 2, rounds = 8).collect().isEmpty)
   }
+
+  test("bfsLevels: hop distances from the min vertex; round budget truncates the frontier") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // 1-2-3-4-5 path plus shortcut 1-3 (dist(3)=1, dist(4)=2, dist(5)=3);
+    // 7-8 is a separate component — never reached from min vertex 1
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L), (7L, 8L))
+    val st = new StructType().add("src", LongType).add("dst", LongType)
+    val d = df(st, es.map(e => Row(e._1, e._2)))
+    val got = GraphLoader.bfsLevels(d, rounds = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L), s"got $got")
+    // rounds=1: only direct neighbors discovered
+    val one = GraphLoader.bfsLevels(d, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 1L), s"got $one")
+  }
+
+  test("neighborJaccard: common/degree counts equal the brute-force neighborhood sets") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(7)
+    val es = Seq.fill(120)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+    val st = new StructType().add("src", LongType).add("dst", LongType)
+    val d = df(st, es.map(e => Row(e._1, e._2)))
+    val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).distinct
+    val nbrs = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = und.map { case (a, b) =>
+      (a, b) -> (((nbrs(a) & nbrs(b)).size.toLong, nbrs(a).size.toLong, nbrs(b).size.toLong))
+    }.toMap
+    val got = GraphLoader.neighborJaccard(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    graft.pipeline.InternalCaches.release()
+    assert(got == expect, "per-edge counts disagree with brute force")
+  }
 }
