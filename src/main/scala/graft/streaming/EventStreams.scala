@@ -604,6 +604,65 @@ object EventStreams {
       }
   }
 
+  final case class TwapHold(event_type: String, day: Long, start_ms: Long,
+                            cents: Long, dur_ms: Long)
+  /** `buf`: events the watermark has not yet passed; `carryTs`/`carryCents`:
+    * the latest replayed observation — the open hold awaiting its close.
+    */
+  final case class TwapState(buf: List[(Long, Long, Long)],
+                             carryTs: Long, carryCents: Long)
+
+  /** Streaming TWAP holds — the ingest-time twin of
+    * `RelationalQueries.twap`: each replayed event closes the previous
+    * observation's hold, emitting (type, start-day, start, cents, duration).
+    * Summing cents·dur and dur per (type, day) reproduces the batch TWAP
+    * components exactly (the differential spec does precisely that).
+    * Emission is per-hold, not per-day: a day cannot close until the
+    * type's NEXT event arrives — its last hold may start in the day and
+    * end arbitrarily later — so holds are the honest append-mode unit.
+    * The type's final observation never closes, matching the batch
+    * exclusion.
+    *
+    * Same buffered-replay discipline as [[streamingAsOf]]: out-of-order
+    * arrivals wait until the watermark passes their event time, then
+    * replay in (ts, event_id) order; state is the in-flight buffer plus
+    * ONE carried observation. `math.round` equals the batch
+    * `round(value·100)` for the non-negative value domain (the engines
+    * differ only at negative .5 ties).
+    */
+  def streamingTwapHolds(events: Dataset[Event],
+                         watermark: String = "2 hours"): Dataset[TwapHold] = {
+    import events.sparkSession.implicits._
+    def drain(et: String, st: TwapState, wm: Long): (TwapState, List[TwapHold]) = {
+      val (ready, still) = st.buf.partition(_._1 < wm)
+      var (cTs, cC) = (st.carryTs, st.carryCents)
+      val out = List.newBuilder[TwapHold]
+      for ((t, _, cents) <- ready.sorted) {
+        if (cTs != Long.MinValue)
+          out += TwapHold(et, cTs / 86400000L, cTs, cC, t - cTs)
+        cTs = t; cC = cents
+      }
+      (TwapState(still, cTs, cC), out.result())
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[TwapState, TwapHold](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (et: String, rows: Iterator[Event], state: GroupState[TwapState]) =>
+          val prev = state.getOption.getOrElse(TwapState(Nil, Long.MinValue, 0L))
+          var buf = prev.buf
+          for (e <- rows)
+            buf = (e.ts.getTime, e.event_id, math.round(e.value * 100)) :: buf
+          val (next, out) = drain(et, prev.copy(buf = buf), state.getCurrentWatermarkMs())
+          state.update(next)
+          if (next.buf.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(next.buf.map(_._1).min + 1, state.getCurrentWatermarkMs() + 1))
+          out.iterator
+      }
+  }
+
   final case class Attribution(user_id: Long, conv_id: Long, conv_ts: Timestamp,
                                touch_id: Option[Long], touch_ts: Option[Timestamp],
                                lag_ms: Option[Long])

@@ -484,6 +484,46 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingTwapHolds: per-(type, day) hold sums EQUAL the batch twap on real events") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val in = MemoryStream[Event]
+    val q = EventStreams.streamingTwapHolds(in.toDS())
+      .writeStream.format("memory").queryName("twap_diff")
+      .outputMode("append").start()
+    try {
+      // mid-sequence split forces the carry and the buffer across batches
+      val (b1, b2) = evs.splitAt(evs.size / 2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val sentinelMs = evs.map(_.ts.getTime).max + 100L * 3600000
+      in.addData(Event(-1L, new Timestamp(sentinelMs), -7L, "__wm", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(-2L, new Timestamp(sentinelMs + 3600000), -7L, "__wm", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("twap_diff").collect()
+        .filter(_.getString(0) != "__wm")
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+        .groupBy(h => (h._1, h._2))
+        .map { case (k, hs) =>
+          k -> ((hs.map(h => h._3 * h._4).sum, hs.map(_._4).sum, hs.size.toLong))
+        }
+      val batch = graft.RelationalQueries.twap(graft.Tables.events(spark, dir)).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(batch.nonEmpty)
+      assert(streamed == batch, {
+        val keys = (streamed.keySet ++ batch.keySet)
+          .filter(k => streamed.get(k) != batch.get(k))
+        s"diff=${keys.take(5).map(k => (k, streamed.get(k), batch.get(k)))}"
+      })
+    } finally q.stop()
+  }
+
   test("sessionize EQUALS the batch sessionizeBatch on real events") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
