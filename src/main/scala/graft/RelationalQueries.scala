@@ -960,6 +960,38 @@ object RelationalQueries {
   def twapQuery(s: SparkSession, d: String): DataFrame =
     twap(events(s, d))
 
+  /** EWMA (α = ½) over each type's hourly closing values, emitted as the
+    * EXACT integer pair num = Σ_{k=0..15} close_cents_{i−k} · 2^{15−k},
+    * den = Σ 2^{15−k} over the lags that exist — the quotient num/den is
+    * the normalized EWMA, left to the consumer because an engine-exact
+    * contract cannot ship a rounded double. Power-of-two weights over a
+    * trailing-16 frame keep every product and partial sum inside BIGINT
+    * (cents < 2^40 · 2^15 ≪ 2^63). The 16 lags share ONE window sort per
+    * (type) over HOURLY aggregate rows — bounded by calendar time, never
+    * corpus-sized.
+    */
+  def ewmaSmooth(ev: DataFrame): DataFrame = {
+    val base = ev.select(col("event_type"),
+      floor(unix_timestamp(col("ts")) / 3600).cast("long").as("h"),
+      col("ts"), col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+    val wDesc = Window.partitionBy(col("event_type"), col("h"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val hourly = base.withColumn("rd", row_number().over(wDesc))
+      .filter(col("rd") === 1).select(col("event_type"), col("h"), col("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    def lagK(k: Int) = if (k == 0) col("cents") else lag(col("cents"), k).over(w)
+    val num = (0 to 15)
+      .map(k => coalesce(lagK(k) * lit(1L << (15 - k)), lit(0L))).reduce(_ + _)
+    val den = (0 to 15)
+      .map(k => when(lagK(k).isNotNull, lit(1L << (15 - k))).otherwise(lit(0L))).reduce(_ + _)
+    hourly.select(col("event_type"), col("h"), col("cents"),
+      num.as("ewma_num"), den.as("ewma_den"))
+  }
+
+  /** Contract instance over the events table. */
+  def ewmaQuery(s: SparkSession, d: String): DataFrame =
+    ewmaSmooth(events(s, d))
+
   /** Quantile (rank) normalization: every value mapped to its tie-aware
     * percent rank (rank−1)/(n−1) within its event_type — the ML
     * feature-prep transform (rank-gaussianization's first half). Exactly

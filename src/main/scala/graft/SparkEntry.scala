@@ -145,6 +145,30 @@ object SparkEntry {
     // per group cross the shuffle, not the corpus) ---
     "reservoir_sample" -> ((s, d) =>
       pipeline.TrainingData.reservoirSample(Tables.events(s, d), "event_type", "event_id", 8)),
+    // --- weighted shortest paths: Bellman–Ford relaxation rounds over
+    // hash-derived integer weights; generated oracle CTE chain ---
+    "sssp" -> ((s, d) => {
+      val und = pipeline.Dedup.rebalance(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
+        .select(
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tv_"), col("l_orderkey"))),
+            lit(20011L)).as("src"),
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
+            lit(20011L)).as("dst"))
+        .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+        .distinct().filter(col("a") =!= col("b"))
+        .withColumn("wt",
+          pmod(graft.functions.PortableHash.hash60(
+            concat(lit("wt_"), col("a"), lit("_"), col("b"))), lit(9L)) + 1L)
+      sources.GraphLoader.sssp(und, rounds = 8)
+    }),
+    // --- EWMA over hourly closes as exact integer (num, den) pairs ---
+    "ewma_smooth" -> RelationalQueries.ewmaQuery _,
+    // --- collocation mining by integer lift cross-multiplication
+    // (lift 1 = above independence: the synthetic corpus is too uniform
+    // for the default lift-20 bar to select anything) ---
+    "collocations" -> ((s, d) =>
+      pipeline.TextAnalysis.collocations(Tables.documents(s, d), minPair = 3L, liftNum = 1L)),
     // --- bigram LM commonness: corpus bigram frequencies folded back per
     // doc as exact integers (log-free LM likelihood analog) ---
     "ngram_lm_score" -> ((s, d) =>
@@ -1577,6 +1601,62 @@ object SparkEntry {
                                         ORDER BY hv, event_id) AS rk
            FROM h)
          SELECT event_type, event_id, rk::BIGINT AS rk FROM r WHERE rk <= 8""",
+    // SSSP: unrolled Bellman–Ford rounds from the generator; weights are
+    // the portable hash of the canonical edge.
+    "sssp" ->
+      s"""WITH wund AS MATERIALIZED (
+           SELECT a, b,
+                  ('0x' || substring(md5('wt_' || a::VARCHAR || '_' || b::VARCHAR), 1, 15))::BIGINT
+                    % 9 + 1 AS wt
+           FROM (
+             SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+               SELECT ('0x' || substring(md5('tv_' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 20011 AS s,
+                      ('0x' || substring(md5('tw_' || l_partkey::VARCHAR), 1, 15))::BIGINT % 20011 AS t
+               FROM lineitem)
+             WHERE s <> t)),
+         ${sources.GraphLoader.ssspOracleCtes(rounds = 8)}
+         SELECT v AS vertex, dist FROM s8""",
+    // EWMA: the same 16 power-of-two lag terms, generated once in Scala
+    // for both dialects (anti-drift).
+    "ewma_smooth" -> {
+      val num = (1 to 15)
+        .map(k => s"coalesce(lag(cents, $k) OVER w * ${1L << (15 - k)}, 0)").mkString(" + ")
+      val den = (1 to 15)
+        .map(k => s"CASE WHEN lag(cents, $k) OVER w IS NOT NULL THEN ${1L << (15 - k)} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH base AS (
+           SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS h, ts, event_id,
+                  round(value * 100)::BIGINT AS cents
+           FROM events),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY event_type, h
+                                        ORDER BY ts DESC, event_id DESC) AS rd
+           FROM base),
+         hourly AS (SELECT event_type, h, cents FROM r WHERE rd = 1)
+         SELECT event_type, h, cents,
+                (cents * 32768 + $num)::BIGINT AS ewma_num,
+                (32768 + $den)::BIGINT AS ewma_den
+         FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)"""
+    },
+    // Collocations: integer lift inequality — no PMI doubles anywhere.
+    "collocations" ->
+      """WITH toks AS (
+           SELECT list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents),
+         uni AS (
+           SELECT x AS w, count(*)::BIGINT AS c1
+           FROM toks, unnest(t) AS u(x) GROUP BY 1),
+         n AS (SELECT sum(len(t))::BIGINT AS n_tokens FROM toks),
+         bgs AS (
+           SELECT x AS bgstr
+           FROM toks, unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS u(x)),
+         bg AS (
+           SELECT split_part(bgstr, ' ', 1) AS w1, split_part(bgstr, ' ', 2) AS w2,
+                  count(*)::BIGINT AS n_pair
+           FROM bgs GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT bg.w1, bg.w2, bg.n_pair, u1.c1 AS n_w1, u2.c1 AS n_w2, n.n_tokens
+         FROM bg JOIN uni u1 ON u1.w = bg.w1 JOIN uni u2 ON u2.w = bg.w2, n
+         WHERE bg.n_pair * n.n_tokens >= 1 * u1.c1 * u2.c1""",
     // Bigram LM score: strict bigrams via list comprehension; corpus
     // frequency fold-back — exact integers, zero-bigram docs kept.
     "ngram_lm_score" ->

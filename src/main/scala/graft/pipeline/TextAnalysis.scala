@@ -207,6 +207,43 @@ object TextAnalysis {
         coalesce(col("fs"), lit(0L)).as("freq_sum"))
   }
 
+  /** Corpus collocation mining: adjacent token pairs whose co-occurrence
+    * beats `liftNum`× the independence expectation, decided by exact
+    * integer cross-multiplication — `n_pair · n_tokens ≥ liftNum · n_w1 ·
+    * n_w2` — plus a minimum pair count. No logs, no PMI doubles: the
+    * lift inequality IS the contract, so both engines agree bit-for-bit.
+    *
+    * One tokenization pass feeds both count sides (the cached token
+    * frame); the pair count prunes with `minPair` BEFORE the vocabulary
+    * joins, so only already-frequent bigrams join the unigram counts.
+    * The scalar total joins via a bounded 1-row aggregate. At extreme
+    * corpus scale (counts ≥ ~10^6 each) the cross-product would need
+    * 128-bit arithmetic — the structure (two map-side-combined counts +
+    * one pruned join) is the part that scales; widen the compare there.
+    */
+  def collocations(docs: DataFrame, minPair: Long = 5L, liftNum: Long = 20L): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toked = InternalCaches.register(Dedup.rebalance(docs)
+      .select(Dedup.tokens(col("text")).as("t")).persist(lvl))
+    val uni = toked.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val nTok = toked.agg(sum(size(col("t"))).cast("long").as("n_tokens"))
+    val pairs = toked.select(explode(when(size(col("t")) >= 2,
+        zip_with(slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPair)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c1").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c1").as("n_w2")), Seq("w2"))
+      .crossJoin(nTok) // 1-row bounded aggregate: a deliberate scalar fan-in
+      .filter(col("n_pair") * col("n_tokens") >= lit(liftNum) * col("n_w1") * col("n_w2"))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"), col("n_tokens"))
+  }
+
   /** The raw CMS summary of a corpus: (row, bucket, cnt) counter cells,
     * ≤ depth·width rows total. Sketches are MERGEABLE by cellwise count
     * addition — which is exactly the Lara ⊕-union over key (row, bucket)

@@ -314,6 +314,53 @@ object GraphLoader {
     sb.toString
   }
 
+  /** Fixed-round single-source shortest paths (Bellman–Ford relaxation)
+    * over integer-weighted undirected edges — [[bfsLevels]] with a weight
+    * on every relaxation step. `weighted` carries canonical (a, b, wt)
+    * rows; source = min vertex id. Same per-round shape: one join + one
+    * min-aggregate, (id, dist) longs on every shuffle, fixed rounds so
+    * the unrolled oracle ([[ssspOracleCtes]]) states the identical
+    * computation.
+    */
+  def sssp(weighted: DataFrame, rounds: Int): DataFrame = {
+    val adj = weighted.select(col("a").as("v"), col("b").as("w"), col("wt"))
+      .unionByName(weighted.select(col("b").as("v"), col("a").as("w"), col("wt")))
+      .repartition(col("v"))
+      .localCheckpoint(true)
+    var dist = adj.agg(min(col("v")).as("v")).select(col("v"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val proposals = adj.join(dist, Seq("v"))
+        .select(col("w").as("v"), (col("dist") + col("wt")).as("dist"))
+      val prev = dist
+      dist = dist.unionByName(proposals)
+        .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      prev.unpersist()
+    }
+    adj.unpersist()
+    dist.select(col("v").as("vertex"), col("dist"))
+  }
+
+  /** DuckDB twin of [[sssp]]'s loop over a caller-supplied `wund(a, b, wt)`.
+    * The caller appends `SELECT v AS vertex, dist FROM s<rounds>`.
+    */
+  def ssspOracleCtes(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """sadj AS MATERIALIZED (
+           SELECT a AS v, b AS w, wt FROM wund UNION ALL SELECT b, a, wt FROM wund),
+         s0 AS MATERIALIZED (SELECT min(v) AS v, 0::BIGINT AS dist FROM sadj)""")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+         s$i AS MATERIALIZED (SELECT v, min(dist)::BIGINT AS dist FROM (
+           SELECT v, dist FROM s${i - 1}
+           UNION ALL
+           SELECT a.w, x.dist + a.wt FROM sadj a JOIN s${i - 1} x ON a.v = x.v)
+           GROUP BY v)""")
+    }
+    sb.toString
+  }
+
   /** Per-edge link prediction: for each undirected edge (a, b), the number
     * of common neighbors (= triangles through the edge) next to both
     * endpoint degrees — the integer components of neighborhood Jaccard

@@ -593,6 +593,27 @@ class RelationalSpec extends AnyFunSuite {
       "none" -> ((1L, 300L))), s"got $got")
   }
 
+  test("ewmaSmooth: power-of-two lag weights over hourly closes — hand-checked") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val st = new StructType().add("event_id", LongType).add("ts", TimestampType)
+      .add("event_type", StringType).add("value", DoubleType)
+    // hour 0 has TWO events — the close (latest ts, then id) is 2.00;
+    // hours 1 and 2 have one each
+    val ev = TestSpark.df(st, Seq(
+      Row(1L, t(100), "a", 1.0), Row(2L, t(200), "a", 2.0),
+      Row(3L, t(3700), "a", 3.0), Row(4L, t(7300), "a", 5.0)))
+    val got = RelationalQueries.ewmaSmooth(ev).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val w0 = 32768L; val w1 = 16384L; val w2 = 8192L
+    assert(got == Map(
+      0L -> ((200L, 200L * w0, w0)),
+      1L -> ((300L, 300L * w0 + 200L * w1, w0 + w1)),
+      2L -> ((500L, 500L * w0 + 300L * w1 + 200L * w2, w0 + w1 + w2))), s"got $got")
+  }
+
   test("refIntegrity: synthetic star schema is referentially intact on the child side") {
     val rows = RelationalQueries.refIntegrity(spark, sf).collect()
     assert(rows.length == 5)

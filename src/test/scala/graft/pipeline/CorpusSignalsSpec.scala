@@ -108,6 +108,25 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(top2.toSeq == Seq("a", "b"))
   }
 
+  test("collocations: bound pair passes the lift inequality, independent pair fails") {
+    // "x y" always adjacent (3 times); "a b" co-occurs once among many
+    // independent uses of a and b
+    val d = docs(
+      1L -> "x y p a q b r", 2L -> "x y a p b q", 3L -> "x y b a",
+      4L -> "a b c d e f")
+    val got = TextAnalysis.collocations(d, minPair = 2L, liftNum = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    graft.pipeline.InternalCaches.release()
+    // n_tokens = 7+6+4+6 = 23; x,y appear only in "x y": n_pair=3, lift
+    // test 3·23 ≥ 2·3·3 ✓. "a b" adjacent twice (doc2? no — docs 3,4):
+    // a(5)·b(5)·2 = 50 > n_pair·23 — fails for any n_pair ≤ 2.
+    assert(got.contains(("x", "y")), s"bound pair missing: $got")
+    assert(got(("x", "y"))._1 == 3L)
+    assert(!got.keySet.exists(p => p == ("a", "b") || p == ("b", "a")),
+      s"independent pair passed: $got")
+  }
+
   // --- PII redaction ---
 
   test("redactPii scrubs emails, IPs and phones with typed placeholders") {

@@ -137,6 +137,22 @@ class GraphLoaderSpec extends AnyFunSuite {
     assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 1L), s"got $one")
   }
 
+  test("sssp: weighted relaxation prefers the lighter multi-hop path") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // 1→5 direct costs 9; 1→2→3→5 costs 1+1+1 = 3; 1→4 costs 7
+    val st = new StructType().add("a", LongType).add("b", LongType).add("wt", LongType)
+    val d = df(st, Seq(Row(1L, 5L, 9L), Row(1L, 2L, 1L), Row(2L, 3L, 1L),
+      Row(3L, 5L, 1L), Row(1L, 4L, 7L)))
+    val got = GraphLoader.sssp(d, rounds = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 5L -> 3L, 4L -> 7L), s"got $got")
+    // one round only: the direct heavy edge wins before relaxation
+    val one = GraphLoader.sssp(d, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(5L) == 9L && one(2L) == 1L, s"got $one")
+  }
+
   test("neighborJaccard: common/degree counts equal the brute-force neighborhood sets") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
