@@ -183,6 +183,66 @@ object RelationalQueries {
            count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q18 family (large-volume orders): orders whose total line
+    * quantity exceeds the threshold, with their customer. The HAVING side
+    * pre-aggregates the fact table to (orderkey, qty) rows BEFORE any
+    * join — the join inputs are aggregate-sized; customer broadcasts.
+    * Quantities are integral, so the BIGINT sum is exact in any order;
+    * o_totalprice passes through untouched (no arithmetic → no fp drift).
+    */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    val o = orders(s, d)
+    val c = customer(s, d)
+    big.join(o, big("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+  }
+
+  /** Min-max feature normalization per event_type: (v − min)/(max − min)
+    * over PICKED extremes — two IEEE subtractions and one division on
+    * identical doubles, engine-exact with no quantization. Degenerate
+    * single-value types emit 0.5. One bounded stats aggregate broadcast
+    * back over the corpus; zero extra shuffles.
+    */
+  def minmaxNormalize(ev: DataFrame): DataFrame = {
+    val stats = ev.groupBy(col("event_type"))
+      .agg(min(col("value")).as("minv"), max(col("value")).as("maxv"))
+    ev.select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("minv"), col("maxv"),
+        when(col("maxv") > col("minv"),
+          (col("value") - col("minv")) / (col("maxv") - col("minv")))
+          .otherwise(lit(0.5d)).as("mnorm"))
+  }
+
+  /** Contract instance over the events table. */
+  def minmaxQuery(s: SparkSession, d: String): DataFrame =
+    minmaxNormalize(events(s, d))
+
+  /** Deterministic A/B experiment readout: users assigned to arms by the
+    * portable hash (stable across engines, re-runs and joins), then per
+    * (event_type, arm) the EXACT integer moment components — n, Σcents,
+    * Σcents² — from which any two-sample statistic (t, χ², effect size)
+    * is one client-side formula. The contract ships no doubles at all.
+    */
+  def abSplitStats(ev: DataFrame): DataFrame = {
+    val arm = when(pmod(graft.functions.PortableHash.hash60(
+      concat(lit("ab_"), col("user_id"))), lit(2L)) === 0L, "A").otherwise("B")
+    ev.select(col("event_type"), arm.as("arm"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        sum(col("cents") * col("cents")).as("sumsq_cents"))
+  }
+
+  /** Contract instance over the events table. */
+  def abSplitQuery(s: SparkSession, d: String): DataFrame =
+    abSplitStats(events(s, d))
+
   /** Per-group argmax: for each part, the supplier that shipped the
     * highest total quantity (ties → lowest suppkey). The rank window runs
     * over (part, supplier) AGGREGATE rows only — the fact table collapses

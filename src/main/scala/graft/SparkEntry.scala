@@ -46,6 +46,12 @@ object SparkEntry {
     "q14_promo" -> RelationalQueries.q14Promo _,
     // --- per-group argmax over pre-aggregated (part, supplier) rows ---
     "part_top_supplier" -> RelationalQueries.partTopSupplier _,
+    // --- Q18 flavor: HAVING-side pre-aggregation before any join ---
+    "q18_large_orders" -> RelationalQueries.q18LargeOrders _,
+    // --- min-max normalization from picked extremes (engine-exact) ---
+    "minmax_normalize" -> RelationalQueries.minmaxQuery _,
+    // --- hash-armed A/B readout as exact integer moment components ---
+    "ab_split_stats" -> RelationalQueries.abSplitQuery _,
     "semi_anti_join" -> RelationalQueries.semiAntiJoin _,
     "window_topk" -> RelationalQueries.windowTopk _,
     "window_running" -> RelationalQueries.windowRunning _,
@@ -642,6 +648,33 @@ object SparkEntry {
                                         ORDER BY qty DESC, l_suppkey) AS rk
            FROM per)
          SELECT l_partkey, l_suppkey, qty FROM r WHERE rk = 1""",
+    // Q18 flavor: HAVING subquery join; integral quantities sum exact.
+    "q18_large_orders" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice, b.sum_qty
+         FROM (SELECT l_orderkey, sum(l_quantity)::BIGINT AS sum_qty FROM lineitem
+               GROUP BY 1 HAVING sum(l_quantity) > 250) b
+         JOIN orders o ON b.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey""",
+    // Min-max normalization: picked extremes, one IEEE division.
+    "minmax_normalize" ->
+      """WITH s AS (
+           SELECT event_type, min(value) AS minv, max(value) AS maxv
+           FROM events GROUP BY 1)
+         SELECT e.event_id, e.event_type, s.minv, s.maxv,
+                CASE WHEN s.maxv > s.minv THEN (e.value - s.minv) / (s.maxv - s.minv)
+                     ELSE 0.5 END AS mnorm
+         FROM events e JOIN s USING (event_type)""",
+    // A/B readout: hash-armed, exact integer moments only.
+    "ab_split_stats" ->
+      """SELECT event_type,
+                CASE WHEN ('0x' || substring(md5('ab_' || user_id::VARCHAR), 1, 15))::BIGINT
+                          % 2 = 0
+                     THEN 'A' ELSE 'B' END AS arm,
+                count(*)::BIGINT AS n,
+                sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
+                sum(round(value * 100)::BIGINT * round(value * 100)::BIGINT)::BIGINT
+                  AS sumsq_cents
+         FROM events GROUP BY 1, 2""",
     "q5_multijoin" ->
       """SELECT n.n_name,
                 sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT) / 10000.0 AS revenue,

@@ -604,6 +604,52 @@ object EventStreams {
       }
   }
 
+  final case class FirstTouch(user_id: Long, fday: Long)
+  /** `fday`: the candidate (or emitted) first day; `emitted`: tombstone —
+    * the watermark has passed the day, the row is out, later events of
+    * this user must never re-emit. Tombstones are the honest price of
+    * exactly-once first-touch: state is bounded by |users|, not events.
+    */
+  final case class FirstTouchState(fday: Long, emitted: Boolean)
+
+  /** Streaming first-touch: each user's first active day, emitted once the
+    * watermark passes that day's end (no earlier event can still arrive).
+    * The streaming half of `RelationalQueries.rollingActives`' identity —
+    * counting emissions per day downstream reproduces the batch n_new
+    * exactly (differential spec), and a running total of those counts is
+    * the cumulative-distinct-actives curve at ingest time.
+    */
+  def streamingFirstTouch(events: Dataset[Event],
+                          watermark: String = "2 hours"): Dataset[FirstTouch] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FirstTouchState, FirstTouch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[FirstTouchState]) =>
+          val prev = state.getOption.getOrElse(FirstTouchState(Long.MaxValue, emitted = false))
+          if (prev.emitted) {
+            state.update(prev) // tombstone: suppress forever
+            Iterator.empty
+          } else {
+            var f = prev.fday
+            for (e <- rows) f = math.min(f, e.ts.getTime / dayMs)
+            val wm = state.getCurrentWatermarkMs()
+            if (f != Long.MaxValue && wm >= (f + 1) * dayMs) {
+              state.update(FirstTouchState(f, emitted = true))
+              Iterator.single(FirstTouch(uid, f))
+            } else {
+              state.update(FirstTouchState(f, emitted = false))
+              if (f != Long.MaxValue)
+                state.setTimeoutTimestamp(math.max((f + 1) * dayMs, wm + 1))
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   final case class TwapHold(event_type: String, day: Long, start_ms: Long,
                             cents: Long, dur_ms: Long)
   /** `buf`: events the watermark has not yet passed; `carryTs`/`carryCents`:

@@ -593,6 +593,48 @@ class RelationalSpec extends AnyFunSuite {
       "none" -> ((1L, 300L))), s"got $got")
   }
 
+  test("q18LargeOrders: every emitted order's quantity beats the bar; none missed") {
+    import org.apache.spark.sql.functions._
+    val per = Tables.lineitem(spark, sf).groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("q")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = per.filter(_._2 > 250).keySet
+    val got = RelationalQueries.q18LargeOrders(spark, sf).collect()
+      .map(r => r.getLong(r.fieldIndex("o_orderkey"))).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+  }
+
+  test("minmaxNormalize: extremes map to 0/1, interior stays in band, degenerate → 0.5") {
+    import org.apache.spark.sql.functions._
+    val rows = RelationalQueries.minmaxQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(1))
+    byType.foreach { case (_, rs) =>
+      val ms = rs.map(_.getDouble(4))
+      assert(ms.forall(m => m >= 0.0 && m <= 1.0))
+      assert(ms.min == 0.0 && ms.max == 1.0) // real extremes present per type
+    }
+  }
+
+  test("abSplitStats: arms partition each type's events; moments match brute force") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def arm(u: Long): String = {
+      val hex = md.digest(s"ab_$u".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) "A" else "B"
+    }
+    val expect = ev.groupBy(e => (e._1, arm(e._2))).map { case (k, es) =>
+      k -> ((es.size.toLong, es.map(_._3).sum, es.map(e => e._3 * e._3).sum))
+    }
+    val got = RelationalQueries.abSplitQuery(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, "moment components disagree with brute force")
+  }
+
   test("ewmaSmooth: power-of-two lag weights over hourly closes — hand-checked") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.Row

@@ -484,6 +484,39 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingFirstTouch: per-day emission counts EQUAL the batch first-day histogram") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val in = MemoryStream[Event]
+    val q = EventStreams.streamingFirstTouch(in.toDS())
+      .writeStream.format("memory").queryName("ft_diff")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = evs.splitAt(evs.size / 2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val sentinelMs = evs.map(_.ts.getTime).max + 100L * 3600000
+      in.addData(Event(-1L, new Timestamp(sentinelMs), -7L, "__wm", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(-2L, new Timestamp(sentinelMs + 3600000), -7L, "__wm", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ft_diff").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).filter(_._1 >= 0)
+      // exactly-once: one row per user
+      assert(rows.map(_._1).distinct.length == rows.length, "duplicate first-touch emission")
+      val streamed = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val batch = evs.groupBy(_.user_id)
+        .map { case (_, es) => es.map(_.ts.getTime / 86400000L).min }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(streamed == batch, s"diff=${(streamed.keySet ++ batch.keySet)
+        .filter(k => streamed.get(k) != batch.get(k))}")
+    } finally q.stop()
+  }
+
   test("streamingTwapHolds: per-(type, day) hold sums EQUAL the batch twap on real events") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
