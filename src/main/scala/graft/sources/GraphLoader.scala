@@ -399,9 +399,13 @@ object GraphLoader {
         tri.select(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")))
       .unionByName(tri.select(col("v").as("a"), col("w").as("b"))) // v < w canonical already
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    // deg is vertex-sized (bounded by the id domain, tiny next to the edge
+    // list) — broadcast both roles so the corpus-sized edge frame never
+    // shuffles for the degree lookups; only the per-edge common counts
+    // (triangle-bounded) meet it in a shuffle join
     und
-      .join(deg.select(col("id").as("a"), col("deg").as("deg_a")), Seq("a"))
-      .join(deg.select(col("id").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .join(broadcast(deg.select(col("id").as("a"), col("deg").as("deg_a"))), Seq("a"))
+      .join(broadcast(deg.select(col("id").as("b"), col("deg").as("deg_b"))), Seq("b"))
       .join(perEdge, Seq("a", "b"), "left")
       .select(col("a"), col("b"), coalesce(col("common"), lit(0L)).as("common"),
         col("deg_a"), col("deg_b"))
