@@ -1052,6 +1052,58 @@ object RelationalQueries {
   def ewmaQuery(s: SparkSession, d: String): DataFrame =
     ewmaSmooth(events(s, d))
 
+  /** Semi-structured extraction: the JSON `props` payload parsed per row
+    * (`get_json_object` — codegen'd, no UDF), the extracted integer
+    * aggregated per event_type with rows that fail to parse counted, not
+    * dropped. Zero extra shuffles: parse is a per-row projection feeding
+    * a map-side-combined aggregate.
+    */
+  def jsonExtractStats(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_parsed"),
+        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("ndv_k"))
+
+  /** Contract instance over the events table. */
+  def jsonExtractQuery(s: SparkSession, d: String): DataFrame =
+    jsonExtractStats(events(s, d))
+
+  /** Maximum drawdown per (event_type, day): the largest drop from any
+    * earlier (global, cross-day) running peak to a value in the day —
+    * exact cents. Running MAX decomposes hierarchically exactly like the
+    * prefix-sum carry: a day-local running max within (type, day)
+    * partitions plus a day-axis peak carry (max over prior days'
+    * aggregates, bounded by calendar time) — no per-type whole-corpus
+    * window task anywhere.
+    */
+  def maxDrawdown(ev: DataFrame): DataFrame = {
+    val base = ev.select(col("event_type"),
+      unix_millis(col("ts")).as("tms"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("day", expr("tms div 86400000"))
+    val wDay = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("tms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = base.withColumn("local_max", max(col("cents")).over(wDay))
+    val wPrior = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = base.groupBy(col("event_type"), col("day"))
+      .agg(max(col("cents")).as("day_max"))
+      .withColumn("prior_max", max(col("day_max")).over(wPrior))
+      .select(col("event_type"), col("day"), col("prior_max"))
+    local.join(broadcast(carry), Seq("event_type", "day"))
+      .withColumn("run_max", greatest(col("local_max"), coalesce(col("prior_max"), lit(Long.MinValue))))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("run_max") - col("cents")).as("max_drawdown_cents"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Contract instance over the events table. */
+  def maxDrawdownQuery(s: SparkSession, d: String): DataFrame =
+    maxDrawdown(events(s, d))
+
   /** Quantile (rank) normalization: every value mapped to its tie-aware
     * percent rank (rank−1)/(n−1) within its event_type — the ML
     * feature-prep transform (rank-gaussianization's first half). Exactly

@@ -170,6 +170,10 @@ object SparkEntry {
     }),
     // --- EWMA over hourly closes as exact integer (num, den) pairs ---
     "ewma_smooth" -> RelationalQueries.ewmaQuery _,
+    // --- JSON payload extraction feeding exact per-type integer stats ---
+    "json_extract" -> RelationalQueries.jsonExtractQuery _,
+    // --- max drawdown via the hierarchical prefix-MAX carry ---
+    "max_drawdown" -> RelationalQueries.maxDrawdownQuery _,
     // --- collocation mining by integer lift cross-multiplication
     // (lift 1 = above independence: the synthetic corpus is too uniform
     // for the default lift-20 bar to select anything) ---
@@ -1671,6 +1675,31 @@ object SparkEntry {
                 (32768 + $den)::BIGINT AS ewma_den
          FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)"""
     },
+    // JSON extraction: ->> '$.k' is DuckDB's text-extract; both engines
+    // yield NULL (counted, not dropped) on unparsable rows.
+    "json_extract" ->
+      """WITH p AS (
+           SELECT event_type, TRY_CAST(props ->> '$.k' AS BIGINT) AS k FROM events)
+         SELECT event_type, count(*)::BIGINT AS n, count(k)::BIGINT AS n_parsed,
+                sum(k)::BIGINT AS sum_k, min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k,
+                count(DISTINCT k)::BIGINT AS ndv_k
+         FROM p GROUP BY 1""",
+    // Max drawdown: the oracle states the GLOBAL running max the
+    // engine's day-local + carry decomposition must reproduce.
+    "max_drawdown" ->
+      """WITH b AS (
+           SELECT event_type, epoch_ns(ts) // 1000000 AS tms, event_id,
+                  round(value * 100)::BIGINT AS cents
+           FROM events),
+         r AS (
+           SELECT *, tms // 86400000 AS day,
+                  max(cents) OVER (PARTITION BY event_type ORDER BY tms, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS run_max
+           FROM b)
+         SELECT event_type, day, max(run_max - cents)::BIGINT AS max_drawdown_cents,
+                count(*)::BIGINT AS n
+         FROM r GROUP BY 1, 2""",
     // Collocations: integer lift inequality — no PMI doubles anywhere.
     "collocations" ->
       """WITH toks AS (

@@ -656,6 +656,41 @@ class RelationalSpec extends AnyFunSuite {
       2L -> ((500L, 500L * w0 + 300L * w1 + 200L * w2, w0 + w1 + w2))), s"got $got")
   }
 
+  test("maxDrawdown: day-local max + prior-day carry equals the global running peak") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val st = new StructType().add("event_id", LongType).add("ts", TimestampType)
+      .add("event_type", StringType).add("value", DoubleType)
+    val day = 86400000L
+    // day 0 peaks at 9.00; day 1 never exceeds it — its drawdowns must
+    // measure against the CARRIED day-0 peak, not the local one
+    val ev = TestSpark.df(st, Seq(
+      Row(1L, t(0L), "a", 5.0), Row(2L, t(1000L), "a", 9.0), Row(3L, t(2000L), "a", 7.0),
+      Row(4L, t(day), "a", 4.0), Row(5L, t(day + 1000L), "a", 6.0)))
+    val got = RelationalQueries.maxDrawdown(ev).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // day 0: peak path 500,900,900 vs values 500,900,700 → max dd 200
+    // day 1: carried peak 900 vs 400, 600 → max dd 500
+    assert(got == Map(0L -> ((200L, 3L)), 1L -> ((500L, 2L))), s"got $got")
+  }
+
+  test("jsonExtract: malformed and missing-key payloads count as rows, not parses") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val st = new StructType().add("event_type", StringType).add("props", StringType)
+    val ev = TestSpark.df(st, Seq(
+      Row("a", """{"k": 3}"""), Row("a", """{"k": 7}"""),
+      Row("a", "not json"), Row("a", """{"other": 1}"""), Row("a", null)))
+    val r = RelationalQueries.jsonExtractStats(ev).collect().head
+    assert(r.getLong(r.fieldIndex("n")) == 5L)
+    assert(r.getLong(r.fieldIndex("n_parsed")) == 2L)
+    assert(r.getLong(r.fieldIndex("sum_k")) == 10L)
+    assert(r.getLong(r.fieldIndex("ndv_k")) == 2L)
+  }
+
   test("refIntegrity: synthetic star schema is referentially intact on the child side") {
     val rows = RelationalQueries.refIntegrity(spark, sf).collect()
     assert(rows.length == 5)
