@@ -1617,4 +1617,116 @@ object RelationalQueries {
   /** Contract instance of [[histogram]]: 32 bins over l_extendedprice cents. */
   def histogramStats(s: SparkSession, d: String): DataFrame =
     histogram(lineitem(s, d), round(col("l_extendedprice") * 100), 32)
+
+  /** TPC-H Q13 family (customer distribution): order count per customer
+    * through a CONDITIONAL left join (the predicate lives on the join, not
+    * a pre-filter — customers whose only orders are urgent must still count
+    * as zero), then the distribution of those counts. The left join and the
+    * per-customer aggregate share `c_custkey`, so AQE plans one shuffle for
+    * both; the second aggregate reduces to ≤ a few dozen count-of-count
+    * groups — map-side combined to nothing.
+    */
+  def q13CustDist(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_custkey"))
+    val o = orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q22 family (untapped rich customers): customers with an
+    * above-average positive balance and no URGENT orders, aggregated per
+    * nation. (Classic Q22 tests "no orders at all", which is vacuously
+    * empty on this synthetic data — every customer has orders — so the
+    * anti-join predicate moves to the priority slice to keep the contract
+    * non-trivial.) The global average is never materialized as a double:
+    * "above average" is the exact integer cross-multiplication
+    * `bal_cents · n_pos > sum_cents` against a broadcast 1-row statistics
+    * frame — the scalar-subquery idiom with zero fp drift. The no-urgent-
+    * orders test is a left-anti join on the filtered order fact.
+    */
+  def q22Inactive(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      .filter(col("bal_cents") > 0)
+    val stats = c.agg(sum(col("bal_cents")).as("sum_cents"), count(lit(1)).as("n_pos"))
+    val o = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(stats))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_cents"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("bal_cents")).as("total_bal_cents"))
+  }
+
+  /** Market-basket association rules over brand co-occurrence: every
+    * POSITIVELY ASSOCIATED brand pair (lift > 1) with the exact integer
+    * components of confidence and lift — (sup_ab, sup_a, sup_b,
+    * n_baskets). The ratios themselves are deliberately NOT emitted:
+    * confidence(a→b) = sup_ab/sup_a and lift = sup_ab·n/(sup_a·sup_b) are
+    * client-side divisions of these integers, keeping the contract
+    * fp-free (the q14_promo discipline). The lift test is the exact
+    * cross-multiplication `sup_ab · n_baskets > sup_a · sup_b` — a plain
+    * minimum-support cut cannot discriminate on this data (brand
+    * co-occurrence is near-uniform: every pair clears 1%, none clears
+    * 5%), while lift splits actual positive association from noise.
+    *
+    * Scale: pair generation is the bounded per-basket self-join of
+    * [[basketPairs]] (distinct brands per order ⇒ fan-out capped by
+    * basket width, never corpus²); the brand-support and basket-count
+    * sides are tiny aggregates broadcast back onto ≤ |brands|² pair rows.
+    */
+  def assocRules(s: SparkSession, d: String): DataFrame = {
+    val ob = lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey"))
+      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("o"), col("p_brand").as("b")).distinct()
+    val sup = ob.groupBy(col("b")).agg(count(lit(1)).as("sup"))
+    val nB = ob.select(col("o")).distinct().agg(count(lit(1)).as("n_baskets"))
+    ob.select(col("o"), col("b").as("brand_a"))
+      .join(ob.select(col("o"), col("b").as("brand_b")), Seq("o"))
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .crossJoin(broadcast(nB))
+      .join(broadcast(sup.select(col("b").as("brand_a"), col("sup").as("sup_a"))), Seq("brand_a"))
+      .join(broadcast(sup.select(col("b").as("brand_b"), col("sup").as("sup_b"))), Seq("brand_b"))
+      .filter(col("sup_ab") * col("n_baskets") > col("sup_a") * col("sup_b"))
+      .select(col("brand_a"), col("brand_b"), col("sup_ab"),
+        col("sup_a"), col("sup_b"), col("n_baskets"))
+  }
+
+  /** CUSUM changepoint detection over per-type hourly event counts: the
+    * hour where the cumulative count deviates most from a uniform spread
+    * of the series total. The statistic is pure BIGINT cross-multiplication
+    * — `|n·prefix_i − i·total|` (the scaled form of `prefix_i − i·total/n`)
+    * — so both engines agree bit-for-bit; ties resolve to the earliest
+    * hour via the engine-portable max-then-join-back argmax idiom.
+    *
+    * Scale: the raw stream collapses to per-(type, hour) counts map-side
+    * before any shuffle; the running window partitions by type (never
+    * unpartitioned); per-type totals are a broadcastable aggregate of the
+    * same tiny frame. Nothing event-sized crosses the wire twice.
+    */
+  def cusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    val cum = events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("hr"),
+        sum(col("cnt")).over(w).as("prefix"),
+        row_number().over(w).cast("long").as("i"))
+    // prefix is nondecreasing per type, so max(prefix) IS the series total
+    val tot = cum.groupBy(col("event_type"))
+      .agg(max(col("prefix")).as("total"), max(col("i")).as("n"))
+    val st = cum.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("hr"),
+        abs(col("n") * col("prefix") - col("i") * col("total")).as("stat"))
+    val mx = st.groupBy(col("event_type")).agg(max(col("stat")).as("mstat"))
+    st.join(broadcast(mx), Seq("event_type"))
+      .filter(col("stat") === col("mstat"))
+      .groupBy(col("event_type"), col("mstat")).agg(min(col("hr")).as("cp_hour"))
+      .select(col("event_type"), col("cp_hour"), col("mstat").as("stat"))
+  }
 }

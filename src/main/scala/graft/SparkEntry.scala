@@ -147,6 +147,54 @@ object SparkEntry {
             lit(20011L)).as("dst"))
       sources.GraphLoader.neighborJaccard(e)
     }),
+    // --- frequency-vote label propagation (community detection) over the
+    // hash-derived graph; fixed synchronous rounds, min-label ties; oracle
+    // CTE chain generated by the same Scala loop ---
+    "label_propagation" -> ((s, d) => {
+      val e = pipeline.Dedup.rebalance(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
+        .select(
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tv_"), col("l_orderkey"))),
+            lit(20011L)).as("src"),
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
+            lit(20011L)).as("dst"))
+      sources.GraphLoader.labelPropagation(e, rounds = 4)
+    }),
+    // --- within-radius spatial self-join via grid-cell decomposition over
+    // hash-derived integer coordinates; exact BIGINT squared distances;
+    // oracle is the definitional quadratic join on the same subset ---
+    "geo_join" -> ((s, d) => {
+      val pts = Tables.events(s, d)
+        .filter(pmod(graft.functions.PortableHash.hash60(
+          concat(lit("gp_"), col("event_id"))), lit(37L)) === 0L)
+        .select(col("event_id").as("id"),
+          pmod(graft.functions.PortableHash.hash60(concat(lit("gx_"), col("event_id"))),
+            lit(1000000L)).as("x"),
+          pmod(graft.functions.PortableHash.hash60(concat(lit("gy_"), col("event_id"))),
+            lit(1000000L)).as("y"))
+      operators.SpatialJoin.gridDistanceJoin(pts, 25000L)
+    }),
+    // --- community quality readout composed on label_propagation: size /
+    // internal edges / degree sum / integer-scaled modularity term ---
+    "community_stats" -> ((s, d) => {
+      val e = pipeline.Dedup.rebalance(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
+        .select(
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tv_"), col("l_orderkey"))),
+            lit(20011L)).as("src"),
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
+            lit(20011L)).as("dst"))
+      sources.GraphLoader.communityStats(e, rounds = 4)
+    }),
+    // --- association rules: integer confidence/lift components at ≥5%
+    // cross-multiplied support ---
+    "assoc_rules" -> RelationalQueries.assocRules _,
+    // --- TPC-H Q13 flavor: conditional left join + count-of-counts ---
+    "q13_custdist" -> RelationalQueries.q13CustDist _,
+    // --- TPC-H Q22 flavor: integer-exact above-average filter + anti join ---
+    "q22_inactive" -> RelationalQueries.q22Inactive _,
+    // --- CUSUM changepoint per event type, BIGINT cross-multiplied stat ---
+    "cusum_changepoint" -> RelationalQueries.cusumChangepoint _,
     // --- per-key reservoir sample via the bounded heap aggregate (k rows
     // per group cross the shuffle, not the corpus) ---
     "reservoir_sample" -> ((s, d) =>
@@ -1592,6 +1640,109 @@ object SparkEntry {
            WHERE s <> t),
          ${sources.GraphLoader.kCoreOracleCtes(k = 3, rounds = 8)}
          SELECT v AS vertex, count(*)::BIGINT AS core_deg FROM adj8 GROUP BY v""",
+    // Label propagation: unrolled frequency-vote rounds generated by the
+    // same Scala loop that drives the engine (anti-drift pattern); the
+    // argmax is the portable max-then-join-back idiom on both sides.
+    "label_propagation" ->
+      s"""WITH und AS MATERIALIZED (
+           SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+             SELECT ('0x' || substring(md5('tv_' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 20011 AS s,
+                    ('0x' || substring(md5('tw_' || l_partkey::VARCHAR), 1, 15))::BIGINT % 20011 AS t
+             FROM lineitem)
+           WHERE s <> t),
+         ${sources.GraphLoader.lpaOracleCtes(rounds = 4)}
+         SELECT v AS vertex, lbl AS label FROM l4""",
+    // Spatial within-radius join: the oracle is the DEFINITIONAL quadratic
+    // inequality join over the same hash-derived point subset — proving the
+    // grid decomposition loses no pair and invents none.
+    "geo_join" ->
+      """WITH pts AS MATERIALIZED (
+           SELECT event_id AS id,
+                  ('0x' || substring(md5('gx_' || event_id::VARCHAR), 1, 15))::BIGINT % 1000000 AS x,
+                  ('0x' || substring(md5('gy_' || event_id::VARCHAR), 1, 15))::BIGINT % 1000000 AS y
+           FROM events
+           WHERE ('0x' || substring(md5('gp_' || event_id::VARCHAR), 1, 15))::BIGINT % 37 = 0)
+         SELECT a.id AS a_id, b.id AS b_id,
+                ((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))::BIGINT AS dist2
+         FROM pts a JOIN pts b ON a.id < b.id
+         WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625000000""",
+    // Community stats: LPA label CTE chain (same generated loop) + exact
+    // integer modularity decomposition 4·m·e_c − d_c².
+    "community_stats" ->
+      s"""WITH und AS MATERIALIZED (
+           SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+             SELECT ('0x' || substring(md5('tv_' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 20011 AS s,
+                    ('0x' || substring(md5('tw_' || l_partkey::VARCHAR), 1, 15))::BIGINT % 20011 AS t
+             FROM lineitem)
+           WHERE s <> t),
+         ${sources.GraphLoader.lpaOracleCtes(rounds = 4)},
+         mm AS (SELECT count(*)::BIGINT AS m FROM und),
+         ie AS (SELECT x.lbl AS label, count(*)::BIGINT AS internal_edges
+                FROM und e JOIN l4 x ON e.a = x.v JOIN l4 y ON e.b = y.v AND x.lbl = y.lbl
+                GROUP BY 1),
+         dg AS (SELECT v, count(*)::BIGINT AS d
+                FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+                GROUP BY 1),
+         pc AS (SELECT x.lbl AS label, count(*)::BIGINT AS size, sum(d.d)::BIGINT AS degree_sum
+                FROM l4 x JOIN dg d ON x.v = d.v GROUP BY 1)
+         SELECT pc.label, pc.size,
+                coalesce(ie.internal_edges, 0)::BIGINT AS internal_edges,
+                pc.degree_sum,
+                (4 * mm.m * coalesce(ie.internal_edges, 0) - pc.degree_sum * pc.degree_sum)::BIGINT AS mod_term
+         FROM pc LEFT JOIN ie ON pc.label = ie.label CROSS JOIN mm""",
+    // Association rules: integer confidence/lift components; the oracle is
+    // the definitional per-basket pair join with the same lift>1
+    // cross-multiplication.
+    "assoc_rules" ->
+      """WITH ob AS MATERIALIZED (
+           SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         sup AS (SELECT b, count(*)::BIGINT AS sup FROM ob GROUP BY 1),
+         nb AS (SELECT count(DISTINCT o)::BIGINT AS n_baskets FROM ob),
+         pr AS (SELECT a.b AS brand_a, b2.b AS brand_b, count(*)::BIGINT AS sup_ab
+                FROM ob a JOIN ob b2 ON a.o = b2.o AND a.b < b2.b GROUP BY 1, 2)
+         SELECT pr.brand_a, pr.brand_b, pr.sup_ab, sa.sup AS sup_a, sb.sup AS sup_b, nb.n_baskets
+         FROM pr JOIN sup sa ON pr.brand_a = sa.b
+                 JOIN sup sb ON pr.brand_b = sb.b
+                 CROSS JOIN nb
+         WHERE pr.sup_ab * nb.n_baskets > sa.sup * sb.sup""",
+    "q13_custdist" ->
+      """SELECT c_count, count(*)::BIGINT AS custdist FROM (
+           SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+           FROM customer c LEFT JOIN orders o
+             ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+           GROUP BY 1)
+         GROUP BY 1""",
+    // Q22 flavor: "above average" as exact integer cross-multiplication —
+    // no double average materialized on either engine.
+    "q22_inactive" ->
+      """WITH c AS (
+           SELECT c_custkey, c_nationkey, round(c_acctbal * 100)::BIGINT AS bal_cents
+           FROM customer WHERE round(c_acctbal * 100) > 0),
+         stats AS (SELECT sum(bal_cents)::BIGINT AS sum_cents, count(*)::BIGINT AS n_pos FROM c)
+         SELECT c_nationkey, count(*)::BIGINT AS n_cust, sum(bal_cents)::BIGINT AS total_bal_cents
+         FROM c, stats
+         WHERE bal_cents * n_pos > sum_cents
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+         GROUP BY 1""",
+    "cusum_changepoint" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS hr, count(*)::BIGINT AS cnt
+           FROM events GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, hr,
+                  sum(cnt) OVER (PARTITION BY event_type ORDER BY hr)::BIGINT AS prefix,
+                  row_number() OVER (PARTITION BY event_type ORDER BY hr)::BIGINT AS i
+           FROM hourly),
+         tot AS (SELECT event_type, max(prefix)::BIGINT AS total, max(i)::BIGINT AS n
+                 FROM cum GROUP BY 1),
+         st AS (SELECT c.event_type, c.hr, abs(t.n * c.prefix - c.i * t.total)::BIGINT AS stat
+                FROM cum c JOIN tot t ON c.event_type = t.event_type),
+         mx AS (SELECT event_type, max(stat)::BIGINT AS mstat FROM st GROUP BY 1)
+         SELECT s.event_type, min(s.hr) AS cp_hour, m.mstat AS stat
+         FROM st s JOIN mx m ON s.event_type = m.event_type AND s.stat = m.mstat
+         GROUP BY s.event_type, m.mstat""",
     // BFS levels: unrolled relaxation rounds generated by the same Scala
     // loop that drives the engine (bfsOracleCtes anti-drift pattern).
     "bfs_levels" ->

@@ -361,6 +361,113 @@ object GraphLoader {
     sb.toString
   }
 
+  /** Fixed-round synchronous label propagation (community detection):
+    * label(v) starts as v; each round, every vertex adopts the label with
+    * the HIGHEST FREQUENCY among its neighbors' previous-round labels,
+    * ties broken by minimum label — fully deterministic, unlike classic
+    * asynchronous LPA, so the unrolled oracle CTE chain
+    * ([[lpaOracleCtes]]) states the identical computation. Distinct from
+    * [[graft.pipeline.Components]]: min-label propagation converges to
+    * connected components; frequency-vote propagation finds dense
+    * sub-communities within them.
+    *
+    * Per-round shape: one equi-join (edges × labels) + two hash
+    * aggregates (frequency count, then max-tie-resolve via join-back —
+    * the engine-portable argmax idiom, no argmax/struct-ordering
+    * dependence). Every shuffle carries (id, label, count) longs; the
+    * adjacency is checkpointed once and reused; each round's label
+    * checkpoint releases the previous (the Components lineage-cut
+    * discipline). At 1000 executors this is rounds × (one edge-sized
+    * shuffle) — the Pregel floor for any vertex program.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .distinct().filter(col("a") =!= col("b"))
+    val adj = und.select(col("a").as("v"), col("b").as("w"))
+      .unionByName(und.select(col("b").as("v"), col("a").as("w")))
+      .repartition(col("w")) // join key below is w (the neighbor being read)
+      .localCheckpoint(true)
+    var labels = adj.select(col("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val freq = adj.join(labels.withColumnRenamed("v", "w"), Seq("w"))
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+      val best = freq.groupBy(col("v")).agg(max(col("c")).as("mc"))
+      val prev = labels
+      labels = freq.join(best, Seq("v"))
+        .filter(col("c") === col("mc"))
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      prev.unpersist()
+    }
+    adj.unpersist()
+    labels.select(col("v").as("vertex"), col("lbl").as("label"))
+  }
+
+  /** DuckDB twin of [[labelPropagation]]'s loop (the kCoreOracleCtes
+    * anti-drift pattern): CTE text over a caller-supplied `und(a, b)`.
+    * The caller appends `SELECT v AS vertex, lbl AS label FROM l<rounds>`.
+    * MATERIALIZED is load-bearing — each round references the previous
+    * frequency CTE twice and the label CTE once.
+    */
+  def lpaOracleCtes(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """ladj AS MATERIALIZED (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
+         l0 AS MATERIALIZED (SELECT DISTINCT v, v AS lbl FROM ladj)""")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+         f$i AS MATERIALIZED (SELECT a.v, x.lbl, count(*)::BIGINT AS c
+             FROM ladj a JOIN l${i - 1} x ON a.w = x.v GROUP BY 1, 2),
+         m$i AS MATERIALIZED (SELECT v, max(c) AS mc FROM f$i GROUP BY 1),
+         l$i AS MATERIALIZED (SELECT f.v, min(f.lbl) AS lbl FROM f$i f
+             JOIN m$i m ON f.v = m.v AND f.c = m.mc GROUP BY 1)""")
+    }
+    sb.toString
+  }
+
+  /** Community quality readout over [[labelPropagation]]'s labels: per
+    * community, its size, internal edge count, degree sum, and the
+    * modularity contribution in EXACT integer form. Classic modularity is
+    * Q = Σ_c (e_c/m − (d_c/2m)²) — a double; scaling by 4m² gives
+    * `mod_term = 4·m·e_c − d_c²` per community with Σ mod_term = 4m²·Q,
+    * so the contract stays BIGINT-exact on both engines (the
+    * pageRankPortable integer-mass trick applied to modularity).
+    *
+    * Scale: labels join the edge list twice (id/label longs only); the
+    * per-community aggregates are map-side combined to ≤ |communities|
+    * rows; m arrives as a broadcast 1-row aggregate, never a driver
+    * collect.
+    */
+  def communityStats(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .distinct().filter(col("a") =!= col("b"))
+    val lab = labelPropagation(edges, rounds)
+      .select(col("vertex").as("v"), col("label").as("lbl"))
+    val mDf = und.agg(count(lit(1)).as("m"))
+    val internal = und
+      .join(lab.select(col("v").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(lab.select(col("v").as("b"), col("lbl").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("internal_edges"))
+    val deg = und.select(col("a").as("v")).unionByName(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val perComm = lab.join(deg, Seq("v"))
+      .groupBy(col("lbl").as("label"))
+      .agg(count(lit(1)).as("size"), sum(col("d")).as("degree_sum"))
+    perComm.join(internal, Seq("label"), "left")
+      .crossJoin(broadcast(mDf))
+      .select(col("label"), col("size"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"),
+        (lit(4L) * col("m") * coalesce(col("internal_edges"), lit(0L))
+          - col("degree_sum") * col("degree_sum")).as("mod_term"))
+  }
+
   /** Per-edge link prediction: for each undirected edge (a, b), the number
     * of common neighbors (= triangles through the edge) next to both
     * endpoint degrees — the integer components of neighborhood Jaccard

@@ -153,6 +153,48 @@ class GraphLoaderSpec extends AnyFunSuite {
     assert(one(5L) == 9L && one(2L) == 1L, s"got $one")
   }
 
+  test("labelPropagation: two cliques with one bridge resolve to per-clique labels") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // clique {1,2,3,4} and clique {10,11,12,13}, bridged by 4-10: the
+    // frequency vote keeps each clique on its own min label — min-label
+    // propagation (connectedComponents) would merge everything to 1
+    def clique(vs: Seq[Long]) = for (a <- vs; b <- vs if a < b) yield (a, b)
+    val es = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) :+ (4L, 10L)
+    val st = new StructType().add("src", LongType).add("dst", LongType)
+    val d = df(st, es.map(e => Row(e._1, e._2)))
+    val got = GraphLoader.labelPropagation(d, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.filter(_._1 <= 4L).values.toSet == Set(1L), s"got $got")
+    assert(got.filter(_._1 >= 10L).values.toSet == Set(10L), s"got $got")
+  }
+
+  test("labelPropagation matches an in-memory frequency-vote replay on a random graph") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(11)
+    val es = Seq.fill(120)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2)
+    val st = new StructType().add("src", LongType).add("dst", LongType)
+    val d = df(st, es.map(e => Row(e._1, e._2)))
+    val rounds = 3
+    // in-memory reference: identical synchronous rounds, max-frequency
+    // label among neighbors, min label on ties
+    val und = es.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      lbl = adj.map { case (v, ns) =>
+        val freq = ns.map(lbl).groupBy(identity).view.mapValues(_.size).toMap
+        val mc = freq.values.max
+        v -> freq.filter(_._2 == mc).keys.min
+      }
+    }
+    val got = GraphLoader.labelPropagation(d, rounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lbl, s"got $got\nexpected $lbl")
+  }
+
   test("neighborJaccard: common/degree counts equal the brute-force neighborhood sets") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
