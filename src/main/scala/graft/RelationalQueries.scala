@@ -1697,6 +1697,63 @@ object RelationalQueries {
         col("sup_a"), col("sup_b"), col("n_baskets"))
   }
 
+  /** Per-nation least-squares revenue trend — the OLS slope over (day,
+    * daily revenue) points in EXACT integer components. slope = (n·Σxy −
+    * Σx·Σy) / (n·Σx² − (Σx)²) is a double; emitting the numerator and
+    * denominator as BIGINTs keeps the contract fp-free (the assoc_rules /
+    * q14_promo discipline) — the client does one division. x is the day
+    * offset from a fixed epoch (1995-01-01, keeping magnitudes small so
+    * the cross-products stay far from Long overflow under ANSI mode), y
+    * the day's revenue in cents.
+    *
+    * Scale: the fact table collapses map-side to ≤ |nations|·|days| cells
+    * before the only wide shuffle; the five per-nation sums are one more
+    * map-side-combined aggregate of that tiny frame. Customer→nation is a
+    * broadcast dimension join.
+    */
+  def olsTrend(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_custkey"),
+      datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+        .cast("long").as("x"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val daily = o
+      .join(broadcast(customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("x")).agg(sum(col("cents")).as("y"))
+    daily.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("c_nationkey"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+  }
+
+  /** Per-nation Gini concentration of positive customer balances, exact:
+    * with x₁ ≤ … ≤ xₙ the per-group sorted cents, the Gini numerator
+    * Σᵢ (2i − n − 1)·xᵢ rewrites to 2·Σ(i·xᵢ) − (n+1)·Σx — so one ranked
+    * window pass plus one aggregate yields BIGINT-exact components (Gini
+    * itself = num / (n·Σx), a client-side division). Tied balances make
+    * row_number order arbitrary among them, but equal x contribute
+    * identically to Σ(i·xᵢ) under any permutation of the tie block, so
+    * the contract stays deterministic.
+    *
+    * Scale: the window partitions by nation (never unpartitioned — each
+    * group sorts within its own shuffle partition); everything after is
+    * a map-side-combined per-nation aggregate.
+    */
+  def giniConcentration(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+      .select(col("c_nationkey"), round(col("c_acctbal") * 100).cast("long").as("x"))
+      .filter(col("x") > 0)
+    val w = Window.partitionBy("c_nationkey").orderBy("x")
+    c.select(col("c_nationkey"), col("x"), row_number().over(w).cast("long").as("i"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_cents"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("c_nationkey"), col("n"), col("sum_cents"),
+        (lit(2L) * col("six") - (col("n") + 1L) * col("sum_cents")).as("gini_num"))
+  }
+
   /** CUSUM changepoint detection over per-type hourly event counts: the
     * hour where the cumulative count deviates most from a uniform spread
     * of the series total. The statistic is pure BIGINT cross-multiplication

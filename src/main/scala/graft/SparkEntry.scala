@@ -195,6 +195,10 @@ object SparkEntry {
     "q22_inactive" -> RelationalQueries.q22Inactive _,
     // --- CUSUM changepoint per event type, BIGINT cross-multiplied stat ---
     "cusum_changepoint" -> RelationalQueries.cusumChangepoint _,
+    // --- per-nation OLS revenue slope, integer numerator/denominator ---
+    "ols_trend" -> RelationalQueries.olsTrend _,
+    // --- per-nation Gini concentration, exact ranked-sum decomposition ---
+    "gini_concentration" -> RelationalQueries.giniConcentration _,
     // --- per-key reservoir sample via the bounded heap aggregate (k rows
     // per group cross the shuffle, not the corpus) ---
     "reservoir_sample" -> ((s, d) =>
@@ -287,6 +291,9 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => pipeline.Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash" -> ((s, d) => pipeline.Dedup.minhashPairs(Tables.documents(s, d))),
     "dedup_jaccard" -> ((s, d) => pipeline.Dedup.jaccardJoin(Tables.documents(s, d))),
+    // --- asymmetric containment (quote/subset detection): ordered pairs
+    // where ≥60% of a's shingles appear in b; integer evidence only ---
+    "dedup_containment" -> ((s, d) => pipeline.Dedup.containmentJoin(Tables.documents(s, d))),
     // --- INCREMENTAL dedup: delta batch probed against a persisted
     // signature index (built here from the doc_id%5!=0 "history"; the
     // %5==0 docs are the increment) — history never rescanned ---
@@ -309,6 +316,11 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => pipeline.TextAnalysis.repetitionStats(Tables.documents(s, d))),
     "bm25_score" -> ((s, d) =>
       pipeline.Ranking.bm25(Tables.documents(s, d), Seq("spark", "join", "vector"))),
+    // --- RAG composition: BM25 top-100 retrieve → exact cosine rerank
+    // against doc 7's embedding → top-20 ---
+    "hybrid_search" -> ((s, d) =>
+      pipeline.Ranking.hybridSearch(Tables.documents(s, d), Tables.embeddings(s, d),
+        Seq("spark", "join", "vector"), queryVecId = 7L, kRetrieve = 100, kFinal = 20)),
     // --- cross-document duplicated-trigram fraction (boilerplate signal) ---
     "ngram_dupfrac" -> ((s, d) =>
       pipeline.Dedup.duplicatedNgramStats(Tables.documents(s, d))),
@@ -867,6 +879,24 @@ object SparkEntry {
                         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          WHERE jaccard >= 0.5""",
+    // Asymmetric containment: same string-shingle brute force as the
+    // dedup_jaccard oracle, ordered pairs, integer cross-multiplied
+    // threshold (shared·1000 ≥ 600·n_a).
+    "dedup_containment" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS s
+           FROM toks)
+         SELECT doc_a, doc_b, shared, n_a, n_b FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  len(list_intersect(a.s, b.s))::BIGINT AS shared,
+                  len(a.s)::BIGINT AS n_a, len(b.s)::BIGINT AS n_b
+           FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+         WHERE shared * 1000 >= 600 * n_a""",
     // Portable MinHash: md5-derived 60-bit base hash per shingle, then a
     // universal-hash family (a_i·x + c_i mod 2³¹−1) with md5-derived
     // coefficients — the oracle recomputes identical signatures and
@@ -1124,6 +1154,51 @@ object SparkEntry {
                [z.sc for z in list_sort(list(struct_pack(term := term, sc := sc)))]),
              (a, h) -> a + h), 6) AS bm25
          FROM sc GROUP BY doc_id""",
+    // Hybrid retrieve-then-rerank: the bm25_score pipeline cut to its
+    // top-100 (bm25 desc, doc_id ties), reranked by the ann_topk cosine
+    // against vec 7's embedding, cut to top-20 — both cuts replayed with
+    // identical tie-breaks.
+    "hybrid_search" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents),
+         stats AS (SELECT count(*)::BIGINT AS n, sum(len(t))::BIGINT AS sdl FROM toks),
+         postings AS (
+           SELECT doc_id, len(t)::BIGINT AS dl, x AS term, count(*)::BIGINT AS tf
+           FROM toks, unnest(t) AS u(x)
+           WHERE x IN ('spark', 'join', 'vector')
+           GROUP BY 1, 2, 3),
+         dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+         sc AS (
+           SELECT p.doc_id, p.term,
+             ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * (1.2 + 1.0))
+               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / (s.sdl::DOUBLE / s.n))) AS sc
+           FROM postings p JOIN dfreq d USING (term) CROSS JOIN stats s),
+         bm AS (
+           SELECT doc_id, count(*)::BIGINT AS n_matched,
+             round(list_reduce(list_prepend(0.0::DOUBLE,
+                 [z.sc for z in list_sort(list(struct_pack(term := term, sc := sc)))]),
+               (a, h) -> a + h), 6) AS bm25
+           FROM sc GROUP BY doc_id),
+         cand AS (
+           SELECT doc_id, n_matched, bm25 FROM (
+             SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk FROM bm)
+           WHERE rk <= 100 AND doc_id <> 7),
+         q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 7),
+         s2 AS (
+           SELECT doc_id, n_matched, bm25,
+                  round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                             ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS cos_sim
+           FROM (
+             SELECT c.doc_id, c.n_matched, c.bm25,
+                    list_dot_product(q.qe, e.embedding::DOUBLE[]) AS dot,
+                    list_dot_product(q.qe, q.qe) AS na,
+                    list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS nb
+             FROM cand c JOIN embeddings e ON c.doc_id = e.vec_id CROSS JOIN q))
+         SELECT doc_id, n_matched, bm25, cos_sim FROM (
+           SELECT *, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rk FROM s2)
+         WHERE rk <= 20""",
     // Cross-doc duplicated-trigram fraction: identical portable trigram
     // hashes on both engines (collisions included), exact integer division.
     "ngram_dupfrac" ->
@@ -1726,6 +1801,33 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM orders o
                            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
          GROUP BY 1""",
+    // OLS slope components: exact integer cross-products; x is the day
+    // offset from 1995-01-01 (DATE subtraction = integer days in DuckDB,
+    // datediff on dates in Spark). BIGINT casts defuse DuckDB's
+    // sum→HUGEINT widening.
+    "ols_trend" ->
+      """WITH daily AS (
+           SELECT c.c_nationkey,
+                  (o.o_orderdate::DATE - DATE '1995-01-01')::BIGINT AS x,
+                  sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS y
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1, 2)
+         SELECT c_nationkey, count(*)::BIGINT AS n,
+                (count(*) * sum(x * y) - sum(x) * sum(y))::BIGINT AS slope_num,
+                (count(*) * sum(x * x) - sum(x) * sum(x))::BIGINT AS slope_den
+         FROM daily GROUP BY 1""",
+    // Gini numerator via the ranked-sum identity 2·Σ(i·x) − (n+1)·Σx;
+    // row_number among tied x is arbitrary but the sum is tie-invariant.
+    "gini_concentration" ->
+      """WITH c AS (
+           SELECT c_nationkey, round(c_acctbal * 100)::BIGINT AS x
+           FROM customer WHERE round(c_acctbal * 100) > 0),
+         r AS (SELECT c_nationkey, x,
+                 row_number() OVER (PARTITION BY c_nationkey ORDER BY x)::BIGINT AS i
+               FROM c)
+         SELECT c_nationkey, count(*)::BIGINT AS n, sum(x)::BIGINT AS sum_cents,
+                (2 * sum(i * x) - (count(*) + 1) * sum(x))::BIGINT AS gini_num
+         FROM r GROUP BY 1""",
     "cusum_changepoint" ->
       """WITH hourly AS (
            SELECT event_type, date_trunc('hour', ts) AS hr, count(*)::BIGINT AS cnt

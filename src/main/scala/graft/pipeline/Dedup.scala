@@ -328,6 +328,47 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** ASYMMETRIC shingle containment — quote/subset detection, the dedup
+    * relation [[jaccardJoin]]'s symmetric measure cannot express: doc_a is
+    * contained in doc_b when ≥ `minPermille`‰ of a's distinct k-shingles
+    * also appear in b. A short document quoted whole inside a long one has
+    * near-total containment but tiny Jaccard (the union is dominated by
+    * the long side) — exactly the pairs corpus dedup wants when trimming
+    * quoted boilerplate and subset re-posts. Output is ORDERED pairs
+    * (a ⊆ b and b ⊆ a are independent facts) with the exact integer
+    * evidence (shared, n_a, n_b); the threshold test is the
+    * cross-multiplication `shared·1000 ≥ minPermille·n_a` — no ratio
+    * double ever materializes.
+    *
+    * Plan shape is [[jaccardJoin]]'s inverted index (shuffles carry
+    * (hash, id, size) longs, never text); same `maxDf` hot-shingle escape
+    * valve. The only change is keeping both pair orders and the integer
+    * filter — same asymptotics.
+    */
+  def containmentJoin(docs: DataFrame, k: Int = 3, minPermille: Long = 600L,
+                      maxDf: Long = 0L): DataFrame = {
+    val sh = InternalCaches.register(rebalance(docs)
+      .select(col("doc_id"), array_distinct(shingleHashes(tokens(col("text")), k)).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      .cache())
+    val ex0 = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("h"))
+    val ex =
+      if (maxDf <= 0) ex0
+      else {
+        val hot = ex0.groupBy(col("h")).agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
+        ex0.join(hot, Seq("h"), "left_anti")
+      }
+    val a = ex.select(col("h"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val b = ex.select(col("h"), col("doc_id").as("doc_b"), col("n").as("n_b"))
+    a.join(b, Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") * 1000L >= lit(minPermille) * col("n_a"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"))
+  }
+
   /** Cross-corpus n-gram overlap — DECONTAMINATION: for each eval-set
     * document, every training document sharing ≥ `minShared` distinct word
     * k-shingles, with the shared count and the contamination ratio

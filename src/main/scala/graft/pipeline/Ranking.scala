@@ -74,6 +74,41 @@ object Ranking {
     bm25(docs, queryTerms, k1, b)
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
 
+  /** Hybrid retrieval — the RAG-stack composition: BM25 retrieves a
+    * lexical candidate set, an exact cosine rerank against a query
+    * embedding orders the final answer. Both stages are existing verified
+    * operators ([[bm25TopK]], [[Similarity.cosine]]); the composition is
+    * the contract. Output keeps both signals (bm25, cos_sim) so a client
+    * can blend instead of rerank-only.
+    *
+    * Scale shape: stage 1 is corpus-sized but moves only query-term
+    * postings (see [[bm25]]); after its TakeOrdered the candidate set is
+    * `kRetrieve` rows — broadcast to the embedding fact, so stage 2 reads
+    * only the candidates' vectors (at 1000 executors: a broadcast-hash
+    * semi-join against the embedding store, never a corpus-wide vector
+    * scan — the whole point of retrieve-then-rerank). The query vector is
+    * a broadcast 1-row frame.
+    *
+    * Determinism: bm25 is the round(6) sorted-term fold; cosine is the
+    * fused sequential fold bit-identical to the oracle's
+    * `list_dot_product`; both top-k cuts tie-break on doc_id.
+    */
+  def hybridSearch(docs: DataFrame, embeddings: DataFrame,
+                   queryTerms: Seq[String], queryVecId: Long,
+                   kRetrieve: Int, kFinal: Int): DataFrame = {
+    val cand = bm25TopK(docs, queryTerms, kRetrieve)
+      .filter(col("doc_id") =!= queryVecId) // the query's own doc is not an answer
+    val qv = broadcast(embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb")))
+    broadcast(cand)
+      .join(embeddings.select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      .crossJoin(qv)
+      .select(col("doc_id"), col("n_matched"), col("bm25"),
+        round(Similarity.cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id")).limit(kFinal)
+  }
+
   /** Boolean conjunctive retrieval: documents containing ALL of `must`
     * and NONE of `mustNot` — the filter-side retrieval next to [[bm25]]'s
     * scoring side. Inverted-index shape: tokens are filtered to the query

@@ -69,6 +69,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.jaccardJoin(d, minJaccard = 0.5).count() == 0)
   }
 
+  test("containmentJoin: asymmetric — the quoted short doc clears the bar, its container does not") {
+    // doc1's shingles all appear inside doc2 (doc2 = doc1 + a tail), but
+    // doc2 has many shingles outside doc1: containment(1→2)=1, (2→1) low.
+    val d = docs(
+      1L -> "a b c d e",
+      2L -> "a b c d e p q r s t u v w",
+      3L -> "z z1 z2 z3")
+    val got = Dedup.containmentJoin(d, minPermille = 600L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc1: 3 shingles (5 tokens, k=3), all shared with doc2 (11 shingles)
+    assert(got.keySet == Set((1L, 2L)), s"got $got")
+    assert(got((1L, 2L)) == ((3L, 3L, 11L)))
+    // symmetric jaccard on the same pair is 3/11 < 0.5 — invisible to jaccardJoin
+    assert(Dedup.jaccardJoin(d, minJaccard = 0.5).count() == 0)
+  }
+
   test("jaccardJoin maxDf drops hot shingles from the index, with accounting") {
     // "x y z" appears in every doc — a boilerplate shingle; docs 1/2 are
     // near-dups beyond it, docs 3/4 share ONLY the boilerplate.

@@ -32,6 +32,34 @@ class RankingSpec extends AnyFunSuite {
     assert(got(3L) == ((1L, r6(term(1, 2, 2)))))
   }
 
+  test("hybridSearch equals the manual bm25-retrieve → cosine-rerank composition") {
+    val sf = "/root/testdata/sf0.001"
+    val docsDf = graft.Tables.documents(spark, sf)
+    val embDf = graft.Tables.embeddings(spark, sf)
+    val terms = Seq("spark", "join", "vector")
+    val got = Ranking.hybridSearch(docsDf, embDf, terms,
+        queryVecId = 7L, kRetrieve = 10, kFinal = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    // manual composition from the two verified stages
+    import org.apache.spark.sql.functions._
+    val cand = Ranking.bm25TopK(docsDf, terms, 10).collect()
+      .map(_.getLong(0)).filter(_ != 7L)
+    val vecs = embDf.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val (na, nb) = (math.sqrt(a.map(x => x * x).sum), math.sqrt(b.map(x => x * x).sum))
+      if (na == 0 || nb == 0) 0.0
+      else BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = cand.map(id => id -> cos(vecs(7L), vecs(id)))
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq, s"got ${got.toSeq}\nwant ${want.toSeq}")
+    // scores agree to the rounding grain (the naive sum-of-products dot
+    // differs from the sequential fold by ≤ 1 ulp at the 6th decimal)
+    got.zip(want).foreach { case ((_, g), (_, w)) => assert(math.abs(g - w) < 2e-6) }
+  }
+
   test("bm25TopK: descending score, doc_id tie-break, limit k") {
     val d = df(docSchema, Seq(
       Row(1L, "x y"), Row(2L, "x y"), Row(3L, "x x x"), Row(4L, "z")))
