@@ -1786,4 +1786,222 @@ object RelationalQueries {
       .groupBy(col("event_type"), col("mstat")).agg(min(col("hr")).as("cp_hour"))
       .select(col("event_type"), col("cp_hour"), col("mstat").as("stat"))
   }
+
+  /** Lag-1 autocorrelation components of the per-type daily event-count
+    * series, exact: over consecutive-day pairs (prev, cur) — consecutive in
+    * SERIES order, i.e. adjacent observed days, the standard acf-over-
+    * observations convention — emit the BIGINT Pearson sums (n_pairs,
+    * Σprev, Σcur, Σprev·cur, Σprev², Σcur²). r₁ = (n·Σpc − Σp·Σc) /
+    * √((n·Σp² − Σp²)(n·Σc² − Σc²)) is the client's one fp step; the
+    * contract itself is integer-only.
+    *
+    * Scale: the event stream collapses map-side to ≤ |types|·|days| cells
+    * before the only wide shuffle; the lag window partitions by type over
+    * those aggregate rows only, and the final per-type sums map-side
+    * combine again.
+    */
+  def autocorrLag1(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    daily.select(col("event_type"), col("cnt").as("cur"),
+        lag(col("cnt"), 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("prev")).as("sum_prev"), sum(col("cur")).as("sum_cur"),
+        sum(col("prev") * col("cur")).as("sum_pc"),
+        sum(col("prev") * col("prev")).as("sum_pp"),
+        sum(col("cur") * col("cur")).as("sum_cc"))
+  }
+
+  /** TPC-H Q8 family (national market share): within orders placed by
+    * customers of one REGION, per order-year the revenue delivered by
+    * suppliers of one NATION next to the region total — both exact e4
+    * BIGINTs (the share is the client's one division, same discipline as
+    * q14_promo's promo/total pair).
+    *
+    * Scale: all five dimension hops (customer, both nation roles, region,
+    * supplier) broadcast; the lineitem↔orders join is the only fact-sized
+    * shuffle and the group-by key space is |years| — corpus-independent.
+    */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val e4 = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long")
+    val cus = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val nc = nation(s, d).select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val r = region(s, d).filter(col("r_name") === "ASIA")
+    val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val ns = nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val l = lineitem(s, d); val o = orders(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nc), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(ns), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_7", e4).otherwise(0L)).as("nation_e4"),
+        sum(e4).as("total_e4"))
+  }
+
+  /** TPC-H Q9 family (product-type profit): per supplier nation and order
+    * year, profit = revenue − cost, exact e4 BIGINT. The synthetic schema
+    * has no partsupp, so cost is the p_retailprice × quantity proxy —
+    * retail cents are exact e4 integers and quantities integral, so the
+    * whole measure is fp-free after the one rounding both engines share.
+    *
+    * Scale: supplier/nation/part broadcast; lineitem↔orders is the only
+    * fact shuffle; |nations|·|years| output cells.
+    */
+  def q9Profit(s: SparkSession, d: String): DataFrame = {
+    val profitE4 =
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long") -
+        round(col("p_retailprice") * 10000).cast("long") * col("l_quantity").cast("long")
+    val l = lineitem(s, d)
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+    val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val n = nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val p = part(s, d).select(col("p_partkey"), col("p_retailprice"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(profitE4).as("profit_e4"), count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q11 family (important stock): per (supplier nation, part) the
+    * shipped value — retail cents × quantity, the no-partsupp proxy — kept
+    * where the pair holds more than 0.1% of its nation's total. The
+    * group-vs-global-scalar comparison is the exact integer
+    * cross-multiplication value·1000 > total (no division anywhere).
+    *
+    * Scale: the fact table aggregates to |nations|·|parts| cells in one
+    * shuffle; nation totals are 25 rows re-aggregated from those cells and
+    * broadcast back — the fact table is read once and never joins a
+    * corpus-sized frame.
+    */
+  def q11ImportantParts(s: SparkSession, d: String): DataFrame = {
+    val valueCents = round(col("p_retailprice") * 100).cast("long") *
+      col("l_quantity").cast("long")
+    // cached: consumed by the nation totals AND the join-back — without the
+    // persist the fact aggregate would run twice
+    val perPair = graft.pipeline.InternalCaches.register(lineitem(s, d)
+      .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("s_nationkey"), col("p_partkey"))
+      .agg(sum(valueCents).as("value_cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tot = perPair.groupBy(col("s_nationkey")).agg(sum(col("value_cents")).as("tot_cents"))
+    perPair.join(broadcast(tot), Seq("s_nationkey"))
+      .filter(col("value_cents") * lit(1000L) > col("tot_cents"))
+      .join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("p_partkey"), col("value_cents"))
+  }
+
+  /** TPC-H Q17 family (small-quantity revenue): total revenue of brand
+    * lineitems whose quantity is below 20% of their part's average — the
+    * correlated-average rewritten as the exact integer cross-multiplication
+    * 5·qty·n_p < Σqty_p (quantities are integral). Per-part stats aggregate
+    * over ALL lineitems of the part; the brand restriction commutes with
+    * that per-part aggregation, so both sides pre-filter through the
+    * broadcast brand part list and the fact table is scanned lean twice
+    * (the classic Q17 shape).
+    *
+    * Scale: brand parts broadcast into both scans; the per-part stats
+    * frame is aggregate-sized and equi-joins back on partkey (AQE
+    * broadcasts it at small SF; at 100 TB it stays a co-partitioned
+    * shuffle join of one fact-sized and one aggregate-sized frame).
+    */
+  def q17SmallQty(s: SparkSession, d: String): DataFrame = {
+    val brand = part(s, d).filter(col("p_brand") === "Brand#13").select(col("p_partkey"))
+    val ls = lineitem(s, d).join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+    val pq = ls.groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("n_p"), sum(col("l_quantity").cast("long")).as("sumq"))
+    ls.join(pq, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity").cast("long") * lit(5L) * col("n_p") < col("sumq"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("total_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** SCD2 dimension build from the event stream — the slowly-changing-
+    * dimension primitive next to [[snapshot_diff]]/[[cdc_merge]]'s
+    * table-maintenance pair: per user, consecutive runs of equal
+    * event_type collapse to ONE version row with [valid_from, valid_to)
+    * validity and a per-user version number; the open (current) version
+    * carries the conventional SCD2 high-date sentinel (2100-01-01 — NOT
+    * NULL: a null timestamp hashes engine-dependently, and not 9999 —
+    * that overflows pandas' ns-epoch range in downstream tooling).
+    * Change detection is a lag over the full stream; validity stitching
+    * a lead over the CHANGE rows only — the two-window composition every
+    * SCD2 build reduces to. (ts, event_id) ordering makes tied
+    * timestamps deterministic.
+    *
+    * Scale: both windows partition by user (never unpartitioned); the
+    * second window's input is change-rows only, already shrunk.
+    */
+  def scd2Build(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    changes.select(col("user_id"), col("event_type"),
+      col("ts").as("valid_from"),
+      coalesce(lead(col("ts"), 1).over(w),
+        lit("2100-01-01").cast("timestamp")).as("valid_to"),
+      row_number().over(w).cast("long").as("version"))
+  }
+
+  /** CUPED experiment readout — variance-reduced A/B analysis: per
+    * (event_type, arm) the exact BIGINT moment sums of per-user
+    * (pre, post) cents pairs, x = the user's pre-period total and y the
+    * experiment-period total, split at the fixed midpoint. θ =
+    * (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) and the adjusted mean are the
+    * client's fp steps; the contract is integer-only (the ols_trend
+    * discipline applied to the ab_split_stats arm hash). Users with no
+    * pre-period activity participate with x = 0 — the standard CUPED
+    * treatment — because the per-user aggregate coalesces both phases
+    * from the same row set rather than joining two filtered frames.
+    *
+    * Scale: one map-side-combined aggregate to |users|·|types| cells,
+    * one more to |types|·2 — no joins, no windows.
+    */
+  def cupedAdjust(s: SparkSession, d: String): DataFrame = {
+    val mid = lit("2024-01-16").cast("timestamp")
+    val cents = round(col("value") * 100).cast("long")
+    val arm = when(pmod(graft.functions.PortableHash.hash60(
+      concat(lit("ab_"), col("user_id"))), lit(2L)) === 0L, "A").otherwise("B")
+    events(s, d)
+      .select(col("event_type"), col("user_id"), arm.as("arm"),
+        when(col("ts") < mid, cents).otherwise(0L).as("xc"),
+        when(col("ts") >= mid, cents).otherwise(0L).as("yc"))
+      .groupBy(col("event_type"), col("arm"), col("user_id"))
+      .agg(sum(col("xc")).as("x"), sum(col("yc")).as("y"))
+      .groupBy(col("event_type"), col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_xx"))
+  }
+
+  /** Benford first-digit profile of order totals: the distribution of the
+    * leading significant digit of o_totalprice in cents, per digit 1–9 with
+    * counts — the classic fraud/quality screen. The digit comes from the
+    * decimal string of the exact BIGINT cents (no log10 — fp-free and
+    * engine-portable; totals are > 0 so the first character is significant).
+    *
+    * Scale: a 9-group map-side-combined aggregate; nothing else.
+    */
+  def benfordDigits(s: SparkSession, d: String): DataFrame = {
+    orders(s, d)
+      .select(substring(round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -48,6 +48,14 @@ object SparkEntry {
     "part_top_supplier" -> RelationalQueries.partTopSupplier _,
     // --- Q18 flavor: HAVING-side pre-aggregation before any join ---
     "q18_large_orders" -> RelationalQueries.q18LargeOrders _,
+    // Q8 flavor: regional market share of one supplier nation, exact e4 pair;
+    // Q9 flavor: nation/year profit with the retail-price cost proxy;
+    // Q11 flavor: >0.1%-of-nation shipped value via integer cross-multiply;
+    // Q17 flavor: small-quantity revenue, correlated avg as cross-multiply
+    "q8_share" -> RelationalQueries.q8MarketShare _,
+    "q9_profit" -> RelationalQueries.q9Profit _,
+    "q11_important" -> RelationalQueries.q11ImportantParts _,
+    "q17_small_qty" -> RelationalQueries.q17SmallQty _,
     // --- min-max normalization from picked extremes (engine-exact) ---
     "minmax_normalize" -> RelationalQueries.minmaxQuery _,
     // --- hash-armed A/B readout as exact integer moment components ---
@@ -147,6 +155,30 @@ object SparkEntry {
             lit(20011L)).as("dst"))
       sources.GraphLoader.neighborJaccard(e)
     }),
+    // --- per-vertex local clustering coefficient components (2·tri /
+    // deg·(deg−1) is the client-side division) over the hash-derived graph ---
+    "clustering_coeff" -> ((s, d) => {
+      val e = pipeline.Dedup.rebalance(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
+        .select(
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tv_"), col("l_orderkey"))),
+            lit(20011L)).as("src"),
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
+            lit(20011L)).as("dst"))
+      sources.GraphLoader.clusteringCoefficient(e)
+    }),
+    // --- degree assortativity: one row of exact Pearson component sums
+    // over ordered edge endpoint pairs ---
+    "degree_assort" -> ((s, d) => {
+      val e = pipeline.Dedup.rebalance(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
+        .select(
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tv_"), col("l_orderkey"))),
+            lit(20011L)).as("src"),
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
+            lit(20011L)).as("dst"))
+      sources.GraphLoader.degreeAssortativity(e)
+    }),
     // --- frequency-vote label propagation (community detection) over the
     // hash-derived graph; fixed synchronous rounds, min-label ties; oracle
     // CTE chain generated by the same Scala loop ---
@@ -197,6 +229,17 @@ object SparkEntry {
     "cusum_changepoint" -> RelationalQueries.cusumChangepoint _,
     // --- per-nation OLS revenue slope, integer numerator/denominator ---
     "ols_trend" -> RelationalQueries.olsTrend _,
+    // --- lag-1 autocorrelation of per-type daily counts, exact components ---
+    "autocorr_lag1" -> RelationalQueries.autocorrLag1 _,
+    // --- SCD2 dimension build: equal-type runs → [valid_from, valid_to) ---
+    "scd2_build" -> RelationalQueries.scd2Build _,
+    // --- CUPED variance-reduced A/B readout, exact moment components ---
+    "cuped_adjust" -> RelationalQueries.cupedAdjust _,
+    // --- tf-weighted cosine near-dup pairs (exact cross-multiplied τ) ---
+    "tf_cosine" -> ((s, d) =>
+      pipeline.Dedup.tfCosinePairs(Tables.documents(s, d), tauPct = 80L)),
+    // --- Benford first-digit profile of order totals ---
+    "benford_digits" -> RelationalQueries.benfordDigits _,
     // --- per-nation Gini concentration, exact ranked-sum decomposition ---
     "gini_concentration" -> RelationalQueries.giniConcentration _,
     // --- per-key reservoir sample via the bounded heap aggregate (k rows
@@ -719,6 +762,62 @@ object SparkEntry {
                GROUP BY 1 HAVING sum(l_quantity) > 250) b
          JOIN orders o ON b.l_orderkey = o.o_orderkey
          JOIN customer c ON o.o_custkey = c.c_custkey""",
+    // Q8 flavor: one-region revenue with the nation/total e4 pair.
+    "q8_share" ->
+      """SELECT year(o.o_orderdate)::BIGINT AS o_year,
+                sum(CASE WHEN ns.n_name = 'NATION_7'
+                         THEN round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT
+                         ELSE 0 END)::BIGINT AS nation_e4,
+                sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT)::BIGINT AS total_e4
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+         JOIN region r ON nc.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+         GROUP BY 1""",
+    // Q9 flavor: profit e4 with the retail-price cost proxy (no partsupp).
+    "q9_profit" ->
+      """SELECT n.n_name AS nation, year(o.o_orderdate)::BIGINT AS o_year,
+                sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT
+                    - round(p.p_retailprice * 10000)::BIGINT * l.l_quantity::BIGINT)::BIGINT AS profit_e4,
+                count(*)::BIGINT AS n_lines
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1, 2""",
+    // Q11 flavor: pairs above 0.1% of nation total, integer cross-multiply.
+    "q11_important" ->
+      """WITH pv AS (
+           SELECT s.s_nationkey, l.l_partkey,
+                  sum(round(p.p_retailprice * 100)::BIGINT * l.l_quantity::BIGINT)::BIGINT AS value_cents
+           FROM lineitem l
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN part p ON l.l_partkey = p.p_partkey
+           GROUP BY 1, 2),
+         tot AS (SELECT s_nationkey, sum(value_cents)::BIGINT AS tot_cents FROM pv GROUP BY 1)
+         SELECT n.n_name AS nation, pv.l_partkey AS p_partkey, pv.value_cents
+         FROM pv
+         JOIN tot t ON pv.s_nationkey = t.s_nationkey
+         JOIN nation n ON pv.s_nationkey = n.n_nationkey
+         WHERE pv.value_cents * 1000 > t.tot_cents""",
+    // Q17 flavor: correlated per-part average as 5·qty·n < Σqty.
+    "q17_small_qty" ->
+      """WITH b AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+         pq AS (
+           SELECT l.l_partkey, count(*)::BIGINT AS n_p,
+                  sum(l.l_quantity::BIGINT)::BIGINT AS sumq
+           FROM lineitem l JOIN b ON l.l_partkey = b.p_partkey
+           GROUP BY 1)
+         SELECT sum(round(l.l_extendedprice * 100)::BIGINT)::BIGINT AS total_cents,
+                count(*)::BIGINT AS n_lines
+         FROM lineitem l
+         JOIN b ON l.l_partkey = b.p_partkey
+         JOIN pq ON l.l_partkey = pq.l_partkey
+         WHERE l.l_quantity::BIGINT * 5 * pq.n_p < pq.sumq""",
     // Min-max normalization: picked extremes, one IEEE division.
     "minmax_normalize" ->
       """WITH s AS (
@@ -1816,6 +1915,78 @@ object SparkEntry {
                 (count(*) * sum(x * y) - sum(x) * sum(y))::BIGINT AS slope_num,
                 (count(*) * sum(x * x) - sum(x) * sum(x))::BIGINT AS slope_den
          FROM daily GROUP BY 1""",
+    // Lag-1 autocorrelation components: lag over the per-(type, day)
+    // AGGREGATE series (adjacent observed days); BIGINT casts defuse
+    // DuckDB's sum→HUGEINT widening.
+    "autocorr_lag1" ->
+      """WITH daily AS (
+           SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS cnt
+           FROM events GROUP BY 1, 2),
+         lagged AS (
+           SELECT event_type, cnt AS cur,
+                  lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev
+           FROM daily)
+         SELECT event_type, count(*)::BIGINT AS n_pairs,
+                sum(prev)::BIGINT AS sum_prev, sum(cur)::BIGINT AS sum_cur,
+                sum(prev * cur)::BIGINT AS sum_pc,
+                sum(prev * prev)::BIGINT AS sum_pp,
+                sum(cur * cur)::BIGINT AS sum_cc
+         FROM lagged WHERE prev IS NOT NULL
+         GROUP BY 1""",
+    // SCD2: lag-detected change rows, lead-stitched validity intervals.
+    "scd2_build" ->
+      """WITH ordered AS (
+           SELECT user_id, ts, event_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         chg AS (SELECT * FROM ordered
+                 WHERE prev_type IS NULL OR prev_type <> event_type)
+         SELECT user_id, event_type, ts AS valid_from,
+                coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         TIMESTAMP '2100-01-01') AS valid_to,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS version
+         FROM chg""",
+    // CUPED: per-user (pre, post) cents pairs split at the fixed midpoint,
+    // then per-(type, arm) exact moments; arm = the ab_split_stats hash.
+    "cuped_adjust" ->
+      """WITH per_user AS (
+           SELECT event_type,
+                  CASE WHEN ('0x' || substring(md5('ab_' || user_id::VARCHAR), 1, 15))::BIGINT
+                            % 2 = 0
+                       THEN 'A' ELSE 'B' END AS arm,
+                  user_id,
+                  sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN round(value * 100)::BIGINT
+                           ELSE 0 END)::BIGINT AS x,
+                  sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN round(value * 100)::BIGINT
+                           ELSE 0 END)::BIGINT AS y
+           FROM events GROUP BY 1, 2, 3)
+         SELECT event_type, arm, count(*)::BIGINT AS n_users,
+                sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
+                sum(x * y)::BIGINT AS sum_xy, sum(x * x)::BIGINT AS sum_xx
+         FROM per_user GROUP BY 1, 2""",
+    // tf-cosine pairs: definitional word-level tf join; HUGEINT
+    // cross-multiply mirrors the engine's decimal(38,0) comparison.
+    "tf_cosine" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+           FROM documents),
+         tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+         nrm AS (SELECT doc_id, sum(tf * tf)::BIGINT AS nsq FROM tf GROUP BY 1),
+         nm AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  sum(a.tf * b.tf)::BIGINT AS num
+           FROM tf a JOIN tf b ON a.w = b.w AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT n.doc_a, n.doc_b, n.num, na.nsq AS nsq_a, nb.nsq AS nsq_b
+         FROM nm n
+         JOIN nrm na ON n.doc_a = na.doc_id
+         JOIN nrm nb ON n.doc_b = nb.doc_id
+         WHERE 10000::HUGEINT * n.num * n.num >= 6400::HUGEINT * na.nsq * nb.nsq""",
+    // Benford screen: first character of the exact cents string.
+    "benford_digits" ->
+      """SELECT substring(round(o_totalprice * 100)::BIGINT::VARCHAR, 1, 1) AS digit,
+                count(*)::BIGINT AS cnt
+         FROM orders GROUP BY 1""",
     // Gini numerator via the ranked-sum identity 2·Σ(i·x) − (n+1)·Σx;
     // row_number among tied x is arbitrary but the sum is tie-invariant.
     "gini_concentration" ->
@@ -1879,6 +2050,50 @@ object SparkEntry {
          JOIN deg da ON da.v = e.a
          JOIN deg db ON db.v = e.b
          LEFT JOIN com c ON c.a = e.a AND c.b = e.b""",
+    // Local clustering components: definitional a<b<c triangle join fanned
+    // to its three corners, degrees from the doubled adjacency.
+    "clustering_coeff" ->
+      """WITH und AS MATERIALIZED (
+           SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+             SELECT ('0x' || substring(md5('tv_' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 20011 AS s,
+                    ('0x' || substring(md5('tw_' || l_partkey::VARCHAR), 1, 15))::BIGINT % 20011 AS t
+             FROM lineitem)
+           WHERE s <> t),
+         adj AS (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
+         deg AS (SELECT v, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+         tri AS MATERIALIZED (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM und e1
+           JOIN und e2 ON e1.b = e2.a
+           JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         pv AS (
+           SELECT v, count(*)::BIGINT AS n_triangles FROM (
+             SELECT x AS v FROM tri
+             UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri)
+           GROUP BY 1)
+         SELECT d.v AS vertex, d.deg,
+                coalesce(p.n_triangles, 0)::BIGINT AS n_triangles,
+                (d.deg * (d.deg - 1))::BIGINT AS possible_pairs
+         FROM deg d LEFT JOIN pv p ON p.v = d.v""",
+    // Assortativity components over ordered endpoint pairs: by symmetry one
+    // pass over canonical edges with both degree roles doubles out.
+    "degree_assort" ->
+      """WITH und AS MATERIALIZED (
+           SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+             SELECT ('0x' || substring(md5('tv_' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 20011 AS s,
+                    ('0x' || substring(md5('tw_' || l_partkey::VARCHAR), 1, 15))::BIGINT % 20011 AS t
+             FROM lineitem)
+           WHERE s <> t),
+         adj AS (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
+         deg AS (SELECT v, count(*)::BIGINT AS deg FROM adj GROUP BY 1)
+         SELECT (count(*) * 2)::BIGINT AS n_pairs,
+                sum(da.deg + db.deg)::BIGINT AS sum_deg,
+                (2 * sum(da.deg * db.deg))::BIGINT AS sum_prod,
+                sum(da.deg * da.deg + db.deg * db.deg)::BIGINT AS sum_sq
+         FROM und e
+         JOIN deg da ON da.v = e.a
+         JOIN deg db ON db.v = e.b""",
     // Reservoir sample: bottom-8 by the low-52-bit portable hash
     // (hex digits 3..15 of md5 = the low 52 of the 60-bit hash60).
     "reservoir_sample" ->

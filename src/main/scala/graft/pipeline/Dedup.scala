@@ -369,6 +369,59 @@ object Dedup {
         col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"))
   }
 
+  /** WEIGHTED near-dup: term-frequency cosine similarity pairs — the
+    * graded measure the set-based [[jaccardJoin]] flattens (a doc that
+    * repeats a phrase 10× is "the same document" to a distinct-shingle
+    * join but not to a tf vector). Pairs (a < b) with cos²(a,b) ≥
+    * (tauPct/100)², decided by the exact cross-multiplication
+    * 10⁴·num² ≥ tauPct²·nsq_a·nsq_b where num = Σ_w tf_a(w)·tf_b(w) and
+    * nsq = Σ_w tf(w)² — no square root, no division, engine-portable.
+    * The comparison runs in decimal(38,0): num/nsq are quadratic in
+    * document length, so the cross-product can pass 2⁶³ on long real-world
+    * documents even though every COMPONENT fits a BIGINT comfortably
+    * (DuckDB widens to HUGEINT on its own).
+    *
+    * Output carries the integer evidence (num, nsq_a, nsq_b); cosine
+    * itself is the client's one division+sqrt.
+    *
+    * Plan: [[jaccardJoin]]'s inverted index with tf payloads — postings
+    * (w-hash, doc, tf) meet by term, partial-sum map-side, group to
+    * (a, b, num); norms are a doc-sized aggregate joined back at the end
+    * (aggregate-sized, AQE-broadcastable). Same `maxDf` hot-term escape
+    * valve and accounting caveat as jaccard: capping df drops stopword
+    * postings, which strictly UNDER-counts num for affected pairs — at
+    * maxDf=0 exact, at maxDf>0 a recall floor documented at the call site.
+    * Shuffles carry (hash, id, tf) longs, never text.
+    */
+  def tfCosinePairs(docs: DataFrame, tauPct: Long = 80L,
+                    maxDf: Long = 0L): DataFrame = {
+    val tf = InternalCaches.register(rebalance(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), xxhash64(col("w")).as("h"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()) // consumed by norms + both postings sides; caller releases
+    val nrm = tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("nsq"))
+    val ex =
+      if (maxDf <= 0) tf
+      else {
+        val hot = tf.groupBy(col("h")).agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
+        tf.join(hot, Seq("h"), "left_anti")
+      }
+    val a = ex.select(col("h"), col("doc_id").as("doc_a"), col("tf").as("tf_a"))
+    val b = ex.select(col("h"), col("doc_id").as("doc_b"), col("tf").as("tf_b"))
+    val num = a.join(b, Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("tf_a") * col("tf_b")).as("num"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    num
+      .join(nrm.select(col("doc_id").as("doc_a"), col("nsq").as("nsq_a")), Seq("doc_a"))
+      .join(nrm.select(col("doc_id").as("doc_b"), col("nsq").as("nsq_b")), Seq("doc_b"))
+      .filter(lit(10000L).cast(dec) * col("num").cast(dec) * col("num").cast(dec) >=
+        lit(tauPct * tauPct).cast(dec) * col("nsq_a").cast(dec) * col("nsq_b").cast(dec))
+      .select(col("doc_a"), col("doc_b"), col("num"), col("nsq_a"), col("nsq_b"))
+  }
+
   /** Cross-corpus n-gram overlap — DECONTAMINATION: for each eval-set
     * document, every training document sharing ≥ `minShared` distinct word
     * k-shingles, with the shared count and the contamination ratio

@@ -85,16 +85,33 @@ object GraphLoader {
     * used for efficiency.
     */
   def triangleCount(edges: DataFrame): DataFrame = {
+    val (_, _, tri) = orientedTriangles(edges)
+    tri.select(least(col("u"), col("v")).as("vertex")) // min id: u vs v<w
+      .groupBy(col("vertex")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Shared machinery of the degree-oriented triangle family
+    * ([[triangleCount]], [[neighborJaccard]], [[clusteringCoefficient]],
+    * [[degreeAssortativity]]): returns (und, deg, tri) — the canonical
+    * undirected edge cache, the vertex-degree frame, and the (u, v, w)
+    * triangle frame (u the orientation source, v < w its closing pair;
+    * every triangle appears exactly once). All frames are LAZY plans —
+    * callers that never evaluate `tri` (assortativity) pay nothing for it.
+    *
+    * The und/oriented caches are registered with InternalCaches
+    * (caller-clears contract). NOTE for callers deriving src/dst with
+    * expensive per-row expressions over a few source files: apply
+    * Dedup.rebalance to the RAW scan before the derivation, or one task
+    * computes every edge (the projection stays below whatever exchange
+    * follows it). The self-loop filter runs AFTER distinct, on attributes:
+    * filtering the projection would push a predicate below it that
+    * re-evaluates the caller's src/dst expressions once more per
+    * comparison side.
+    */
+  private def orientedTriangles(edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // canonical undirected edges (a < b), self-loops and multi-edges dropped;
-    // consumed by degrees, orientation and the closing join. NOTE for
-    // callers deriving src/dst with expensive per-row expressions over a
-    // few source files: apply Dedup.rebalance to the RAW scan before the
-    // derivation, or one task computes every edge (the projection stays
-    // below whatever exchange follows it). The self-loop filter runs AFTER
-    // distinct, on attributes: filtering the projection would push a
-    // predicate below it that re-evaluates the caller's src/dst
-    // expressions once more per comparison side.
+    // canonical undirected edges (a < b), self-loops and multi-edges
+    // dropped; consumed by degrees, orientation and the closing join
     val und = graft.pipeline.InternalCaches.register(edges
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
@@ -117,9 +134,55 @@ object GraphLoader {
     val wedges = oriented.join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
       .filter(col("v") < col("w")) // each unordered out-pair once; (v,w) canonical
     val tri = wedges.join(und, wedges("v") === und("a") && wedges("w") === und("b"))
-      .select(least(col("u"), col("v")).as("vertex")) // min id: u vs v<w
-      .groupBy(col("vertex")).agg(count(lit(1)).as("n_triangles"))
-    tri
+      .select(col("u"), col("v"), col("w"))
+    (und, deg, tri)
+  }
+
+  /** Per-vertex local clustering readout: each vertex's incident-triangle
+    * count next to its degree, as the EXACT integer components of the local
+    * clustering coefficient — C(v) = 2·n_triangles / possible_pairs with
+    * possible_pairs = deg·(deg−1); the client does the one division, so the
+    * contract is fp-free. Each (u, v, w) triangle from the O(m^1.5)
+    * degree-oriented machinery fans out to its three corners (id longs
+    * only); vertices in no triangle are kept via the left join.
+    *
+    * Scale: the fan-out is 3 rows per triangle (triangle-bounded, not
+    * corpus-bounded); deg is vertex-sized and meets the per-vertex counts
+    * in one aggregate-sized join.
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val (_, deg, tri) = orientedTriangles(edges)
+    val perVertex = tri.select(col("u").as("id"))
+      .unionByName(tri.select(col("v").as("id")))
+      .unionByName(tri.select(col("w").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("tri"))
+    deg.join(perVertex, Seq("id"), "left")
+      .select(col("id").as("vertex"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("n_triangles"),
+        (col("deg") * (col("deg") - lit(1L))).as("possible_pairs"))
+  }
+
+  /** Degree assortativity components — the Pearson correlation of endpoint
+    * degrees over ORDERED edge endpoint pairs (each undirected edge
+    * contributes (da, db) and (db, da), the standard Newman convention), as
+    * one row of exact BIGINT sums: n_pairs = 2m, sum_deg = Σ(da+db),
+    * sum_prod = 2·Σ(da·db), sum_sq = Σ(da²+db²). By symmetry Σx = Σy =
+    * sum_deg and Σx² = Σy² = sum_sq, so r = (n·sum_prod − sum_deg²) /
+    * (n·sum_sq − sum_deg²) — one client-side division, engine-portable.
+    *
+    * Scale: deg is vertex-sized → broadcast into both endpoint roles; the
+    * edge frame never shuffles for the lookups and the final aggregate is
+    * map-side combined to one row. Triangles are never evaluated.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val (und, deg, _) = orientedTriangles(edges)
+    und
+      .join(broadcast(deg.select(col("id").as("a"), col("deg").as("deg_a"))), Seq("a"))
+      .join(broadcast(deg.select(col("id").as("b"), col("deg").as("deg_b"))), Seq("b"))
+      .agg((count(lit(1)) * lit(2L)).as("n_pairs"),
+        sum(col("deg_a") + col("deg_b")).as("sum_deg"),
+        (sum(col("deg_a") * col("deg_b")) * lit(2L)).as("sum_prod"),
+        sum(col("deg_a") * col("deg_a") + col("deg_b") * col("deg_b")).as("sum_sq"))
   }
 
   /** PORTABLE (oracle-checkable) PageRank: rank carried as INTEGER MASS.
@@ -480,26 +543,7 @@ object GraphLoader {
     * sets materialized per pair.
     */
   def neighborJaccard(edges: DataFrame): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val und = graft.pipeline.InternalCaches.register(edges
-      .select(least(col("src"), col("dst")).cast("long").as("a"),
-        greatest(col("src"), col("dst")).cast("long").as("b"))
-      .distinct().filter(col("a") =!= col("b")).persist(lvl))
-    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    val oriented = graft.pipeline.InternalCaches.register(und
-      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
-      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
-      .select(when(col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b")), col("a")).otherwise(col("b")).as("u"),
-        when(col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b")), col("b")).otherwise(col("a")).as("v"))
-      .repartition(col("u")) // zero-exchange cached self-join (triangleCount's trick)
-      .persist(lvl))
-    val wedges = oriented.join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
-      .filter(col("v") < col("w"))
-    val tri = wedges.join(und, wedges("v") === und("a") && wedges("w") === und("b"))
-      .select(col("u"), col("v"), col("w"))
+    val (und, deg, tri) = orientedTriangles(edges)
     val perEdge = tri
       .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
       .unionByName(

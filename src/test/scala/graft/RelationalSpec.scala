@@ -714,4 +714,142 @@ class RelationalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == expect, "argmax disagrees with brute force")
   }
+
+  test("q17SmallQty: distributed cross-multiply equals an independent exact fold") {
+    import org.apache.spark.sql.functions._
+    val brand = Tables.part(spark, sf).filter(col("p_brand") === "Brand#13")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val ls = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1).toLong, r.getDouble(2)))
+      .filter(t => brand(t._1))
+    val stats = ls.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val small = ls.filter { t =>
+      val (n, sumq) = stats(t._1); t._2 * 5 * n < sumq
+    }
+    val r = RelationalQueries.q17SmallQty(spark, sf).collect().head
+    assert(r.getLong(r.fieldIndex("total_cents")) ==
+      small.map(t => math.round(t._3 * 100)).sum,
+      "small-quantity revenue disagrees with the exact fold")
+    assert(r.getLong(r.fieldIndex("n_lines")) == small.size.toLong)
+  }
+
+  test("q11ImportantParts: every emitted pair beats 0.1% of its nation; none missed") {
+    import org.apache.spark.sql.functions._
+    val got = RelationalQueries.q11ImportantParts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    graft.pipeline.InternalCaches.release()
+    val sup = Tables.supplier(spark, sf).select("s_suppkey", "s_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val retail = Tables.part(spark, sf).select("p_partkey", "p_retailprice").collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(1) * 100)).toMap
+    val nations = Tables.nation(spark, sf).select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val pairs = Tables.lineitem(spark, sf)
+      .select("l_suppkey", "l_partkey", "l_quantity").collect()
+      .map(r => ((sup(r.getLong(0)), r.getLong(1)),
+        retail(r.getLong(1)) * r.getDouble(2).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val tot = pairs.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val expect = pairs.collect {
+      case ((nk, pk), v) if v * 1000 > tot(nk) => (nations(nk), pk) -> v
+    }.toMap
+    assert(got == expect, s"missing=${(expect.keySet -- got.keySet).take(3)} " +
+      s"extra=${(got.keySet -- expect.keySet).take(3)}")
+  }
+
+  test("autocorrLag1: per-type sums equal the brute-force adjacent-day fold") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val expect = daily.groupBy(_._1).view.mapValues { v =>
+      val series = v.sortBy(_._2).map(_._3)
+      val pairs = series.zip(series.tail).map { case (p, c) => (p, c) }
+      (pairs.size.toLong, pairs.map(_._1).sum, pairs.map(_._2).sum,
+        pairs.map(t => t._1 * t._2).sum, pairs.map(t => t._1 * t._1).sum,
+        pairs.map(t => t._2 * t._2).sum)
+    }.toMap
+    val got = RelationalQueries.autocorrLag1(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expect, "autocorrelation components disagree with brute force")
+  }
+
+  test("scd2Build: equal-type runs collapse; validity intervals tile each user's timeline") {
+    val sentinelMs = java.time.Instant.parse("2100-01-01T00:00:00Z").toEpochMilli
+    val rows = RelationalQueries.scd2Build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4)))
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_._5)
+      // versions are 1..n dense
+      assert(sorted.map(_._5) sameElements (1L to sorted.length))
+      // exactly one open (sentinel) version, and it is the last
+      assert(sorted.init.forall(_._4.getTime != sentinelMs) &&
+        sorted.last._4.getTime == sentinelMs)
+      // each valid_to equals the next valid_from (tiling, no gaps/overlap)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3, s"user $u gap at v${a._5}")
+        case _ =>
+      }
+      // no two consecutive versions share a type (runs were collapsed)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 != b._2, s"user $u uncollapsed run")
+        case _ =>
+      }
+    }
+    // row-level check vs an independent fold over the raw stream
+    val raw = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val expectVersions = raw.groupBy(_._1).view.mapValues { es =>
+      val s = es.sortBy(e => (e._2.getTime, e._3))
+      s.foldLeft(List.empty[String]) { (acc, e) =>
+        if (acc.headOption.contains(e._4)) acc else e._4 :: acc
+      }.reverse
+    }.toMap
+    byUser.foreach { case (u, vs) =>
+      assert(vs.sortBy(_._5).map(_._2).toList == expectVersions(u))
+    }
+  }
+
+  test("cupedAdjust: moment sums equal the brute-force per-user pre/post fold") {
+    // epoch millis, not Timestamp.valueOf: the latter parses in the JVM's
+    // local zone, which need not be the session's UTC
+    val midMs = java.time.Instant.parse("2024-01-16T00:00:00Z").toEpochMilli
+    val raw = Tables.events(spark, sf)
+      .select("event_type", "user_id", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2),
+        math.round(r.getDouble(3) * 100)))
+    def arm(u: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab_$u".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "A" else "B"
+    }
+    val perUser = raw.groupBy(t => (t._1, t._2)).map { case ((ty, u), es) =>
+      (ty, arm(u),
+        es.filter(_._3.getTime < midMs).map(_._4).sum,
+        es.filter(_._3.getTime >= midMs).map(_._4).sum)
+    }
+    val expect = perUser.groupBy(t => (t._1, t._2)).view.mapValues { vs =>
+      (vs.size.toLong, vs.map(_._3).sum, vs.map(_._4).sum,
+        vs.map(t => t._3 * t._4).sum, vs.map(t => t._3 * t._3).sum)
+    }.toMap
+    val got = RelationalQueries.cupedAdjust(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expect, "CUPED components disagree with brute force")
+  }
+
+  test("benfordDigits: digits are 1–9 and counts sum to the order count") {
+    val rows = RelationalQueries.benfordDigits(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.map(_._1).toSet.subsetOf(('1' to '9').map(_.toString).toSet))
+    assert(rows.map(_._2).sum == Tables.orders(spark, sf).count())
+  }
 }

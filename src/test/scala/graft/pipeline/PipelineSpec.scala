@@ -275,4 +275,50 @@ class PipelineSpec extends AnyFunSuite {
     // don ' t stop , 4 2 times ! → 9
     assert(r.getInt(1) == 9)
   }
+
+  test("tfCosinePairs: exact components equal brute force; threshold is a strict gate") {
+    // doc1/doc2: same words, different multiplicities — high tf-cosine;
+    // doc3 shares one word with doc1; doc4 disjoint
+    val d = docs(
+      1L -> "a a b b c",
+      2L -> "a a a b b b c c",
+      3L -> "c z y x w v u t",
+      4L -> "q r s")
+    val rows = Dedup.tfCosinePairs(d, tauPct = 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    graft.pipeline.InternalCaches.release()
+    // brute force over word tf maps
+    def tf(t: String) = t.split(" ").groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val m = Map(1L -> tf("a a b b c"), 2L -> tf("a a a b b b c c"),
+      3L -> tf("c z y x w v u t"), 4L -> tf("q r s"))
+    def nsq(v: Map[String, Long]) = v.values.map(x => x * x).sum
+    val expect = (for {
+      a <- m.keys; b <- m.keys if a < b
+      num = m(a).keySet.intersect(m(b).keySet).toSeq.map(w => m(a)(w) * m(b)(w)).sum
+      if num > 0 && 10000 * num * num >= 100 * nsq(m(a)) * nsq(m(b))
+    } yield (a, b) -> ((num, nsq(m(a)), nsq(m(b))))).toMap
+    assert(rows == expect, s"got $rows expect $expect")
+    // raising tau above (1,2)'s cosine must drop it
+    val strict = Dedup.tfCosinePairs(d, tauPct = 99L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.pipeline.InternalCaches.release()
+    assert(!strict.contains((1L, 3L)) && !strict.contains((3L, 4L)))
+  }
+
+  test("tfCosinePairs maxDf: capping a stopword under-counts num, never adds pairs") {
+    val d = docs(
+      1L -> "the the cat sat", 2L -> "the the cat ran",
+      3L -> "the dog", 4L -> "the bird")
+    val full = Dedup.tfCosinePairs(d, tauPct = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    graft.pipeline.InternalCaches.release()
+    val capped = Dedup.tfCosinePairs(d, tauPct = 1L, maxDf = 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    graft.pipeline.InternalCaches.release()
+    assert(capped.keySet.subsetOf(full.keySet))
+    capped.foreach { case (k, num) => assert(num <= full(k)) }
+    // "the" (df=4) is the only capped term: pairs sharing ONLY it vanish
+    assert(!capped.contains((3L, 4L)) && full.contains((3L, 4L)))
+  }
 }

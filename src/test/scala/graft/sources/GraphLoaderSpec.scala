@@ -215,4 +215,46 @@ class GraphLoaderSpec extends AnyFunSuite {
     graft.pipeline.InternalCaches.release()
     assert(got == expect, "per-edge counts disagree with brute force")
   }
+
+  test("clusteringCoefficient: per-vertex triangle/degree components equal brute force") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(11)
+    // duplicates and self-loops in the input must not change the result
+    val es = Seq.fill(140)((rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+    val st = new StructType().add("src", LongType).add("dst", LongType)
+    val d = df(st, es.map(e => Row(e._1, e._2)))
+    val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).distinct
+    val nbrs = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = nbrs.map { case (v, nv) =>
+      val tri = nv.toSeq.combinations(2).count { case Seq(x, y) => nbrs(x)(y) }
+      v -> ((nv.size.toLong, tri.toLong, nv.size.toLong * (nv.size - 1)))
+    }
+    val got = GraphLoader.clusteringCoefficient(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    graft.pipeline.InternalCaches.release()
+    assert(got == expect, "per-vertex clustering components disagree with brute force")
+  }
+
+  test("degreeAssortativity: one-row sums equal the brute-force ordered-pair fold") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(13)
+    val es = Seq.fill(100)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+    val st = new StructType().add("src", LongType).add("dst", LongType)
+    val d = df(st, es.map(e => Row(e._1, e._2)))
+    val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).distinct
+    val deg = und.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairs = und.flatMap { case (a, b) => Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val expect = (pairs.size.toLong, pairs.map(_._1).sum,
+      pairs.map(p => p._1 * p._2).sum, pairs.map(p => p._1 * p._1).sum)
+    val r = GraphLoader.degreeAssortativity(d).collect().head
+    graft.pipeline.InternalCaches.release()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == expect,
+      "assortativity sums disagree with brute force")
+  }
 }
