@@ -131,6 +131,18 @@ object SparkEntry {
             lit(20011L)).as("dst"))
       sources.GraphLoader.kCore(e, k = 3, rounds = 8)
     }),
+    // --- k-truss edge peel (support ≥ k−2 triangles) over the hash-derived
+    // graph; oracle CTE chain generated from the same parameters ---
+    "ktruss" -> ((s, d) => {
+      val e = pipeline.Dedup.rebalance(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
+        .select(
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tv_"), col("l_orderkey"))),
+            lit(20011L)).as("src"),
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
+            lit(20011L)).as("dst"))
+      sources.GraphLoader.kTruss(e, k = 3, rounds = 6)
+    }),
     // --- fixed-round BFS hop levels over the hash-derived graph; oracle
     // CTE chain generated by the same Scala loop ---
     "bfs_levels" -> ((s, d) => {
@@ -1814,6 +1826,17 @@ object SparkEntry {
            WHERE s <> t),
          ${sources.GraphLoader.kCoreOracleCtes(k = 3, rounds = 8)}
          SELECT v AS vertex, count(*)::BIGINT AS core_deg FROM adj8 GROUP BY v""",
+    // k-truss: unrolled definitional support-and-peel rounds generated
+    // from the same parameters as the engine (anti-drift pattern).
+    "ktruss" ->
+      s"""WITH und AS MATERIALIZED (
+           SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+             SELECT ('0x' || substring(md5('tv_' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 20011 AS s,
+                    ('0x' || substring(md5('tw_' || l_partkey::VARCHAR), 1, 15))::BIGINT % 20011 AS t
+             FROM lineitem)
+           WHERE s <> t),
+         ${sources.GraphLoader.kTrussOracleCtes(k = 3, rounds = 6)}
+         SELECT a, b, sup::BIGINT AS support FROM e6""",
     // Label propagation: unrolled frequency-vote rounds generated by the
     // same Scala loop that drives the engine (anti-drift pattern); the
     // argmax is the portable max-then-join-back idiom on both sides.

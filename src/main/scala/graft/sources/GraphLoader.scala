@@ -322,6 +322,102 @@ object GraphLoader {
     sb.toString
   }
 
+  /** k-truss decomposition: iteratively drop edges supported by fewer than
+    * k−2 triangles until none remain (or the round budget is spent) — the
+    * edge-level sibling of [[kCore]]'s vertex peel and the standard
+    * cohesive-subgraph refinement (a k-truss is a stricter community core
+    * than a k-core: every surviving edge sits in ≥ k−2 triangles among
+    * survivors). Output: surviving edges with their fixpoint support.
+    *
+    * CONTRACT SHAPE: peeling is MONOTONE — the edge set only shrinks, so
+    * an unchanged survivor count IS the fixpoint; the engine early-exits
+    * there while the generated DuckDB oracle ([[kTrussOracleCtes]])
+    * unrolls exactly `rounds` rounds, identity past the fixpoint — the
+    * kCore anti-drift discipline.
+    *
+    * Plan per round: per-edge support via the SAME degree-oriented wedge
+    * machinery as [[triangleCount]] (orientation caps the self-join
+    * fan-out at O(√m) out-degree — the power-law killer the oracle's
+    * definitional triple join would hit), each triangle fanned to its
+    * three canonical edges, one map-side-combined count. Every shuffle
+    * carries id longs only; the per-round adjacency and support frames
+    * are localCheckpointed eagerly and the previous round's released (the
+    * Components lineage-cut discipline, no InternalCaches entries
+    * accumulated across rounds).
+    */
+  def kTruss(edges: DataFrame, k: Int = 4, rounds: Int = 6): DataFrame = {
+    var und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .distinct().filter(col("a") =!= col("b"))
+      .localCheckpoint(true)
+    var nEdges = -1L
+    var r = 0
+    var done = false
+    var lastSup = und.select(col("a"), col("b"), lit(0L).as("support")).limit(0)
+    while (r < rounds && !done) {
+      val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val oriented = und
+        .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+        .select(when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("a")).otherwise(col("b")).as("u"),
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("b")).otherwise(col("a")).as("v"))
+        .repartition(col("u"))
+        .localCheckpoint(true) // both wedge self-join sides; released below
+      val wedges = oriented.join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
+        .filter(col("v") < col("w"))
+      val tri = wedges.join(und, wedges("v") === und("a") && wedges("w") === und("b"))
+        .select(col("u"), col("v"), col("w"))
+      val sup = tri
+        .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+        .unionByName(
+          tri.select(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")))
+        .unionByName(tri.select(col("v").as("a"), col("w").as("b"))) // v < w canonical
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      val kept = sup.filter(col("support") >= k - 2).localCheckpoint(true)
+      oriented.unpersist()
+      val n = kept.count()
+      if (n == nEdges) done = true // monotone ⇒ same count = same set
+      else {
+        nEdges = n
+        val prev = und
+        und = kept.select(col("a"), col("b")).localCheckpoint(true)
+        prev.unpersist()
+      }
+      lastSup = kept
+      r += 1
+    }
+    lastSup
+  }
+
+  /** The DuckDB twin of [[kTruss]]'s loop, generated from the same
+    * parameters (the kCoreOracleCtes anti-drift pattern): CTE text for
+    * `rounds` unrolled support-and-peel rounds over a caller-supplied CTE
+    * `und(a, b)` of canonical undirected edges, using the definitional
+    * a<b<c triple join for triangle support. The caller appends
+    * `SELECT a, b, sup::BIGINT AS support FROM e<rounds>`.
+    */
+  def kTrussOracleCtes(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder("e0 AS MATERIALIZED (SELECT a, b FROM und)")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+         tri$i AS MATERIALIZED (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e${i - 1} e1 JOIN e${i - 1} e2 ON e1.b = e2.a
+           JOIN e${i - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),
+         e$i AS MATERIALIZED (
+           SELECT a, b, count(*) AS sup FROM (
+             SELECT x AS a, y AS b FROM tri$i
+             UNION ALL SELECT x, z FROM tri$i
+             UNION ALL SELECT y, z FROM tri$i)
+           GROUP BY 1, 2 HAVING count(*) >= ${k - 2})""")
+    }
+    sb.toString
+  }
+
   /** Fixed-round BFS hop distances from the graph's min-id vertex: `rounds`
     * full relaxations of `dist(w) = min(dist(w), dist(v)+1)` over the
     * undirected adjacency — the Pregel shape, one join + one min-aggregate

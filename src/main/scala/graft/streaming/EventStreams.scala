@@ -738,6 +738,83 @@ object EventStreams {
     * quiet. One shuffle on user_id — the key the batch window partitions
     * by.
     */
+  final case class ScdRow(user_id: Long, event_type: String, valid_from: Timestamp,
+                          valid_to: Timestamp, version: Long)
+  /** `buf`: events the watermark has not yet passed, as (sec, nanos,
+    * event_id, event_type) — seconds + full sub-second nanos so the
+    * original microsecond Timestamp round-trips exactly; the open-version
+    * carry is (openType, fromSec, fromNanos, version).
+    */
+  final case class ScdState(buf: List[(Long, Int, Long, String)],
+                            openType: Option[String], fromSec: Long, fromNanos: Int,
+                            version: Long)
+
+  /** Streaming twin of `RelationalQueries.scd2Build` — SCD2 version rows
+    * built AT INGEST: per user, a run of equal event_type stays one open
+    * version; when a drained event switches the type, the finished version
+    * is emitted as [valid_from, valid_to) with its per-user version number.
+    * Replay order is (ts, event_id) — the batch window's exact sort, tied
+    * timestamps included — with out-of-order arrivals buffered until the
+    * watermark passes their event time (the streamingAsOf discipline).
+    * Timestamps are carried at full microsecond precision through the
+    * (sec, nanos) split, so the differential spec asserts EQUALITY of
+    * emitted rows against the batch build's CLOSED versions (append mode
+    * cannot retract, so the still-open version is never emitted — exactly
+    * the rows the batch twin marks with the 2100-01-01 sentinel).
+    *
+    * State per user: the in-flight buffer (bounded by per-user activity
+    * within the watermark horizon) plus ONE open-version carry — it
+    * shrinks to the carry alone when the user goes quiet. One shuffle on
+    * user_id, the key the batch windows partition by.
+    */
+  def streamingScd2(events: Dataset[Event],
+                    watermark: String = "2 hours"): Dataset[ScdRow] = {
+    import events.sparkSession.implicits._
+
+    def ts(sec: Long, nanos: Int): Timestamp = {
+      val t = new Timestamp(sec * 1000); t.setNanos(nanos); t
+    }
+    def drain(uid: Long, st: ScdState, wm: Long): (ScdState, List[ScdRow]) = {
+      val (ready, still) = st.buf.partition { case (sec, nanos, _, _) =>
+        sec * 1000 + nanos / 1000000 < wm
+      }
+      var (open, fs, fn, ver) = (st.openType, st.fromSec, st.fromNanos, st.version)
+      val out = List.newBuilder[ScdRow]
+      for ((sec, nanos, _, ty) <- ready.sortBy(e => (e._1, e._2, e._3))) {
+        open match {
+          case Some(o) if o == ty => // run continues
+          case Some(o) =>
+            out += ScdRow(uid, o, ts(fs, fn), ts(sec, nanos), ver)
+            open = Some(ty); fs = sec; fn = nanos; ver += 1
+          case None =>
+            open = Some(ty); fs = sec; fn = nanos; ver = 1
+        }
+      }
+      (ScdState(still, open, fs, fn, ver), out.result())
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdState, ScdRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[ScdState]) =>
+          val prev = state.getOption.getOrElse(ScdState(Nil, None, 0L, 0, 0L))
+          var buf = prev.buf
+          for (e <- rows)
+            buf = (Math.floorDiv(e.ts.getTime, 1000L), e.ts.getNanos,
+              e.event_id, e.event_type) :: buf
+          val (next, out) =
+            drain(uid, prev.copy(buf = buf), state.getCurrentWatermarkMs())
+          state.update(next)
+          if (next.buf.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(next.buf.map { case (s, n, _, _) => s * 1000 + n / 1000000 }.min + 1,
+                state.getCurrentWatermarkMs() + 1))
+          out.iterator
+      }
+  }
+
   def streamingAsOf(events: Dataset[Event], touchTypes: Set[String],
                     convTypes: Set[String],
                     watermark: String = "2 hours"): Dataset[Attribution] = {

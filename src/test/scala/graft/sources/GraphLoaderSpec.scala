@@ -238,6 +238,33 @@ class GraphLoaderSpec extends AnyFunSuite {
     assert(got == expect, "per-vertex clustering components disagree with brute force")
   }
 
+  test("kTruss: fixpoint edge set and supports equal the brute-force peel") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(17)
+    val es = Seq.fill(150)((rnd.nextInt(13).toLong, rnd.nextInt(13).toLong))
+    val st = new StructType().add("src", LongType).add("dst", LongType)
+    val d = df(st, es.map(e => Row(e._1, e._2)))
+    val k = 4
+    // brute-force peel to the true fixpoint
+    var cur = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).distinct.toSet
+    var stable = false
+    var sup = Map.empty[(Long, Long), Long]
+    while (!stable) {
+      val nbrs = cur.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      sup = cur.map { case (a, b) => (a, b) -> (nbrs(a) & nbrs(b)).size.toLong }.toMap
+      val next = cur.filter(e => sup(e) >= k - 2)
+      stable = next == cur
+      cur = next
+    }
+    val got = GraphLoader.kTruss(d, k = k, rounds = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == cur, s"missing=${cur -- got.keySet} extra=${got.keySet -- cur}")
+    got.foreach { case (e, s) => assert(s == sup(e), s"support of $e") }
+  }
+
   test("degreeAssortativity: one-row sums equal the brute-force ordered-pair fold") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -671,4 +671,46 @@ class EventStreamsSpec extends AnyFunSuite {
       })
     } finally q.stop()
   }
+
+  test("streamingScd2 EQUALS the batch scd2Build's closed versions on real events") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val in = MemoryStream[Event]
+    val out = EventStreams.streamingScd2(in.toDS())
+    val q = out.writeStream.format("memory").queryName("scd2_diff")
+      .outputMode("append").start()
+    try {
+      in.addData(evs)
+      q.processAllAvailable()
+      // far-future same-type sentinel pair: advances the watermark past
+      // every real event (draining all closable versions) while its own
+      // fake user only ever holds one OPEN version — nothing emitted for it
+      val sentinelMs = evs.map(_.ts.getTime).max + 100L * 3600000
+      in.addData(Event(-1L, new Timestamp(sentinelMs), -7L, "s", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(-2L, new Timestamp(sentinelMs + 3600000), -7L, "s", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("scd2_diff").collect()
+        .map(r => (r.getLong(0), r.getLong(4)) ->
+          ((r.getString(1), r.getTimestamp(2), r.getTimestamp(3)))).toMap
+      val open = java.time.Instant.parse("2100-01-01T00:00:00Z").toEpochMilli
+      val batch = graft.RelationalQueries.scd2Build(spark, dir)
+        .collect()
+        .filter(r => r.getTimestamp(3).getTime != open) // closed versions only
+        .map(r => (r.getLong(0), r.getLong(4)) ->
+          ((r.getString(1), r.getTimestamp(2), r.getTimestamp(3)))).toMap
+      assert(batch.nonEmpty, "fixture must exercise real closed versions")
+      assert(streamed == batch, {
+        val onlyS = streamed.keySet -- batch.keySet
+        val onlyB = batch.keySet -- streamed.keySet
+        val diff = (streamed.keySet & batch.keySet).filter(k => streamed(k) != batch(k))
+        s"onlyStream=${onlyS.take(5)} onlyBatch=${onlyB.take(5)} " +
+          s"valueDiff=${diff.take(3).map(k => (k, streamed(k), batch(k)))}"
+      })
+    } finally q.stop()
+  }
 }
