@@ -247,9 +247,9 @@ object SparkEntry {
     "scd2_build" -> RelationalQueries.scd2Build _,
     // --- CUPED variance-reduced A/B readout, exact moment components ---
     "cuped_adjust" -> RelationalQueries.cupedAdjust _,
-    // --- tf-weighted cosine near-dup pairs (exact cross-multiplied τ) ---
+    // --- tf-weighted shingle-cosine near-dup pairs (exact cross-multiplied τ) ---
     "tf_cosine" -> ((s, d) =>
-      pipeline.Dedup.tfCosinePairs(Tables.documents(s, d), tauPct = 80L)),
+      pipeline.Dedup.tfCosinePairs(Tables.documents(s, d), k = 3, tauPct = 80L)),
     // --- Benford first-digit profile of order totals ---
     "benford_digits" -> RelationalQueries.benfordDigits _,
     // --- per-nation Gini concentration, exact ranked-sum decomposition ---
@@ -1987,12 +1987,19 @@ object SparkEntry {
                 sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
                 sum(x * y)::BIGINT AS sum_xy, sum(x * x)::BIGINT AS sum_xx
          FROM per_user GROUP BY 1, 2""",
-    // tf-cosine pairs: definitional word-level tf join; HUGEINT
-    // cross-multiply mirrors the engine's decimal(38,0) comparison.
+    // tf-cosine pairs: definitional 3-word-shingle tf join (the
+    // dedup_jaccard oracle's shingle construction WITHOUT list_distinct —
+    // multiplicity is the payload); HUGEINT cross-multiply mirrors the
+    // engine's decimal(38,0) comparison.
     "tf_cosine" ->
-      """WITH tok AS (
-           SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
            FROM documents),
+         tok AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS w
+           FROM toks),
          tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
          nrm AS (SELECT doc_id, sum(tf * tf)::BIGINT AS nsq FROM tf GROUP BY 1),
          nm AS (

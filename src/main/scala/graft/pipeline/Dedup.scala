@@ -384,20 +384,28 @@ object Dedup {
     * Output carries the integer evidence (num, nsq_a, nsq_b); cosine
     * itself is the client's one division+sqrt.
     *
+    * Terms are word k-shingles ([[shingleHashes]], the jaccard/containment
+    * convention — k=1 degenerates to plain words): on low-entropy corpora
+    * word-level tf is useless (a 31-word template vocabulary makes most
+    * document pairs cosine-similar AND makes every word a hot posting —
+    * measured: 448M candidate pairs at word level vs 2.8M at k=3 on the
+    * same 5000-doc corpus), while shingle-level keeps the inverted index
+    * sparse and the similarity discriminative.
+    *
     * Plan: [[jaccardJoin]]'s inverted index with tf payloads — postings
-    * (w-hash, doc, tf) meet by term, partial-sum map-side, group to
+    * (shingle-hash, doc, tf) meet by term, partial-sum map-side, group to
     * (a, b, num); norms are a doc-sized aggregate joined back at the end
     * (aggregate-sized, AQE-broadcastable). Same `maxDf` hot-term escape
-    * valve and accounting caveat as jaccard: capping df drops stopword
+    * valve and accounting caveat as jaccard: capping df drops boilerplate
     * postings, which strictly UNDER-counts num for affected pairs — at
     * maxDf=0 exact, at maxDf>0 a recall floor documented at the call site.
     * Shuffles carry (hash, id, tf) longs, never text.
     */
-  def tfCosinePairs(docs: DataFrame, tauPct: Long = 80L,
+  def tfCosinePairs(docs: DataFrame, k: Int = 3, tauPct: Long = 80L,
                     maxDf: Long = 0L): DataFrame = {
     val tf = InternalCaches.register(rebalance(docs)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .groupBy(col("doc_id"), xxhash64(col("w")).as("h"))
+      .select(col("doc_id"), explode(shingleHashes(tokens(col("text")), k)).as("h"))
+      .groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("tf"))
       .cache()) // consumed by norms + both postings sides; caller releases
     val nrm = tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("nsq"))

@@ -284,7 +284,7 @@ class PipelineSpec extends AnyFunSuite {
       2L -> "a a a b b b c c",
       3L -> "c z y x w v u t",
       4L -> "q r s")
-    val rows = Dedup.tfCosinePairs(d, tauPct = 10L).collect()
+    val rows = Dedup.tfCosinePairs(d, k = 1, tauPct = 10L).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     graft.pipeline.InternalCaches.release()
@@ -300,7 +300,7 @@ class PipelineSpec extends AnyFunSuite {
     } yield (a, b) -> ((num, nsq(m(a)), nsq(m(b))))).toMap
     assert(rows == expect, s"got $rows expect $expect")
     // raising tau above (1,2)'s cosine must drop it
-    val strict = Dedup.tfCosinePairs(d, tauPct = 99L).collect()
+    val strict = Dedup.tfCosinePairs(d, k = 1, tauPct = 99L).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     graft.pipeline.InternalCaches.release()
     assert(!strict.contains((1L, 3L)) && !strict.contains((3L, 4L)))
@@ -310,10 +310,10 @@ class PipelineSpec extends AnyFunSuite {
     val d = docs(
       1L -> "the the cat sat", 2L -> "the the cat ran",
       3L -> "the dog", 4L -> "the bird")
-    val full = Dedup.tfCosinePairs(d, tauPct = 1L).collect()
+    val full = Dedup.tfCosinePairs(d, k = 1, tauPct = 1L).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     graft.pipeline.InternalCaches.release()
-    val capped = Dedup.tfCosinePairs(d, tauPct = 1L, maxDf = 3L).collect()
+    val capped = Dedup.tfCosinePairs(d, k = 1, tauPct = 1L, maxDf = 3L).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     graft.pipeline.InternalCaches.release()
     assert(capped.keySet.subsetOf(full.keySet))
