@@ -1990,6 +1990,108 @@ object RelationalQueries {
         sum(col("x") * col("x")).as("sum_xx"))
   }
 
+  /** KMV set algebra — audience overlap between every pair of event types
+    * from MERGED bottom-k sketches, the mergeability law the ⊕-union
+    * story needs at the sketch level: K = bottom-k of the two sketches'
+    * union, and because any x ∈ K has h(x) below the union's k-th hash —
+    * which is ≤ either side's own k-th hash — sketch membership IS set
+    * membership for K's elements, so ρ = |{x ∈ K : x ∈ A ∧ x ∈ B}| is
+    * computed exactly from the sketches alone. The contract emits the
+    * integer internals (k_eff, inter_k, kth_hash); Jaccard ≈ inter_k/k_eff
+    * and |A∩B| ≈ ρ·est_union are the client's divisions.
+    *
+    * Scale: the per-type sketch is the native [[graft.functions.KmvSmallest]]
+    * TypedImperativeAggregate — map-side bounded state, no distinct
+    * shuffle of raw users; everything after operates on |types|·k rows.
+    */
+  def kmvOverlap(ev: DataFrame, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val mins = bridge.column(graft.functions.KmvSmallest(
+      bridge.expression(graft.functions.PortableHash.hash60(col("user_id"))), k)
+      .toAggregateExpression())
+    val sk = ev.groupBy(col("event_type")).agg(mins.as("mins"))
+    val ex = sk.select(col("event_type"), explode(col("mins")).as("hv"))
+    val ty = sk.select(col("event_type"))
+    val pr = ty.select(col("event_type").as("ta"))
+      .join(ty.select(col("event_type").as("tb")), col("ta") < col("tb"))
+    val mrg = pr.join(ex.withColumnRenamed("event_type", "ta"), Seq("ta"))
+      .unionByName(pr.join(ex.withColumnRenamed("event_type", "tb"), Seq("tb"))
+        .select(col("ta"), col("tb"), col("hv")))
+    val du = mrg.groupBy(col("ta"), col("tb"), col("hv"))
+      .agg(count(lit(1)).as("sides"))
+    val w = Window.partitionBy("ta", "tb").orderBy("hv")
+    du.select(col("ta"), col("tb"), col("hv"), col("sides"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= k)
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("k_eff"),
+        sum(when(col("sides") === 2, 1L).otherwise(0L)).as("inter_k"),
+        max(col("hv")).as("kth_hash"))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("k_eff"), col("inter_k"), col("kth_hash"))
+  }
+
+  /** Contract instance over the events table. */
+  def kmvOverlapQuery(s: SparkSession, d: String): DataFrame =
+    kmvOverlap(events(s, d))
+
+  /** Functional-dependency audit — the data-profiling complement of
+    * ref_integrity's FK check: for each CANDIDATE determinant→dependent
+    * pair, the number of determinant values mapping to more than one
+    * distinct dependent (violations) next to the distinct-determinant
+    * total. A zero-violation row certifies the FD holds on this corpus;
+    * the candidates deliberately mix keys that must hold with attribute
+    * pairs that must not.
+    *
+    * Scale: each check is one map-side-combined two-level aggregate of a
+    * single table; the union is |candidates| single-row frames.
+    */
+  def fdAudit(s: SparkSession, d: String): DataFrame = {
+    def check(df: DataFrame, fd: String, det: org.apache.spark.sql.Column,
+              dep: org.apache.spark.sql.Column): DataFrame =
+      df.groupBy(det.as("k")).agg(countDistinct(dep).as("nv"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("nv") > 1, 1L).otherwise(0L)).as("violations"))
+        .select(lit(fd).as("fd"), col("n_keys"), col("violations"))
+    check(orders(s, d), "o_orderkey->o_custkey", col("o_orderkey"), col("o_custkey"))
+      .unionByName(check(orders(s, d), "o_custkey->o_orderpriority",
+        col("o_custkey"), col("o_orderpriority")))
+      .unionByName(check(lineitem(s, d), "l_orderkey->l_suppkey",
+        col("l_orderkey"), col("l_suppkey")))
+      .unionByName(check(part(s, d), "p_brand->p_type", col("p_brand"), col("p_type")))
+      .unionByName(check(customer(s, d), "c_custkey->c_mktsegment",
+        col("c_custkey"), col("c_mktsegment")))
+  }
+
+  /** Inter-arrival histogram: per event type, the distribution of the gap
+    * to the SAME USER's previous event (any type) across fixed duration
+    * buckets — the ops/latency profile. Gaps are exact BIGINT microsecond
+    * differences; the bucket ladder is integer comparisons, so both
+    * engines bin identically (no fp log). Bucket labels carry a sort
+    * prefix so lexical order is bucket order.
+    *
+    * Scale: one per-user window over (ts, event_id), then a
+    * map-side-combined |types|·|buckets| aggregate.
+    */
+  def interarrivalHist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val us = unix_micros(col("ts"))
+    val gap = events(s, d)
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
+      .select(col("event_type"), (us - lag(us, 1).over(w)).as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+    val bucket = when(col("gap_us") < 1000000L, "0_lt_1s")
+      .when(col("gap_us") < 10000000L, "1_1s_10s")
+      .when(col("gap_us") < 60000000L, "2_10s_1m")
+      .when(col("gap_us") < 600000000L, "3_1m_10m")
+      .when(col("gap_us") < 3600000000L, "4_10m_1h")
+      .when(col("gap_us") < 21600000000L, "5_1h_6h")
+      .when(col("gap_us") < 86400000000L, "6_6h_1d")
+      .otherwise("7_ge_1d")
+    gap.select(col("event_type"), bucket.as("bucket"))
+      .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
   /** Benford first-digit profile of order totals: the distribution of the
     * leading significant digit of o_totalprice in cents, per digit 1–9 with
     * counts — the classic fraud/quality screen. The digit comes from the

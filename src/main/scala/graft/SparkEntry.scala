@@ -252,6 +252,12 @@ object SparkEntry {
       pipeline.Dedup.tfCosinePairs(Tables.documents(s, d), k = 3, tauPct = 80L)),
     // --- Benford first-digit profile of order totals ---
     "benford_digits" -> RelationalQueries.benfordDigits _,
+    // --- KMV sketch-merge audience overlap per event-type pair ---
+    "kmv_overlap" -> RelationalQueries.kmvOverlapQuery _,
+    // --- functional-dependency audit over candidate det→dep pairs ---
+    "fd_audit" -> RelationalQueries.fdAudit _,
+    // --- per-type inter-arrival gap histogram, integer µs bucket ladder ---
+    "interarrival_hist" -> RelationalQueries.interarrivalHist _,
     // --- per-nation Gini concentration, exact ranked-sum decomposition ---
     "gini_concentration" -> RelationalQueries.giniConcentration _,
     // --- per-key reservoir sample via the bounded heap aggregate (k rows
@@ -2017,6 +2023,73 @@ object SparkEntry {
       """SELECT substring(round(o_totalprice * 100)::BIGINT::VARCHAR, 1, 1) AS digit,
                 count(*)::BIGINT AS cnt
          FROM orders GROUP BY 1""",
+    // KMV overlap: replay both per-type bottom-256 sketches, merge to the
+    // union's bottom-256, count two-sided members (sketch membership is
+    // set membership below the union's k-th hash).
+    "kmv_overlap" ->
+      """WITH h AS (
+           SELECT DISTINCT event_type,
+                  ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+           FROM events),
+         r AS (SELECT event_type, hv,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+               FROM h),
+         s AS (SELECT event_type, hv FROM r WHERE rn <= 256),
+         ty AS (SELECT DISTINCT event_type FROM s),
+         pr AS (SELECT t1.event_type AS ta, t2.event_type AS tb
+                FROM ty t1 JOIN ty t2 ON t1.event_type < t2.event_type),
+         mrg AS (
+           SELECT pr.ta, pr.tb, s.hv FROM pr JOIN s ON s.event_type = pr.ta
+           UNION ALL
+           SELECT pr.ta, pr.tb, s.hv FROM pr JOIN s ON s.event_type = pr.tb),
+         du AS (SELECT ta, tb, hv, count(*) AS sides FROM mrg GROUP BY 1, 2, 3),
+         rk AS (SELECT ta, tb, hv, sides,
+                  row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+                FROM du)
+         SELECT ta AS type_a, tb AS type_b, count(*)::BIGINT AS k_eff,
+                sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END)::BIGINT AS inter_k,
+                max(hv)::BIGINT AS kth_hash
+         FROM rk WHERE rn <= 256 GROUP BY 1, 2""",
+    // FD audit: candidate dependencies, violations = keys with >1 dependent.
+    "fd_audit" ->
+      """SELECT 'o_orderkey->o_custkey' AS fd, count(*)::BIGINT AS n_keys,
+                sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)::BIGINT AS violations
+         FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS nv FROM orders GROUP BY 1)
+         UNION ALL
+         SELECT 'o_custkey->o_orderpriority', count(*)::BIGINT,
+                sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)::BIGINT
+         FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nv FROM orders GROUP BY 1)
+         UNION ALL
+         SELECT 'l_orderkey->l_suppkey', count(*)::BIGINT,
+                sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)::BIGINT
+         FROM (SELECT l_orderkey, count(DISTINCT l_suppkey) AS nv FROM lineitem GROUP BY 1)
+         UNION ALL
+         SELECT 'p_brand->p_type', count(*)::BIGINT,
+                sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)::BIGINT
+         FROM (SELECT p_brand, count(DISTINCT p_type) AS nv FROM part GROUP BY 1)
+         UNION ALL
+         SELECT 'c_custkey->c_mktsegment', count(*)::BIGINT,
+                sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)::BIGINT
+         FROM (SELECT c_custkey, count(DISTINCT c_mktsegment) AS nv FROM customer GROUP BY 1)""",
+    // Inter-arrival histogram: exact µs gaps, integer bucket ladder.
+    "interarrival_hist" ->
+      """WITH g AS (
+           SELECT event_type,
+                  epoch_us(ts) - lag(epoch_us(ts), 1)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+           FROM events)
+         SELECT event_type,
+                CASE WHEN gap_us < 1000000 THEN '0_lt_1s'
+                     WHEN gap_us < 10000000 THEN '1_1s_10s'
+                     WHEN gap_us < 60000000 THEN '2_10s_1m'
+                     WHEN gap_us < 600000000 THEN '3_1m_10m'
+                     WHEN gap_us < 3600000000 THEN '4_10m_1h'
+                     WHEN gap_us < 21600000000 THEN '5_1h_6h'
+                     WHEN gap_us < 86400000000 THEN '6_6h_1d'
+                     ELSE '7_ge_1d' END AS bucket,
+                count(*)::BIGINT AS cnt
+         FROM g WHERE gap_us IS NOT NULL
+         GROUP BY 1, 2""",
     // Gini numerator via the ranked-sum identity 2·Σ(i·x) − (n+1)·Σx;
     // row_number among tied x is arbitrary but the sum is tie-invariant.
     "gini_concentration" ->

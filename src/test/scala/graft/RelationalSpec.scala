@@ -846,6 +846,67 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == expect, "CUPED components disagree with brute force")
   }
 
+  test("kmvOverlap: pair components equal the brute-force sketch replay") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // synthetic (type, user) incidence with real overlap; small k forces
+    // genuine bottom-k truncation
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(600)((Seq("a", "b", "c")(rnd.nextInt(3)), rnd.nextInt(80).toLong))
+    val st = new StructType().add("event_type", StringType).add("user_id", LongType)
+    val d = df(st, rows.map(r => Row(r._1, r._2)))
+    val k = 16
+    def h60(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val byType = rows.distinct.groupBy(_._1).view
+      .mapValues(_.map(t => h60(t._2)).distinct.sorted.take(k).toSet).toMap
+    val types = byType.keys.toSeq.sorted
+    val expect = (for {
+      a <- types; b <- types if a < b
+      merged = (byType(a) ++ byType(b)).toSeq.sorted.take(k)
+    } yield (a, b) -> ((merged.size.toLong,
+      merged.count(x => byType(a)(x) && byType(b)(x)).toLong, merged.max))).toMap
+    val got = RelationalQueries.kmvOverlap(d, k).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, s"got $got expect $expect")
+  }
+
+  test("fdAudit: key FDs certify zero violations; attribute FDs violate") {
+    val got = RelationalQueries.fdAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("o_orderkey->o_custkey")._2 == 0L)   // primary key determines
+    assert(got("c_custkey->c_mktsegment")._2 == 0L) // primary key determines
+    assert(got("l_orderkey->l_suppkey")._2 > 0L)    // orders span suppliers
+    got.values.foreach { case (n, v) => assert(v <= n) }
+  }
+
+  test("interarrivalHist: bucket counts equal a brute-force gap fold; total = rows − users") {
+    import org.apache.spark.sql.functions._
+    val raw = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val labels = Seq(1000000L -> "0_lt_1s", 10000000L -> "1_1s_10s",
+      60000000L -> "2_10s_1m", 600000000L -> "3_1m_10m",
+      3600000000L -> "4_10m_1h", 21600000000L -> "5_1h_6h",
+      86400000000L -> "6_6h_1d")
+    def bucket(g: Long): String =
+      labels.collectFirst { case (bound, l) if g < bound => l }.getOrElse("7_ge_1d")
+    val expect = raw.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (us(e._2), e._3))
+      s.zip(s.tail).map { case (p, c) => (c._4, bucket(us(c._2) - us(p._2))) }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = RelationalQueries.interarrivalHist(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expect, "bucket counts disagree with brute force")
+    assert(got.values.sum == raw.length - raw.map(_._1).distinct.length)
+  }
+
   test("benfordDigits: digits are 1–9 and counts sum to the order count") {
     val rows = RelationalQueries.benfordDigits(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1))
