@@ -709,6 +709,70 @@ object EventStreams {
       }
   }
 
+  final case class GapRow(event_type: String, bucket: String)
+  /** `buf`: in-flight events as (sec, nanos, event_id, event_type); the
+    * carry is the last REPLAYED event's (sec, nanos) — the predecessor of
+    * whatever drains next.
+    */
+  final case class GapState(buf: List[(Long, Int, Long, String)],
+                            hasPrev: Boolean, prevSec: Long, prevNanos: Int)
+
+  /** Streaming twin of `RelationalQueries.interarrivalHist`'s gap
+    * derivation: per user, each drained event emits (event_type, bucket)
+    * for the exact µs gap to the SAME user's previous event — the
+    * streamingScd2 buffered-replay discipline (watermark-ordered
+    * (ts, event_id) replay, microsecond-precise (sec, nanos) state), with
+    * the histogram aggregation left to the consumer (`groupBy(type,
+    * bucket).count` completes the batch query; the differential spec does
+    * exactly that and asserts EQUALITY on real events).
+    *
+    * State per user: the in-flight buffer plus one (sec, nanos) carry.
+    */
+  def streamingInterarrival(events: Dataset[Event],
+                            watermark: String = "2 hours"): Dataset[GapRow] = {
+    import events.sparkSession.implicits._
+
+    def bucket(gapUs: Long): String =
+      if (gapUs < 1000000L) "0_lt_1s"
+      else if (gapUs < 10000000L) "1_1s_10s"
+      else if (gapUs < 60000000L) "2_10s_1m"
+      else if (gapUs < 600000000L) "3_1m_10m"
+      else if (gapUs < 3600000000L) "4_10m_1h"
+      else if (gapUs < 21600000000L) "5_1h_6h"
+      else if (gapUs < 86400000000L) "6_6h_1d"
+      else "7_ge_1d"
+    def us(sec: Long, nanos: Int): Long = sec * 1000000L + nanos / 1000L
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, GapRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[Event], state: GroupState[GapState]) =>
+          val prev = state.getOption.getOrElse(GapState(Nil, hasPrev = false, 0L, 0))
+          var buf = prev.buf
+          for (e <- rows)
+            buf = (Math.floorDiv(e.ts.getTime, 1000L), e.ts.getNanos,
+              e.event_id, e.event_type) :: buf
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, still) = buf.partition { case (sec, nanos, _, _) =>
+            sec * 1000 + nanos / 1000000 < wm
+          }
+          var (has, ps, pn) = (prev.hasPrev, prev.prevSec, prev.prevNanos)
+          val out = List.newBuilder[GapRow]
+          for ((sec, nanos, _, ty) <- ready.sortBy(e => (e._1, e._2, e._3))) {
+            if (has) out += GapRow(ty, bucket(us(sec, nanos) - us(ps, pn)))
+            has = true; ps = sec; pn = nanos
+          }
+          state.update(GapState(still, has, ps, pn))
+          if (still.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(still.map { case (s, n, _, _) => s * 1000 + n / 1000000 }.min + 1,
+                wm + 1))
+          out.result().iterator
+      }
+  }
+
   final case class Attribution(user_id: Long, conv_id: Long, conv_ts: Timestamp,
                                touch_id: Option[Long], touch_ts: Option[Timestamp],
                                lag_ms: Option[Long])

@@ -672,6 +672,38 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingInterarrival histogram EQUALS the batch interarrivalHist on real events") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val in = MemoryStream[Event]
+    val out = EventStreams.streamingInterarrival(in.toDS())
+    val q = out.writeStream.format("memory").queryName("gap_diff")
+      .outputMode("append").start()
+    try {
+      in.addData(evs)
+      q.processAllAvailable()
+      // sentinel pair for a fake user: advances the watermark past every
+      // real event; its own first event emits no gap and its second stays
+      // buffered, so nothing is emitted for it
+      val sentinelMs = evs.map(_.ts.getTime).max + 100L * 3600000
+      in.addData(Event(-1L, new Timestamp(sentinelMs), -7L, "s", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(-2L, new Timestamp(sentinelMs + 3600000), -7L, "s", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("gap_diff")
+        .groupBy(col("event_type"), col("bucket")).count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.RelationalQueries.interarrivalHist(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed=$streamed\nbatch=$batch")
+    } finally q.stop()
+  }
+
   test("streamingScd2 EQUALS the batch scd2Build's closed versions on real events") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
