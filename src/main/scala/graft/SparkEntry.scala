@@ -581,6 +581,18 @@ object SparkEntry {
             lit(20011L)).as("dst"))
       sources.GraphLoader.pageRankPortable(e, iters = 3)
     }),
+    // --- portable integer-mass HITS over the same directed hash graph;
+    // oracle CTE chain generated from the same parameters ---
+    "hits_scores" -> ((s, d) => {
+      val e = pipeline.Dedup.rebalance(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
+        .select(
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tv_"), col("l_orderkey"))),
+            lit(20011L)).as("src"),
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
+            lit(20011L)).as("dst"))
+      sources.GraphLoader.hitsPortable(e, iters = 2)
+    }),
     // --- relational frontend (SURVEY §3.2): op-tree lowered to Catalyst ---
     "raco_frontend" -> ((s, d) => {
       import plans.Relational._
@@ -1387,6 +1399,21 @@ object SparkEntry {
          GROUP BY e1.a""",
     // Integer-mass PageRank, 3 unrolled rounds: same directed hash-derived
     // edges as the engine, floor-division contributions, exact BIGINT sums.
+    // Portable HITS: unrolled hub/authority half-rounds with floor-division
+    // renormalization, generated from the same parameters as the engine.
+    "hits_scores" ->
+      s"""WITH ed AS (
+           SELECT DISTINCT s, t FROM (
+             SELECT ('0x' || substring(md5('tv_' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 20011 AS s,
+                    ('0x' || substring(md5('tw_' || l_partkey::VARCHAR), 1, 15))::BIGINT % 20011 AS t
+             FROM lineitem)
+           WHERE s <> t),
+         ${sources.GraphLoader.hitsOracleCtes(iters = 2, scale = 1000000L)}
+         SELECT n.v AS vertex, coalesce(h.m, 0)::BIGINT AS hub_mass,
+                coalesce(a.m, 0)::BIGINT AS auth_mass
+         FROM nodes n
+         LEFT JOIN h2 h ON n.v = h.v
+         LEFT JOIN a2 a ON n.v = a.v""",
     "pagerank" ->
       """WITH ed AS (
            SELECT DISTINCT s, t FROM (

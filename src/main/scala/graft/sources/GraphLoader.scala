@@ -248,6 +248,85 @@ object GraphLoader {
     out
   }
 
+  /** PORTABLE HITS (hubs & authorities) — the link-analysis pair next to
+    * [[pageRankPortable]]: fixed synchronous rounds over the DIRECTED
+    * deduped edge list, both scores carried as INTEGER MASS. Each round
+    * computes auth(v) = Σ_{u→v} hub(u) then renormalizes to total `scale`
+    * by the exact floor division (r·scale) div max(Σr, 1), then hub(u) =
+    * Σ_{u→v} auth(v) with the same renorm — all BIGINT, so the generated
+    * DuckDB CTE chain ([[hitsOracleCtes]]) agrees bit for bit. The floor
+    * renorm replaces HITS' L2 normalization; it preserves ranking order
+    * (monotone scaling) and bounds magnitudes so the next half-round's
+    * sums stay ≤ scale·maxdeg ≪ 2⁶³ (pick `scale` so that product fits —
+    * 10⁶ leaves room for degree up to ~10⁶).
+    *
+    * Scale: edges pre-partitioned on the probe key and persisted once;
+    * each half-round is one broadcast-sized mass join probing the edge
+    * cache + one map-side-combined aggregation; the raw score frame is
+    * vertex-sized and localCheckpointed before the renorm reads it twice
+    * (once for Σ, once for the division) — the normalizer combine is a
+    * keyless-aggregate cross join, the 1×N bounded shape the plan
+    * guardrail whitelists. Returns every vertex with coalesced-0 scores.
+    */
+  def hitsPortable(edges: DataFrame, iters: Int = 2,
+                   scale: Long = 1000000L): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+    val ed = e.repartition(col("s")).dropDuplicates(Seq("s", "t")).persist(lvl)
+    val nodes = ed.select(col("s").as("v")).union(ed.select(col("t").as("v")))
+      .distinct().localCheckpoint(true)
+    def renorm(raw: DataFrame): DataFrame = {
+      val r = raw.localCheckpoint(true) // vertex-sized; computed once, read twice
+      r.crossJoin(r.agg(greatest(sum(col("r")), lit(1L)).as("tot")))
+        .select(col("v"), expr(s"(r * ${scale}L) div tot").as("m"))
+    }
+    var hub = nodes.select(col("v"), lit(scale).as("m"))
+    var auth = hub.limit(0)
+    for (_ <- 1 to iters) {
+      auth = renorm(ed.join(hub.withColumnRenamed("v", "s"), Seq("s"))
+        .groupBy(col("t").as("v")).agg(sum(col("m")).as("r")))
+      hub = renorm(ed.join(auth.withColumnRenamed("v", "t"), Seq("t"))
+        .groupBy(col("s").as("v")).agg(sum(col("m")).as("r")))
+    }
+    val out = nodes
+      .join(hub.select(col("v"), col("m").as("hub_mass")), Seq("v"), "left")
+      .join(auth.select(col("v"), col("m").as("auth_mass")), Seq("v"), "left")
+      .select(col("v").as("vertex"),
+        coalesce(col("hub_mass"), lit(0L)).as("hub_mass"),
+        coalesce(col("auth_mass"), lit(0L)).as("auth_mass"))
+      .localCheckpoint(true) // materialize before releasing the edge cache
+    ed.unpersist()
+    out
+  }
+
+  /** The DuckDB twin of [[hitsPortable]]'s loop, generated from the same
+    * parameters (the kCoreOracleCtes anti-drift pattern): CTE text over a
+    * caller-supplied CTE `ed(s, t)` of deduped directed edges. DuckDB's
+    * `//` and Spark's `div` both floor-divide the non-negative masses.
+    * The caller appends the final nodes LEFT JOIN h<iters>/a<iters> select.
+    */
+  def hitsOracleCtes(iters: Int, scale: Long): String = {
+    val sb = new StringBuilder(
+      """nodes AS MATERIALIZED (
+           SELECT DISTINCT v FROM (SELECT s AS v FROM ed UNION ALL SELECT t FROM ed)),
+         h0 AS MATERIALIZED (SELECT v, """ + scale + "::BIGINT AS m FROM nodes)")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+         ra$i AS MATERIALIZED (
+           SELECT e.t AS v, sum(h.m)::BIGINT AS r FROM ed e
+           JOIN h${i - 1} h ON e.s = h.v GROUP BY 1),
+         at$i AS (SELECT greatest(sum(r), 1)::BIGINT AS tot FROM ra$i),
+         a$i AS MATERIALIZED (SELECT ra$i.v, ((r * $scale) // tot)::BIGINT AS m FROM ra$i, at$i),
+         rh$i AS MATERIALIZED (
+           SELECT e.s AS v, sum(a.m)::BIGINT AS r FROM ed e
+           JOIN a$i a ON e.t = a.v GROUP BY 1),
+         ht$i AS (SELECT greatest(sum(r), 1)::BIGINT AS tot FROM rh$i),
+         h$i AS MATERIALIZED (SELECT rh$i.v, ((r * $scale) // tot)::BIGINT AS m FROM rh$i, ht$i)""")
+    }
+    sb.toString
+  }
+
   /** k-core peeling: iteratively remove vertices of induced degree < k
     * until none remain (or the round budget is spent) — the standard
     * density decomposition (dense dup-cluster cores, spam-farm detection)
@@ -351,6 +430,7 @@ object GraphLoader {
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .distinct().filter(col("a") =!= col("b"))
       .localCheckpoint(true)
+    var backing = und // the checkpoint the current `und` plan rides on
     var nEdges = -1L
     var r = 0
     var done = false
@@ -383,9 +463,12 @@ object GraphLoader {
       if (n == nEdges) done = true // monotone ⇒ same count = same set
       else {
         nEdges = n
-        val prev = und
-        und = kept.select(col("a"), col("b")).localCheckpoint(true)
-        prev.unpersist()
+        // next round's edge list is a PROJECTION of the already-checkpointed
+        // support frame — a second eager checkpoint here would re-materialize
+        // the whole edge list once more per round for nothing
+        und = kept.select(col("a"), col("b"))
+        backing.unpersist()
+        backing = kept
       }
       lastSup = kept
       r += 1

@@ -238,6 +238,35 @@ class GraphLoaderSpec extends AnyFunSuite {
     assert(got == expect, "per-vertex clustering components disagree with brute force")
   }
 
+  test("hitsPortable matches an in-memory integer-mass replay") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val es = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L), (3L, 1L),
+      (1L, 3L), (0L, 1L), (4L, 4L)) // dup edge + self-loop must be dropped
+    val st = new StructType().add("src", LongType).add("dst", LongType)
+    val d = df(st, es.map(e => Row(e._1, e._2)))
+    val scale = 1000000L; val iters = 3
+    val ded = es.map(e => (e._1, e._2)).filter(e => e._1 != e._2).distinct
+    val nodes = ded.flatMap(e => Seq(e._1, e._2)).distinct
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val ra = ded.groupBy(_._2).view
+        .mapValues(_.map(e => hub.getOrElse(e._1, 0L)).sum).toMap
+      val ta = math.max(ra.values.sum, 1L)
+      auth = ra.view.mapValues(r => r * scale / ta).toMap
+      val rh = ded.groupBy(_._1).view
+        .mapValues(_.map(e => auth.getOrElse(e._2, 0L)).sum).toMap
+      val th = math.max(rh.values.sum, 1L)
+      hub = rh.view.mapValues(r => r * scale / th).toMap
+    }
+    val expect = nodes.map(v =>
+      v -> ((hub.getOrElse(v, 0L), auth.getOrElse(v, 0L)))).toMap
+    val got = GraphLoader.hitsPortable(d, iters, scale).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect, s"got $got expect $expect")
+  }
+
   test("kTruss: fixpoint edge set and supports equal the brute-force peel") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
