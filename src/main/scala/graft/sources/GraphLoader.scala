@@ -684,11 +684,18 @@ object GraphLoader {
     * collect.
     */
   def communityStats(edges: DataFrame, rounds: Int): DataFrame = {
-    val und = edges
+    // canonicalize ONCE and cache: the edge list is consumed four times
+    // (labelPropagation's own derivation + m / internal / degree reads
+    // here) — uncached, callers deriving src/dst with expensive per-row
+    // expressions (the md5 hash fixtures) would recompute that projection
+    // every time. labelPropagation re-canonicalizes the already-canonical
+    // cache — a cheap idempotent distinct against re-reading the source.
+    val und = graft.pipeline.InternalCaches.register(edges
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .distinct().filter(col("a") =!= col("b"))
-    val lab = labelPropagation(edges, rounds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val lab = labelPropagation(und.select(col("a").as("src"), col("b").as("dst")), rounds)
       .select(col("vertex").as("v"), col("label").as("lbl"))
     val mDf = und.agg(count(lit(1)).as("m"))
     val internal = und
