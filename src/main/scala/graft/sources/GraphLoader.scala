@@ -90,6 +90,19 @@ object GraphLoader {
       .groupBy(col("vertex")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Doubled adjacency (v, w) ∪ (w, v) from canonical undirected edges in
+    * ONE pass: an explode of the two orientations per row. The naive
+    * `und.select(a,b).union(und.select(b,a))` reads `und` twice — and when
+    * `und` is an uncached plan over an expensive derivation (the md5 hash
+    * fixtures) plus a distinct, each read repeats the scan AND the
+    * shuffle.
+    */
+  private def bothDirections(und: DataFrame): DataFrame = und
+    .select(explode(array(
+      struct(col("a").as("v"), col("b").as("w")),
+      struct(col("b").as("v"), col("a").as("w")))).as("e"))
+    .select(col("e.v").as("v"), col("e.w").as("w"))
+
   /** Shared machinery of the degree-oriented triangle family
     * ([[triangleCount]], [[neighborJaccard]], [[clusteringCoefficient]],
     * [[degreeAssortativity]]): returns (und, deg, tri) — the canonical
@@ -352,8 +365,7 @@ object GraphLoader {
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .distinct().filter(col("a") =!= col("b"))
-    var adj = und.select(col("a").as("v"), col("b").as("w"))
-      .unionByName(und.select(col("b").as("v"), col("a").as("w")))
+    var adj = bothDirections(und) // one und read, not a two-read self-union
       .repartition(col("v"))
       .localCheckpoint(true)
     var survivors = -1L
@@ -517,8 +529,7 @@ object GraphLoader {
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .distinct().filter(col("a") =!= col("b"))
-    val adj = und.select(col("a").as("v"), col("b").as("w"))
-      .unionByName(und.select(col("b").as("v"), col("a").as("w")))
+    val adj = bothDirections(und) // one und read, not a two-read self-union
       .repartition(col("v"))
       .localCheckpoint(true)
     var dist = adj.agg(min(col("v")).as("v")).select(col("v"), lit(0L).as("dist"))
@@ -565,8 +576,13 @@ object GraphLoader {
     * computation.
     */
   def sssp(weighted: DataFrame, rounds: Int): DataFrame = {
-    val adj = weighted.select(col("a").as("v"), col("b").as("w"), col("wt"))
-      .unionByName(weighted.select(col("b").as("v"), col("a").as("w"), col("wt")))
+    // one read of the caller's weighted frame (md5-derived in the contract
+    // fixture), not a two-read self-union
+    val adj = weighted
+      .select(explode(array(
+        struct(col("a").as("v"), col("b").as("w"), col("wt")),
+        struct(col("b").as("v"), col("a").as("w"), col("wt")))).as("e"))
+      .select(col("e.v").as("v"), col("e.w").as("w"), col("e.wt").as("wt"))
       .repartition(col("v"))
       .localCheckpoint(true)
     var dist = adj.agg(min(col("v")).as("v")).select(col("v"), lit(0L).as("dist"))
@@ -627,8 +643,10 @@ object GraphLoader {
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .distinct().filter(col("a") =!= col("b"))
-    val adj = und.select(col("a").as("v"), col("b").as("w"))
-      .unionByName(und.select(col("b").as("v"), col("a").as("w")))
+    // ONE read of und, not a self-union of two: each read re-runs the
+    // caller's src/dst derivation AND the distinct shuffle (md5 fixtures
+    // pay that twice); the explode doubles rows in the same pass
+    val adj = bothDirections(und)
       .repartition(col("w")) // join key below is w (the neighbor being read)
       .localCheckpoint(true)
     var labels = adj.select(col("v")).distinct()
