@@ -533,6 +533,22 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       pipeline.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
     }),
+    // --- hard-negative mining: top-k most-similar DIFFERENT-label vectors ---
+    "hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      pipeline.Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
+    // --- deterministic hash-probed negative edges (link-prediction pairs) ---
+    "negative_edges" -> ((s, d) => {
+      val e = pipeline.Dedup.rebalance(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
+        .select(
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tv_"), col("l_orderkey"))),
+            lit(20011L)).as("src"),
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
+            lit(20011L)).as("dst"))
+      sources.GraphLoader.negativeEdges(e, k = 3)
+    }),
     // PORTABLE IVF: integer-quantized Lloyd (fixed 2 iterations, centroids
     // = exact integer sum vectors — cosine is scale-invariant so the mean's
     // division never happens), fully replayed by the DuckDB oracle. The
@@ -2782,6 +2798,47 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY cos_sim DESC, vec_id) AS rk FROM s)
          WHERE rk <= 5""",
+    // Hard negatives: the ann_topk oracle with a label-inequality filter.
+    "hard_negatives" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, label AS ql
+           FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS ce, label FROM embeddings),
+         s AS (
+           SELECT query_id, vec_id,
+                  round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                             ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS cos_sim
+           FROM (SELECT q.query_id, c.vec_id,
+                        list_dot_product(q.qe, c.ce) AS dot,
+                        list_dot_product(q.qe, q.qe) AS na,
+                        list_dot_product(c.ce, c.ce) AS nb
+                 FROM q CROSS JOIN c WHERE c.label <> q.ql))
+         SELECT query_id, vec_id, cos_sim, rk FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, vec_id) AS rk FROM s)
+         WHERE rk <= 5""",
+    // Negative edges: replay the hash probes, keep existing-vertex hits
+    // that are not existing edges.
+    "negative_edges" ->
+      """WITH und AS MATERIALIZED (
+           SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+             SELECT ('0x' || substring(md5('tv_' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 20011 AS s,
+                    ('0x' || substring(md5('tw_' || l_partkey::VARCHAR), 1, 15))::BIGINT % 20011 AS t
+             FROM lineitem)
+           WHERE s <> t),
+         verts AS MATERIALIZED (
+           SELECT DISTINCT x AS id FROM (SELECT a AS x FROM und UNION ALL SELECT b FROM und)),
+         probes AS (
+           SELECT v.id AS v, t.j,
+                  ('0x' || substring(md5('neg_' || v.id::VARCHAR || '_' || t.j::VARCHAR), 1, 15))::BIGINT
+                    % 20011 AS neg
+           FROM verts v, range(1, 4) t(j))
+         SELECT p.v, p.neg, p.j
+         FROM probes p
+         JOIN verts x ON x.id = p.neg
+         WHERE p.neg <> p.v
+           AND NOT EXISTS (SELECT 1 FROM und u
+                           WHERE u.a = least(p.v, p.neg) AND u.b = greatest(p.v, p.neg))""",
     // Banded sign-LSH top-k: hyperplanes are md5-derived doubles
     // (graft.pipeline.Similarity.plane), recomputed here; sign bits and
     // scores are sequential double folds on both engines.

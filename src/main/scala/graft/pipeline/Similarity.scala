@@ -90,6 +90,27 @@ object Similarity {
     topKTail(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the top-k most-similar corpus vectors carrying a DIFFERENT label —
+    * the negatives a contrastive objective learns most from (easy random
+    * negatives are already far away; these sit just across the boundary).
+    * Same fused [[cosine]] kernel and bounded heap top-k as
+    * [[bruteForceTopK]]; the label-inequality filter rides the scored
+    * frame BEFORE the heap, so the shuffle still carries only k rows per
+    * query and same-label near-dups can never crowd out real negatives.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("label").as("q_label")))
+    val scored = Dedup.rebalance(
+        corpus.select(col("vec_id"), col("embedding"), col("label")))
+      .crossJoin(q)
+      .filter(col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    topKTail(scored, k)
+  }
+
   /** Deterministic pseudo-random hyperplane component: a md5-derived value
     * in [-1, 1], the portable-hash construction
     * (`graft.functions.PortableHash`) evaluated at plan-build time —

@@ -261,6 +261,46 @@ object GraphLoader {
     out
   }
 
+  /** Deterministic negative-edge sampler for link-prediction training: for
+    * each vertex v, `k` hash-probed candidate partners
+    * neg_j = hash60("neg_<v>_<j>") mod `modulus`, keeping probes that are
+    * (a) not v itself, (b) an EXISTING vertex (left-semi — real graphs
+    * have sparse id spaces, a raw hash would fabricate phantom nodes),
+    * and (c) not an existing undirected edge (left-anti on the canonical
+    * pair) — the standard contrastive counterpart to the positive edge
+    * list, fully deterministic so the DuckDB oracle replays it exactly.
+    *
+    * Scale: probes are |V|·k rows of id longs; both membership checks are
+    * id-only joins against vertex- and edge-sized frames. The canonical
+    * edge list is checkpointed once and read three times (vertices ×1 via
+    * the one-pass doubled adjacency, anti-join ×1, plus the probe build).
+    */
+  def negativeEdges(edges: DataFrame, k: Int = 3,
+                    modulus: Long = 20011L): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .distinct().filter(col("a") =!= col("b"))
+      .localCheckpoint(true)
+    val verts = bothDirections(und).select(col("v").as("id")).distinct()
+      .localCheckpoint(true)
+    val probes = verts.select(col("id").as("v"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("j"))
+      .select(col("v"), col("j"),
+        pmod(graft.functions.PortableHash.hash60(
+          concat(lit("neg_"), col("v"), lit("_"), col("j"))), lit(modulus)).as("neg"))
+      .filter(col("neg") =!= col("v"))
+    val out = probes
+      .join(verts.select(col("id").as("neg")), Seq("neg"), "left_semi")
+      .select(col("v"), col("neg"), col("j"),
+        least(col("v"), col("neg")).as("a"), greatest(col("v"), col("neg")).as("b"))
+      .join(und, Seq("a", "b"), "left_anti")
+      .select(col("v"), col("neg"), col("j"))
+      .localCheckpoint(true) // materialize before releasing the caches
+    und.unpersist(); verts.unpersist()
+    out
+  }
+
   /** PORTABLE HITS (hubs & authorities) — the link-analysis pair next to
     * [[pageRankPortable]]: fixed synchronous rounds over the DIRECTED
     * deduped edge list, both scores carried as INTEGER MASS. Each round

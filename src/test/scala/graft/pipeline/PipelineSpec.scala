@@ -276,6 +276,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getInt(1) == 9)
   }
 
+  test("hardNegatives: top-k different-label vectors; same-label near-dups excluded") {
+    val es = new StructType().add("vec_id", LongType)
+      .add("embedding", ArrayType(FloatType)).add("label", IntegerType)
+    val corpus = df(es, Seq(
+      Row(0L, Seq(1.0f, 0.0f), 1),   // query, label 1
+      Row(1L, Seq(1.0f, 0.0f), 1),   // identical but same label → excluded
+      Row(2L, Seq(1.0f, 0.1f), 2),   // hard negative (cos ~0.995)
+      Row(3L, Seq(0.0f, 1.0f), 2),   // easy negative (cos 0)
+      Row(4L, Seq(-1.0f, 0.0f), 3))) // opposite (cos -1)
+    val got = Similarity.hardNegatives(corpus, corpus.filter(col("vec_id") === 0), 2)
+      .collect().sortBy(_.getLong(3))
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(2L, 3L), s"got ${got.toSeq}")
+    assert(got(0)._2 > 0.99 && got(1)._2 == 0.0)
+  }
+
   test("tfCosinePairs: exact components equal brute force; threshold is a strict gate") {
     // doc1/doc2: same words, different multiplicities — high tf-cosine;
     // doc3 shares one word with doc1; doc4 disjoint

@@ -238,6 +238,30 @@ class GraphLoaderSpec extends AnyFunSuite {
     assert(got == expect, "per-vertex clustering components disagree with brute force")
   }
 
+  test("negativeEdges: probes replayed in memory; no real edges, no self, no phantoms") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (5L, 1L))
+    val st = new StructType().add("src", LongType).add("dst", LongType)
+    val d = df(st, es.map(e => Row(e._1, e._2)))
+    val k = 3; val modulus = 7L // small modulus → probes often collide with reality
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct.toSet
+    val verts = und.flatMap { case (a, b) => Seq(a, b) }
+    val expect = (for {
+      v <- verts; j <- 1 to k
+      neg = java.lang.Math.floorMod(h60(s"neg_${v}_$j"), modulus)
+      if neg != v && verts(neg) && !und((math.min(v, neg), math.max(v, neg)))
+    } yield (v, neg, j.toLong)).toSet
+    val got = GraphLoader.negativeEdges(d, k, modulus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+  }
+
   test("hitsPortable matches an in-memory integer-mass replay") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
