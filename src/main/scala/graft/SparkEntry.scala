@@ -533,6 +533,9 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       pipeline.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
     }),
+    // --- per-doc keyphrases: tf·idf surrogate, exact integer ordering ---
+    "doc_keyphrases" -> ((s, d) =>
+      pipeline.TextAnalysis.docKeyphrases(Tables.documents(s, d), k = 3)),
     // --- hard-negative mining: top-k most-similar DIFFERENT-label vectors ---
     "hard_negatives" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -2798,6 +2801,25 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY cos_sim DESC, vec_id) AS rk FROM s)
          WHERE rk <= 5""",
+    // Keyphrases: 2-word-shingle tf vs corpus df, integer floor-div score.
+    "doc_keyphrases" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))] END) AS p
+           FROM toks),
+         tf AS (SELECT doc_id, p, count(*)::BIGINT AS tf FROM sh GROUP BY 1, 2),
+         df AS (SELECT p, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         sc AS (SELECT t.doc_id, t.p, t.tf, d.df,
+                       ((t.tf * 1000000) // d.df)::BIGINT AS score
+                FROM tf t JOIN df d USING (p)),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, p) AS rk FROM sc)
+         SELECT doc_id, p AS keyphrase, tf, df, rk::BIGINT AS rk
+         FROM r WHERE rk <= 3""",
     // Hard negatives: the ann_topk oracle with a label-inequality filter.
     "hard_negatives" ->
       """WITH q AS (

@@ -300,4 +300,34 @@ object TextAnalysis {
       regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ipv4"),
       regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
       md5(redactPii(col("text"))).as("redacted_digest"))
+
+  /** Per-document keyphrase extraction: the top-k 2-word shingles ranked
+    * by the EXACT integer tf·idf surrogate score = tf·10⁶ div df — high
+    * in-document frequency, low corpus frequency — ties broken by the
+    * lexicographically smallest phrase (binary collation on both
+    * engines). Corpus-wide boilerplate (high df) down-ranks naturally, so
+    * no stopword list is needed. The labeling/tagging pass a curation
+    * pipeline runs before topic bucketing.
+    *
+    * Scale: one doc×shingle aggregate (cached — consumed by the df
+    * aggregate AND the join-back), one aggregate-sized df join (AQE skews
+    * hot phrases), one per-document window over that document's own
+    * shingles. Phrase STRINGS do cross the shuffle here by design — the
+    * output is text; the dedup family keeps its hashed discipline.
+    */
+  def docKeyphrases(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = InternalCaches.register(Dedup.rebalance(docs)
+      .select(col("doc_id"), explode(Dedup.shingles(Dedup.tokens(col("text")), 2)).as("p"))
+      .groupBy(col("doc_id"), col("p")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dfr = tf.groupBy(col("p")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("p"))
+    tf.join(dfr, Seq("p"))
+      .select(col("doc_id"), col("p"), col("tf"), col("df"),
+        expr("(tf * 1000000) div df").as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("p").as("keyphrase"), col("tf"), col("df"), col("rk"))
+  }
 }

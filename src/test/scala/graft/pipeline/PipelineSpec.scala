@@ -276,6 +276,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getInt(1) == 9)
   }
 
+  test("docKeyphrases: integer tf/df ranking equals brute force, ties by phrase") {
+    val texts = Map(
+      1L -> "red fox red fox jumps high red fox",
+      2L -> "red fox sleeps all day long",
+      3L -> "blue bird sings blue bird flies")
+    val d = docs(texts.toSeq: _*)
+    def sh(t: String): Seq[String] = {
+      val w = t.split(" ").toSeq
+      if (w.size <= 2) Seq(w.mkString(" "))
+      else w.zip(w.tail).map { case (a, b) => s"$a $b" }
+    }
+    val tf = texts.toSeq.flatMap { case (id, t) => sh(t).map(p => (id, p)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dfm = tf.keys.toSeq.map(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = tf.keys.toSeq.groupBy(_._1).flatMap { case (id, ks) =>
+      ks.map { case (_, p) => (p, tf((id, p)), dfm(p), tf((id, p)) * 1000000L / dfm(p)) }
+        .sortBy { case (p, _, _, s) => (-s, p) }
+        .take(3).zipWithIndex
+        .map { case ((p, t, df, _), i) => (id, p) -> ((t, df, i + 1L)) }
+    }
+    val got = TextAnalysis.docKeyphrases(d, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    graft.pipeline.InternalCaches.release()
+    assert(got == expect, s"got $got expect $expect")
+  }
+
   test("hardNegatives: top-k different-label vectors; same-label near-dups excluded") {
     val es = new StructType().add("vec_id", LongType)
       .add("embedding", ArrayType(FloatType)).add("label", IntegerType)
