@@ -524,6 +524,9 @@ object SparkEntry {
     "chunk_docs" -> ((s, d) => pipeline.TrainingData.chunkDocuments(Tables.documents(s, d))),
     "seq_packing" -> ((s, d) => pipeline.TrainingData.packSequences(Tables.documents(s, d))),
     "embed_quantize" -> ((s, d) => pipeline.TrainingData.quantizeEmbeddings(Tables.embeddings(s, d))),
+    // --- per-label int8 Gram matrix: TableMult's Join∘Agg as a HOF pair
+    // expansion + one aggregate ---
+    "gram_matrix" -> ((s, d) => pipeline.TrainingData.gramMatrix(Tables.embeddings(s, d))),
     // --- training-data pipeline: similarity search ---
     "ann_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -2781,6 +2784,26 @@ object SparkEntry {
                 list_sum(qv)::BIGINT AS q_sum,
                 list_min(qv) AS q_min, list_max(qv) AS q_max
          FROM q""",
+    // Per-label quantized Gram: replay the embed_quantize rule, expand the
+    // upper triangle over the 64 fixed dimensions (the ann_lsh dim
+    // convention), exact integer sums.
+    "gram_matrix" ->
+      """WITH e AS (
+           SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+         s AS (
+           SELECT label, e,
+                  CASE WHEN m = 0.0 THEN 1.0 ELSE m / 127.0 END AS scale
+           FROM (SELECT label, e, list_max(list_transform(e, x -> abs(x))) AS m FROM e)),
+         q AS (
+           SELECT label, list_transform(e, x -> floor(x / scale + 0.5)::BIGINT) AS qv
+           FROM s),
+         p AS (
+           SELECT label, (t1.i - 1)::BIGINT AS i, (t2.j - 1)::BIGINT AS j,
+                  qv[t1.i] * qv[t2.j] AS prod
+           FROM q, range(1, 65) t1(i), range(1, 65) t2(j)
+           WHERE t2.j >= t1.i)
+         SELECT label, i, j, sum(prod)::BIGINT AS sum_prod, count(*)::BIGINT AS n_vecs
+         FROM p GROUP BY 1, 2, 3""",
     // Exact brute-force cosine top-k: DuckDB's list_dot_product on DOUBLE[]
     // is the same sequential IEEE fold as the native CosineSimilarity
     // expression, so scores are bit-identical before rounding.

@@ -273,6 +273,38 @@ object TrainingData {
   /** The quantized int vector itself (array<long> in [-127, 127]). */
   def quantizedVector(e: Column, scale: Column): Column = quantized(e, scale)
 
+  /** Per-label Gram matrix XᵀX over the int8-quantized embeddings — the
+    * reference's TableMult (matrix multiply as Join∘Agg,
+    * `LaraQueries.covariance`'s sibling) lifted to the embedding table:
+    * for every label and dimension pair i ≤ j, the EXACT BIGINT
+    * Σ_vec q_i·q_j plus the vector count — the accumulator a per-class
+    * PCA / covariance / whitening step reads (quantized-int Gram
+    * accumulation is exactly how int8 training kernels work). Same
+    * [[quantizeEmbeddings]] scale rule, so the oracle replays the
+    * quantization verbatim.
+    *
+    * Scale: the upper-triangle pair expansion happens PER ROW inside one
+    * codegen'd nested-transform HOF (no self-join — the naive exploded
+    * self-join shuffles |V|·dim rows twice and builds the pairs in the
+    * join); the only shuffle is the final map-side-combined aggregate to
+    * |labels|·dim²/2 cells.
+    */
+  def gramMatrix(emb: DataFrame): DataFrame = {
+    val q = emb.select(col("label"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("maxabs", array_max(transform(col("e"), x => abs(x))))
+      .withColumn("scale",
+        when(col("maxabs") === 0.0d, 1.0d).otherwise(col("maxabs") / 127.0d))
+      .select(col("label"), quantized(col("e"), col("scale")).as("q"))
+    val pairs = q.select(col("label"), explode(flatten(
+      transform(col("q"), (xi, i) =>
+        transform(slice(col("q"), i + 1, size(col("q")) - i),
+          (xj, j0) => struct(i.as("i"), (i + j0).as("j"),
+            (xi * xj).as("prod")))))).as("p"))
+    pairs.groupBy(col("label"),
+        col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"))
+      .agg(sum(col("p.prod")).as("sum_prod"), count(lit(1)).as("n_vecs"))
+  }
+
   private def quantized(e: Column, scale: Column): Column =
     transform(e, x => floor(x / scale + 0.5d).cast("long"))
 

@@ -166,4 +166,29 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(max1 == 127L && min1 == -63L && sum1 == (127L - 63L + 32L))
     assert(r(2L) == ((1.0d, 0L, 0L, 0L)))
   }
+
+  test("gramMatrix: per-label upper-triangle sums equal the brute-force outer products") {
+    val es = new StructType().add("vec_id", LongType)
+      .add("embedding", ArrayType(FloatType)).add("label", IntegerType)
+    val rows = Seq(
+      Row(1L, Seq(1.0f, -0.5f, 0.25f), 1),
+      Row(2L, Seq(0.5f, 0.5f, -1.0f), 1),
+      Row(3L, Seq(0.0f, 2.0f, 1.0f), 2))
+    val d = df(es, rows)
+    def quant(v: Seq[Float]): Seq[Long] = {
+      val m = v.map(x => math.abs(x.toDouble)).max
+      val s = if (m == 0.0) 1.0 else m / 127.0
+      v.map(x => math.floor(x.toDouble / s + 0.5).toLong)
+    }
+    val expect = rows.groupBy(_.getInt(2)).flatMap { case (lbl, rs) =>
+      val qs = rs.map(r => quant(r.getSeq[Float](1)))
+      for (i <- 0 until 3; j <- i until 3) yield
+        (lbl, i.toLong, j.toLong) ->
+          ((qs.map(q => q(i) * q(j)).sum, qs.size.toLong))
+    }
+    val got = TrainingData.gramMatrix(d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, s"got $got expect $expect")
+  }
 }
