@@ -29,6 +29,17 @@ class RelationalSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q8/q9: every dimension hop broadcasts; no cartesian") {
+    for (df <- Seq(RelationalQueries.q8MarketShare(spark, sf),
+      RelationalQueries.q9Profit(spark, sf))) {
+      val p = plan(df)
+      // q8 resolves customer + 2 nation roles + region + supplier, q9
+      // supplier + nation + part — at least 3 broadcast hash joins each
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, s"missing broadcasts in:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("q1_agg: partial (map-side) aggregation present") {
     val p = plan(RelationalQueries.q1Agg(spark, sf))
     // hash agg appears twice: partial + final
