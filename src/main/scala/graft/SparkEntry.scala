@@ -574,6 +574,11 @@ object SparkEntry {
     // --- per-label class prototypes: exact integer sum centroids ---
     "label_centroids" -> ((s, d) =>
       pipeline.Similarity.labelCentroids(Tables.embeddings(s, d))),
+    // --- kNN label confusion matrix over LSH candidates: each vector's
+    // k=5 nearest candidates vote; off-diagonal cells localize confused
+    // class pairs (label-quality audit) ---
+    "knn_purity" -> ((s, d) =>
+      pipeline.Similarity.knnLabelConfusion(Tables.embeddings(s, d), k = 5)),
     // --- triangle counting: degree-oriented wedge join over a synthetic
     // graph (lineitem keys portable-hashed into a 20011-node space — both
     // engines derive identical edges) ---
@@ -602,6 +607,19 @@ object SparkEntry {
           pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
             lit(20011L)).as("dst"))
       sources.GraphLoader.pageRankPortable(e, iters = 3)
+    }),
+    // --- personalized (seed-teleport) PageRank over the same directed
+    // hash graph: teleport mass returns only to {v : v mod 17 = 0};
+    // oracle CTE chain generated from the same parameters ---
+    "ppr_seeds" -> ((s, d) => {
+      val e = pipeline.Dedup.rebalance(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
+        .select(
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tv_"), col("l_orderkey"))),
+            lit(20011L)).as("src"),
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
+            lit(20011L)).as("dst"))
+      sources.GraphLoader.pageRankPersonalized(e, iters = 3, seedMod = 17L)
     }),
     // --- portable integer-mass HITS over the same directed hash graph;
     // oracle CTE chain generated from the same parameters ---
@@ -1459,6 +1477,19 @@ object SparkEntry {
          m3 AS (SELECT n.v, (150000 + coalesce(c3.c, 0))::BIGINT AS m
                 FROM nodes n LEFT JOIN c3 USING (v))
          SELECT v AS vertex, m AS rank_mass FROM m3""",
+    // Personalized PageRank: same directed hash graph, teleport mass only
+    // to seeds {v % 17 = 0}; rounds generated from the engine's parameters.
+    "ppr_seeds" ->
+      s"""WITH ed AS (
+           SELECT DISTINCT s, t FROM (
+             SELECT ('0x' || substring(md5('tv_' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 20011 AS s,
+                    ('0x' || substring(md5('tw_' || l_partkey::VARCHAR), 1, 15))::BIGINT % 20011 AS t
+             FROM lineitem)
+           WHERE s <> t),
+         ${sources.GraphLoader.pprOracleCtes(iters = 3, seedMod = 17L,
+             dampNum = 85L, dampDen = 100L, base = 150000L, init = 1000000L)}
+         SELECT n.v AS vertex, coalesce(m.m, 0)::BIGINT AS rank_mass
+         FROM nodes n LEFT JOIN m3 m USING (v)""",
     // Vocabulary: (tf desc, token asc) is a total order — the top-k cut is
     // deterministic, so sorted-frame comparison is exact.
     "vocab_topk" ->
@@ -3110,6 +3141,46 @@ object SparkEntry {
              ON a.vec_id < b.vec_id
             AND len([i for i in range(1, 5) if a.bks[i] = b.bks[i]]) > 0)
          WHERE cos_sim >= 0.4""",
+    // kNN label confusion: same planes/buckets as embed_neardup, BOTH
+    // directions (every vector is a probe); per probe rank candidates by
+    // (rounded cosine DESC, vec_id ASC) — a total order — keep rk ≤ 5,
+    // then count (label_probe, label_neighbor) votes.
+    "knn_purity" ->
+      """WITH pl AS (
+           SELECT p, [(('0x' || substring(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 15))::BIGINT
+                       % 2000001 - 1000000) / 1000000.0 for j in range(0, 64)] AS v
+           FROM range(0, 16) t(p)),
+         pls AS (SELECT list(v ORDER BY p) AS planes FROM pl),
+         e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ce FROM embeddings),
+         bk AS (
+           SELECT vec_id, label, ce,
+             [8 * (CASE WHEN list_dot_product(ce, planes[b*4+1]) > 0 THEN 1 ELSE 0 END)
+            + 4 * (CASE WHEN list_dot_product(ce, planes[b*4+2]) > 0 THEN 1 ELSE 0 END)
+            + 2 * (CASE WHEN list_dot_product(ce, planes[b*4+3]) > 0 THEN 1 ELSE 0 END)
+            +     (CASE WHEN list_dot_product(ce, planes[b*4+4]) > 0 THEN 1 ELSE 0 END)
+              for b in range(0, 4)] AS bks
+           FROM e CROSS JOIN pls),
+         cand AS (
+           SELECT a.vec_id AS query_id, a.label AS label_probe,
+                  b.vec_id AS vec_id, b.label AS label_neighbor,
+                  round(CASE WHEN list_dot_product(a.ce, a.ce) = 0
+                               OR list_dot_product(b.ce, b.ce) = 0 THEN 0.0
+                             ELSE list_dot_product(a.ce, b.ce) /
+                                  (sqrt(list_dot_product(a.ce, a.ce)) *
+                                   sqrt(list_dot_product(b.ce, b.ce))) END, 6) AS cos_sim
+           FROM bk a JOIN bk b
+             ON a.vec_id <> b.vec_id
+            AND len([i for i in range(1, 5) if a.bks[i] = b.bks[i]]) > 0),
+         ranked AS (
+           SELECT query_id, label_probe, vec_id, label_neighbor,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rk
+           FROM cand)
+         SELECT label_probe::BIGINT AS label_probe,
+                label_neighbor::BIGINT AS label_neighbor,
+                count(*)::BIGINT AS n_pairs
+         FROM ranked WHERE rk <= 5
+         GROUP BY 1, 2""",
     "text_langid" ->
       """WITH s AS (
            SELECT doc_id, ' ' || text || ' ' AS p FROM documents),

@@ -222,6 +222,58 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** kNN label confusion matrix — the label-quality audit a curation
+    * pipeline runs over a labeled embedding table (mislabeled-example
+    * mining, class-overlap detection): each vector's k nearest LSH-candidate
+    * neighbors vote, and the output counts (label_probe, label_neighbor)
+    * pairs across the corpus. A clean labeling is diagonal-heavy; off-
+    * diagonal cells localize confused class pairs.
+    *
+    * Candidates come from the SAME banded sign-LSH self-join as
+    * [[embeddingNearDup]] (never all-pairs), so neighbor sets are a
+    * deterministic function of the md5-derived planes and the DuckDB
+    * oracle replays them exactly: per probe, rank candidates by
+    * (round(cosine, 6) DESC, vec_id ASC) — a total order — and keep rk ≤ k.
+    * Probes with fewer than k candidates contribute what they have;
+    * bucket-isolated probes contribute nothing (both engines agree).
+    *
+    * Scale shape: embeddings stay on the map side of the bucket join;
+    * the per-pair frame carries (ids, labels, score) scalars only; the
+    * top-k cut is a query_id-partitioned window whose partitions are
+    * bounded by bands·maxBucket rows (NOT the TopKByScore heap: the heap
+    * id is a bare long, and threading label_neighbor through it would
+    * cost the corpus-sized label join-back the window avoids). The frame
+    * is pre-partitioned on query_id so the band-collision dedup and the
+    * rank share ONE exchange; output is ≤ |labels|² rows.
+    */
+  def knnLabelConfusion(corpus: DataFrame, k: Int = 5,
+                        bands: Int = 4, planesPerBand: Int = 4, dim: Int = 64,
+                        maxBucket: Int = 100000): DataFrame = {
+    val c = capBuckets(InternalCaches.register(
+      withBands(Dedup.rebalance(corpus.select(col("vec_id"), col("embedding"), col("label"))),
+        bands, planesPerBand, dim).cache()), maxBucket)
+    val a = c.select(col("band"), col("bucket"), col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("label").as("label_probe"))
+    val b = c.select(col("band"), col("bucket"), col("vec_id"), col("embedding"),
+      col("label").as("label_neighbor"))
+    val scored = a.join(b, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("label_probe"), col("vec_id"), col("label_neighbor"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      // ONE shuffle for dedup + rank: HashPartitioning(query_id) satisfies
+      // the dedup aggregation's clustering (query_id is a prefix of its
+      // keys) AND the window's partition-by, so neither plans an exchange
+      .repartition(col("query_id"))
+      .groupBy(col("query_id"), col("label_probe"), col("vec_id"), col("label_neighbor"))
+      .agg(max(col("cos_sim")).as("cos_sim")) // band-collision dedup, ids+labels only
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .groupBy(col("label_probe").cast("long").as("label_probe"),
+        col("label_neighbor").cast("long").as("label_neighbor"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Per-label class prototypes as EXACT INTEGER SUM VECTORS — the
     * dataset-cartography / nearest-class-mean primitive over an embedding
     * column, portable by the same three tricks as the IVF quantizer

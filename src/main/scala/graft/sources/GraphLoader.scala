@@ -261,6 +261,83 @@ object GraphLoader {
     out
   }
 
+  /** PERSONALIZED [[pageRankPortable]]: teleport mass returns only to the
+    * seed set {v : v mod `seedMod` = 0} instead of every vertex — the
+    * seed-restricted random walk behind "related to THESE documents"
+    * expansion (topic-sensitive PageRank, Haveliwala WWW'02). Identical
+    * integer-mass discipline: init mass on seeds only, per-round
+    * mass(v) = [v is seed]·base + Σ floor-div contributions, all BIGINT,
+    * so the generated DuckDB chain ([[pprOracleCtes]]) agrees bit for bit.
+    *
+    * Plan per round is the same ONE shuffle as the global variant — the
+    * union'd base rows come from the (vertex-sized, checkpointed) seed
+    * frame instead of all nodes. Vertices the walk never reaches keep
+    * exact mass 0 and are emitted (coalesced) so the output is a total
+    * function over the vertex set, matching the oracle's frame.
+    */
+  def pageRankPersonalized(edges: DataFrame, iters: Int = 3, seedMod: Long = 17L,
+                           dampNum: Long = 85L, dampDen: Long = 100L,
+                           base: Long = 150000L, init: Long = 1000000L): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+    val ed = e.repartition(col("s")).dropDuplicates(Seq("s", "t")).persist(lvl)
+    val nodes = ed.select(col("s").as("v")).union(ed.select(col("t").as("v")))
+      .distinct().localCheckpoint(true)
+    val seeds = nodes.filter(pmod(col("v"), lit(seedMod)) === 0).localCheckpoint(true)
+    val od = ed.groupBy(col("s")).agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    var mass = seeds.select(col("v"), lit(init).as("m"))
+    val cuts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (i <- 1 to iters) {
+      val contribs = ed.join(od, Seq("s"))
+        .join(mass.withColumnRenamed("v", "s"), Seq("s"))
+        .select(col("t").as("v"),
+          expr(s"(m * ${dampNum}L) div (${dampDen}L * deg)").as("c"))
+      // the mass frame only ever holds vertices with nonzero mass — absent
+      // rows ARE exact zeros (0-mass contributes floor(0) = 0 next round),
+      // so the walk's frontier stays small on seed-sparse graphs
+      mass = contribs.union(seeds.select(col("v"), lit(base).as("c")))
+        .groupBy(col("v")).agg(sum(col("c")).as("m"))
+      if (i % 4 == 0 && i < iters) { mass = mass.localCheckpoint(true); cuts += mass }
+    }
+    val out = nodes
+      .join(mass.select(col("v"), col("m")), Seq("v"), "left")
+      .select(col("v").as("vertex"), coalesce(col("m"), lit(0L)).as("rank_mass"))
+      .localCheckpoint(true) // materialize before releasing the edge cache
+    cuts.foreach(_.unpersist())
+    ed.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[pageRankPersonalized]]'s loop, generated from the
+    * same parameters (the kCoreOracleCtes anti-drift pattern) over a
+    * caller-supplied CTE `ed(s, t)` of deduped directed edges. The oracle
+    * carries the zero-mass vertices explicitly (LEFT JOIN + coalesce per
+    * round) — mathematically identical to the engine's sparse frontier.
+    * The caller appends `SELECT … FROM nodes LEFT JOIN m<iters>`.
+    */
+  def pprOracleCtes(iters: Int, seedMod: Long, dampNum: Long, dampDen: Long,
+                    base: Long, init: Long): String = {
+    val sb = new StringBuilder(
+      s"""nodes AS MATERIALIZED (
+           SELECT DISTINCT v FROM (SELECT s AS v FROM ed UNION ALL SELECT t FROM ed)),
+         od AS MATERIALIZED (SELECT s, count(*)::BIGINT AS deg FROM ed GROUP BY s),
+         m0 AS MATERIALIZED (
+           SELECT v, $init::BIGINT AS m FROM nodes WHERE v % $seedMod = 0)""")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+         c$i AS MATERIALIZED (
+           SELECT ed.t AS v, sum((m.m * $dampNum) // ($dampDen * od.deg))::BIGINT AS c
+           FROM ed JOIN od USING (s) JOIN m${i - 1} m ON m.v = ed.s GROUP BY ed.t),
+         m$i AS MATERIALIZED (
+           SELECT n.v,
+                  (CASE WHEN n.v % $seedMod = 0 THEN $base ELSE 0 END
+                   + coalesce(c$i.c, 0))::BIGINT AS m
+           FROM nodes n LEFT JOIN c$i USING (v))""")
+    }
+    sb.toString
+  }
+
   /** Deterministic negative-edge sampler for link-prediction training: for
     * each vertex v, `k` hash-probed candidate partners
     * neg_j = hash60("neg_<v>_<j>") mod `modulus`, keeping probes that are

@@ -319,6 +319,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(0)._2 > 0.99 && got(1)._2 == 0.0)
   }
 
+  test("knnLabelConfusion equals an in-memory replay of LSH candidates + ranked votes") {
+    val (dim, bands, ppb, k) = (4, 2, 2, 2)
+    // two label clusters with deterministic spread + one outlier label
+    val vecs: Seq[(Long, Array[Float], Int)] =
+      (0 until 5).map(i => (i.toLong, Array(1.0f, 0.1f * i, 0.2f, -0.1f * i), 1)) ++
+      (5 until 9).map(i => (i.toLong, Array(-1.0f, 0.15f * i, -0.3f, 0.05f * i), 2)) ++
+      Seq((9L, Array(0.1f, 1.0f, -0.2f, 0.3f), 3))
+    val es = new StructType().add("vec_id", LongType)
+      .add("embedding", ArrayType(FloatType)).add("label", IntegerType)
+    val d = df(es, vecs.map(v => Row(v._1, v._2.toSeq, v._3)))
+    val got = Similarity.knnLabelConfusion(d, k = k, bands = bands,
+        planesPerBand = ppb, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    graft.pipeline.InternalCaches.release()
+
+    // replay: md5 planes → sign-bit buckets → ≥1-band candidates → rounded
+    // cosine ranked (desc, id asc) → top-k label votes. Same double folds.
+    val planes = (0 until bands * ppb).map(p => Similarity.plane(p, dim))
+    def dotd(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, j) => s + a(j).toDouble * b(j).toDouble)
+    def buckets(e: Array[Float]): Seq[Long] = (0 until bands).map { b =>
+      (0 until ppb).map { i =>
+        val pl = planes(b * ppb + i)
+        val dt = e.indices.foldLeft(0.0)((s, j) => s + e(j).toDouble * pl(j))
+        if (dt > 0) 1L else 0L
+      }.reduceLeft((acc, bit) => acc * 2 + bit)
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (na, nb) = (math.sqrt(dotd(a, a)), math.sqrt(dotd(b, b)))
+      val c = if (na == 0 || nb == 0) 0.0 else dotd(a, b) / (na * nb)
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val bks = vecs.map(v => v._1 -> buckets(v._2)).toMap
+    val expected = vecs.flatMap { case (qid, qe, ql) =>
+      vecs.filter(o => o._1 != qid && bks(qid).lazyZip(bks(o._1)).exists(_ == _))
+        .map(o => (o._1, o._3, cos(qe, o._2)))
+        .sortBy { case (id, _, c) => (-c, id) }
+        .take(k)
+        .map(c => (ql.toLong, c._2.toLong))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == expected, s"got $got expect $expected")
+  }
+
   test("tfCosinePairs: exact components equal brute force; threshold is a strict gate") {
     // doc1/doc2: same words, different multiplicities — high tf-cosine;
     // doc3 shares one word with doc1; doc4 disjoint

@@ -82,6 +82,33 @@ class GraphLoaderSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("pageRankPersonalized: mass flows only from seeds; unreachable = exact 0") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // seeds under seedMod=17: 0 and 17. 3↔4 is a component with no seed —
+    // its vertices must come back with EXACT mass 0 (never teleport mass).
+    val es = Seq((0L, 1L), (1L, 2L), (17L, 1L), (2L, 17L), (2L, 5L), (3L, 4L), (4L, 3L))
+    val st = new StructType().add("src", LongType).add("dst", LongType)
+    val d = df(st, es.map(e => Row(e._1, e._2)))
+    val iters = 3
+    val got = GraphLoader.pageRankPersonalized(d, iters, seedMod = 17L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // exact replica: integer floor-division contributions, base only on seeds
+    val vs = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val seeds = vs.filter(_ % 17 == 0).toSet
+    val out = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var mass = vs.map(v => v -> (if (seeds(v)) 1000000L else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = es.groupBy(_._2).view
+        .mapValues(_.map(e => (mass(e._1) * 85L) / (100L * out(e._1))).sum).toMap
+      mass = vs.map(v => v -> ((if (seeds(v)) 150000L else 0L) + in.getOrElse(v, 0L))).toMap
+    }
+    assert(got == mass, s"got $got want $mass")
+    assert(got(3L) == 0L && got(4L) == 0L) // seedless component: exact zero
+    assert(got.keySet == vs.toSet) // total function over the vertex set
+  }
+
   test("two-hop path counts = A·A via Join∘Agg (TableMult analog)") {
     val (r, c) = fixture()
     val adj = GraphLoader.loadIndexFiles(spark, r, c)
