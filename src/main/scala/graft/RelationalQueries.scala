@@ -1929,6 +1929,126 @@ object RelationalQueries {
         count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q15 family (top supplier): revenue per supplier over one
+    * quarter, keep the supplier(s) AT the global maximum — Q15's create-
+    * view + scalar-subquery shape as an aggregate reused twice: once for
+    * the keyless max (a bounded 1×N cross join, the whitelisted
+    * guardrail shape) and once as the join-back probe. Revenue stays an
+    * integer e4 BIGINT so the equality against the max is exact — the
+    * reason Q15's `= (SELECT max(...))` is even well-defined here.
+    *
+    * Scale: the revenue frame is supplier-count-sized (aggregate of the
+    * fact scan) and cached — without the persist the lineitem scan would
+    * run twice; the max side is ONE row broadcast.
+    */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = graft.pipeline.InternalCaches.register(lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+        .cast("long")).as("revenue_e4"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    rev.crossJoin(broadcast(rev.agg(max(col("revenue_e4")).as("mx"))))
+      .filter(col("revenue_e4") === col("mx"))
+      .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_e4"))
+  }
+
+  /** TPC-H Q16 family (supplier-count by part attributes): how many
+    * DISTINCT suppliers ship each surviving (brand, type, size) class,
+    * excluding a blocked supplier set — the NOT-IN-subquery + grouped
+    * COUNT(DISTINCT) shape. The blocked set (negative account balance)
+    * becomes a broadcast LEFT ANTI join on the fact side; brand/type/size
+    * predicates prune the part dimension BEFORE it broadcasts.
+    *
+    * Scale: both dimensions broadcast; the only shuffle is the two-phase
+    * distinct aggregation (partial distinct map-side on (attrs, suppkey),
+    * exact count on the reduce side).
+    */
+  def q16PartSuppliers(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d)
+      .filter(col("p_brand") =!= "Brand#45" &&
+        !col("p_type").startsWith("MEDIUM POLISHED") &&
+        col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val blocked = supplier(s, d).filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(blocked), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q19 family (disjunctive predicate revenue): three (brand,
+    * size-range, quantity-range) conjuncts OR'd together — the predicate
+    * shape that defeats naive single-range pushdown and exercises
+    * Catalyst's disjunction handling. Reported PER BRANCH (first matching
+    * branch tags the row; branches are made disjoint by quantity range)
+    * so the contract pins each conjunct's result, not just the union's
+    * total.
+    *
+    * Scale: part broadcasts with only (partkey, brand, size); the
+    * disjunction evaluates post-join in one codegen stage; one map-side-
+    * combined aggregation to 3 rows.
+    */
+  def q19Disjunctive(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val branch =
+      when(col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11), 1L)
+      .when(col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(12, 20), 2L)
+      .when(col("p_brand") === "Brand#21" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(21, 30), 3L)
+    lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("branch", branch)
+      .filter(col("branch").isNotNull)
+      .groupBy(col("branch"))
+      .agg(Num.e4SumExact(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q21 family (suppliers who kept orders waiting): for finished
+    * orders with lines from ≥2 suppliers, count per supplier the orders
+    * where THEIR line was returned and no other supplier's was — the
+    * EXISTS + NOT-EXISTS double correlated-subquery shape, lowered to a
+    * LEFT SEMI join (another supplier shipped in the order) and a LEFT
+    * ANTI join (no other supplier's line was returned). The return flag
+    * stands in for the reference schema's receipt>commit lateness (this
+    * testdata carries no commit/receipt dates).
+    *
+    * Scale: both non-equi conjuncts ride the orderkey equi-join as
+    * residual predicates (hash semi/anti, never a cartesian); every
+    * shuffled frame carries (orderkey, suppkey) longs only; the final
+    * top-100 cut is deterministic because (numwait DESC, s_name) is a
+    * total order over unique supplier names.
+    */
+  def q21Waiting(s: SparkSession, d: String): DataFrame = {
+    val fOrders = orders(s, d).filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val l = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .drop("o_orderkey")
+    val mine = l.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val others = l.select(col("l_orderkey").as("ok1"), col("l_suppkey").as("other_supp"))
+    val returnedOthers = l.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("r_supp"))
+    mine
+      .join(others, col("l_orderkey") === col("ok1") &&
+        col("l_suppkey") =!= col("other_supp"), "left_semi")
+      .join(returnedOthers, col("l_orderkey") === col("ok2") &&
+        col("l_suppkey") =!= col("r_supp"), "left_anti")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name")).limit(100)
+  }
+
   /** SCD2 dimension build from the event stream — the slowly-changing-
     * dimension primitive next to [[snapshot_diff]]/[[cdc_merge]]'s
     * table-maintenance pair: per user, consecutive runs of equal

@@ -56,6 +56,14 @@ object SparkEntry {
     "q9_profit" -> RelationalQueries.q9Profit _,
     "q11_important" -> RelationalQueries.q11ImportantParts _,
     "q17_small_qty" -> RelationalQueries.q17SmallQty _,
+    // Q15 flavor: supplier(s) at the exact integer revenue max (view +
+    // scalar-subquery shape); Q16 flavor: NOT-IN blocked suppliers +
+    // grouped COUNT DISTINCT; Q19 flavor: OR-of-conjuncts revenue per
+    // disjoint branch; Q21 flavor: EXISTS/NOT-EXISTS as semi/anti joins
+    "q15_top_supplier" -> RelationalQueries.q15TopSupplier _,
+    "q16_part_suppliers" -> RelationalQueries.q16PartSuppliers _,
+    "q19_disjunctive" -> RelationalQueries.q19Disjunctive _,
+    "q21_waiting" -> RelationalQueries.q21Waiting _,
     // --- min-max normalization from picked extremes (engine-exact) ---
     "minmax_normalize" -> RelationalQueries.minmaxQuery _,
     // --- hash-armed A/B readout as exact integer moment components ---
@@ -888,6 +896,68 @@ object SparkEntry {
          JOIN b ON l.l_partkey = b.p_partkey
          JOIN pq ON l.l_partkey = pq.l_partkey
          WHERE l.l_quantity::BIGINT * 5 * pq.n_p < pq.sumq""",
+    // Q15 flavor: equality against the scalar max is exact because revenue
+    // is an integer e4 BIGINT on both engines.
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)::BIGINT
+                    AS revenue_e4
+           FROM lineitem
+           WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1995-04-01'
+           GROUP BY 1)
+         SELECT s.s_suppkey, s.s_name, r.revenue_e4
+         FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+         WHERE r.revenue_e4 = (SELECT max(revenue_e4) FROM rev)""",
+    "q16_part_suppliers" ->
+      """SELECT p.p_brand, p.p_type, p.p_size::BIGINT AS p_size,
+                count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE p.p_brand <> 'Brand#45'
+           AND p.p_type NOT LIKE 'MEDIUM POLISHED%'
+           AND p.p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+           AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3""",
+    // Q19 flavor: branches are disjoint (distinct brands), so CASE's
+    // first-match semantics agree between engines.
+    "q19_disjunctive" ->
+      """SELECT branch,
+                sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) / 10000.0
+                  AS revenue,
+                count(*)::BIGINT AS n_lines
+         FROM (
+           SELECT l.l_extendedprice, l.l_discount,
+                  CASE WHEN p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                            AND l.l_quantity BETWEEN 1 AND 11 THEN 1
+                       WHEN p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                            AND l.l_quantity BETWEEN 12 AND 20 THEN 2
+                       WHEN p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 15
+                            AND l.l_quantity BETWEEN 21 AND 30 THEN 3
+                  END::BIGINT AS branch
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+         WHERE branch IS NOT NULL
+         GROUP BY 1""",
+    // Q21 flavor: return flag stands in for receipt>commit lateness (no
+    // commit/receipt dates in this testdata); (numwait DESC, s_name) is a
+    // total order so the LIMIT frontier is deterministic.
+    "q21_waiting" ->
+      """WITH l AS (
+           SELECT l_orderkey, l_suppkey, l_returnflag
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'),
+         mine AS (
+           SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE l_returnflag = 'R')
+         SELECT s.s_name, w.numwait FROM (
+           SELECT m.l_suppkey, count(*)::BIGINT AS numwait
+           FROM mine m
+           WHERE EXISTS (SELECT 1 FROM l o WHERE o.l_orderkey = m.l_orderkey
+                           AND o.l_suppkey <> m.l_suppkey)
+             AND NOT EXISTS (SELECT 1 FROM l r WHERE r.l_orderkey = m.l_orderkey
+                               AND r.l_suppkey <> m.l_suppkey AND r.l_returnflag = 'R')
+           GROUP BY 1) w
+         JOIN supplier s ON w.l_suppkey = s.s_suppkey
+         ORDER BY w.numwait DESC, s.s_name LIMIT 100""",
     // Min-max normalization: picked extremes, one IEEE division.
     "minmax_normalize" ->
       """WITH s AS (
