@@ -64,6 +64,10 @@ object SparkEntry {
     "q16_part_suppliers" -> RelationalQueries.q16PartSuppliers _,
     "q19_disjunctive" -> RelationalQueries.q19Disjunctive _,
     "q21_waiting" -> RelationalQueries.q21Waiting _,
+    // --- BPE merge training: 3 rounds of most-frequent-pair + greedy
+    // left-to-right merge over the weighted word vocabulary; the output
+    // IS the merge table a tokenizer ships ---
+    "bpe_merges" -> ((s, d) => pipeline.Bpe.merges(Tables.documents(s, d), rounds = 3)),
     // --- min-max normalization from picked extremes (engine-exact) ---
     "minmax_normalize" -> RelationalQueries.minmaxQuery _,
     // --- hash-armed A/B readout as exact integer moment components ---
@@ -938,6 +942,9 @@ object SparkEntry {
            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
          WHERE branch IS NOT NULL
          GROUP BY 1""",
+    // BPE merge rounds: generated greedy-merge replay (run-parity window
+    // chain) from the same round count as the engine's lookbehind fold.
+    "bpe_merges" -> s"WITH ${pipeline.Bpe.oracleCtes(rounds = 3)}",
     // Q21 flavor: return flag stands in for receipt>commit lateness (no
     // commit/receipt dates in this testdata); (numwait DESC, s_name) is a
     // total order so the LIMIT frontier is deterministic.
