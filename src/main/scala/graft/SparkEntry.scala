@@ -539,6 +539,9 @@ object SparkEntry {
     // --- per-label int8 Gram matrix: TableMult's Join∘Agg as a HOF pair
     // expansion + one aggregate ---
     "gram_matrix" -> ((s, d) => pipeline.TrainingData.gramMatrix(Tables.embeddings(s, d))),
+    // --- per-label dominant principal direction: repeated TableMult
+    // (integer power iteration) over the mean-normalized Gram matrix ---
+    "pca_power" -> ((s, d) => pipeline.TrainingData.pcaPower(Tables.embeddings(s, d))),
     // --- training-data pipeline: similarity search ---
     "ann_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -2912,6 +2915,30 @@ object SparkEntry {
            WHERE t2.j >= t1.i)
          SELECT label, i, j, sum(prod)::BIGINT AS sum_prod, count(*)::BIGINT AS n_vecs
          FROM p GROUP BY 1, 2, 3""",
+    // PCA power iteration: replay the quantization + FULL (mirrored) Gram,
+    // mean-normalize with the sign-split floor division, then the
+    // generated integer renormalized matrix-vector rounds.
+    "pca_power" ->
+      s"""WITH e AS (
+           SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+         s AS (
+           SELECT label, e,
+                  CASE WHEN m = 0.0 THEN 1.0 ELSE m / 127.0 END AS scale
+           FROM (SELECT label, e, list_max(list_transform(e, x -> abs(x))) AS m FROM e)),
+         q AS (
+           SELECT label, list_transform(e, x -> floor(x / scale + 0.5)::BIGINT) AS qv
+           FROM s),
+         g0 AS (
+           SELECT label, (t1.i - 1)::BIGINT AS i, (t2.j - 1)::BIGINT AS j,
+                  sum(qv[t1.i] * qv[t2.j])::BIGINT AS sp, count(*)::BIGINT AS n
+           FROM q, range(1, 65) t1(i), range(1, 65) t2(j)
+           GROUP BY 1, 2, 3),
+         gn AS MATERIALIZED (
+           SELECT label, i, j,
+                  ((CASE WHEN sp < 0 THEN -1 ELSE 1 END) * (abs(sp) // n))::BIGINT AS g
+           FROM g0),
+         ${pipeline.TrainingData.pcaOracleCtes(iters = 3, scale = 1000000L)}
+         SELECT label, j AS pos, v AS component FROM v3""",
     // Exact brute-force cosine top-k: DuckDB's list_dot_product on DOUBLE[]
     // is the same sequential IEEE fold as the native CosineSimilarity
     // expression, so scores are bit-identical before rounding.

@@ -308,6 +308,86 @@ object TrainingData {
   private def quantized(e: Column, scale: Column): Column =
     transform(e, x => floor(x / scale + 0.5d).cast("long"))
 
+  /** Dominant principal direction per label — fixed-round integer POWER
+    * ITERATION over the mean-normalized int8 Gram matrix: the reference's
+    * repeated TableMult (matrix power, the Graphulo pattern its README
+    * benchmarks) applied to the per-class covariance proxy. Each round is
+    * one matrix-vector TableMult r = G̃·v followed by an exact
+    * max-abs renormalization; every quantity is BIGINT so the generated
+    * DuckDB chain ([[pcaOracleCtes]]) agrees bit for bit.
+    *
+    * Portability bounds (the reason for the two floor divisions, both
+    * SIGN-SPLIT because Spark's `div` truncates while DuckDB's `//`
+    * floors — they agree only on non-negatives):
+    *  - G̃[i,j] = sign·(|Σq_iq_j| div n_vecs) ∈ [−127², 127²] regardless
+    *    of corpus size;
+    *  - |r[i]| ≤ dim·127²·scale ≈ 1.03e12 (dim=64, scale=1e6), so the
+    *    renorm product |r|·scale ≤ 1.03e18 < 2⁶³ for ANY corpus.
+    *
+    * Scale shape: the corpus is touched once (the [[gramMatrix]]
+    * aggregation); every round operates on |labels|·dim² cells joined
+    * with a |labels|·dim vector — aggregate-sized frames, the mirrored
+    * matrix cached and pre-partitioned on the probe key once.
+    */
+  def pcaPower(emb: DataFrame, iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+    val tri = gramMatrix(emb)
+    val gn = tri.select(col("label"), col("i"), col("j"),
+      (when(col("sum_prod") < 0, lit(-1L)).otherwise(lit(1L)) *
+        floorDivNonNeg(abs(col("sum_prod")), col("n_vecs"))).as("g"))
+    val full = InternalCaches.register(
+      gn.union(gn.filter(col("i") =!= col("j"))
+          .select(col("label"), col("j").as("i"), col("i").as("j"), col("g")))
+        .repartition(col("label"), col("j"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var v = full.select(col("label"), col("i").as("j")).distinct()
+      .select(col("label"), col("j"), lit(scale).as("v"))
+    for (_ <- 1 to iters) {
+      val r = full.join(v, Seq("label", "j"))
+        .groupBy(col("label"), col("i"))
+        .agg(sum(col("g") * col("v")).as("r"))
+        .localCheckpoint(true) // vector-sized; feeds the max AND the division
+      val m = r.groupBy(col("label")).agg(greatest(max(abs(col("r"))), lit(1L)).as("m"))
+      v = r.join(broadcast(m), Seq("label"))
+        .select(col("label"), col("i").as("j"),
+          (when(col("r") < 0, lit(-1L)).otherwise(lit(1L)) *
+            floorDivNonNeg(abs(col("r")) * lit(scale), col("m"))).as("v"))
+    }
+    v.select(col("label"), col("j").as("pos"), col("v").as("component"))
+  }
+
+  /** Integral division of NON-NEGATIVE BIGINT operands (where floor =
+    * truncate, so Spark's `div` and DuckDB's `//` agree).
+    */
+  private def floorDivNonNeg(x: Column, d: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      bridge.expression(x), bridge.expression(d)))
+  }
+
+  /** DuckDB twin of [[pcaPower]]'s loop (generated from the same
+    * parameters), over caller-supplied CTEs `gn(label, i, j, g)` — the
+    * sign-split mean-normalized Gram — and appended final select.
+    */
+  def pcaOracleCtes(iters: Int, scale: Long): String = {
+    val sb = new StringBuilder(
+      s"""v0 AS (SELECT DISTINCT label, j, $scale::BIGINT AS v FROM gn)""")
+    for (t <- 1 to iters) {
+      sb.append(s""",
+         r$t AS MATERIALIZED (
+           SELECT gn.label, gn.i, sum(gn.g * v.v)::BIGINT AS r
+           FROM gn JOIN v${t - 1} v ON gn.label = v.label AND gn.j = v.j
+           GROUP BY 1, 2),
+         m$t AS (SELECT label, greatest(max(abs(r)), 1)::BIGINT AS m
+                 FROM r$t GROUP BY 1),
+         v$t AS MATERIALIZED (
+           SELECT r.label, r.i AS j,
+                  ((CASE WHEN r.r < 0 THEN -1 ELSE 1 END)
+                   * ((abs(r.r) * $scale) // m.m))::BIGINT AS v
+           FROM r$t r JOIN m$t m USING (label))""")
+    }
+    sb.toString
+  }
+
   /** The round-3 curation capstone — the NEW corpus signals composed
     * end-to-end the way a crawl-curation pipeline runs them:
     *

@@ -191,4 +191,44 @@ class TrainingDataSpec extends AnyFunSuite {
         ((r.getLong(3), r.getLong(4)))).toMap
     assert(got == expect, s"got $got expect $expect")
   }
+
+  test("pcaPower matches an exact in-memory integer replica; finds the spread axis") {
+    val es = new StructType().add("vec_id", LongType)
+      .add("embedding", ArrayType(FloatType)).add("label", IntegerType)
+    // label 1 varies along dim 1 with small dim-0 noise — the dominant
+    // eigenvector must concentrate on dim 1; label 2 varies along dim 2
+    val rows = Seq(
+      Row(1L, Seq(0.1f, 2.0f, 0.0f), 1), Row(2L, Seq(-0.1f, -2.0f, 0.1f), 1),
+      Row(3L, Seq(0.05f, 1.5f, -0.1f), 1),
+      Row(4L, Seq(0.0f, 0.1f, 3.0f), 2), Row(5L, Seq(0.1f, -0.1f, -2.5f), 2))
+    val d = df(es, rows)
+    val scale = 1000000L
+    val got = TrainingData.pcaPower(d, iters = 3, scale = scale).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    graft.pipeline.InternalCaches.release()
+
+    // replica: quantize, mean-normalized full Gram (sign-split floor div),
+    // 3 rounds of r = G̃v with max-abs renorm — all Long arithmetic
+    def quant(v: Seq[Float]): Seq[Long] = {
+      val m = v.map(x => math.abs(x.toDouble)).max
+      val s = if (m == 0.0) 1.0 else m / 127.0
+      v.map(x => math.floor(x.toDouble / s + 0.5).toLong)
+    }
+    def sdiv(x: Long, dd: Long): Long = (if (x < 0) -1L else 1L) * (math.abs(x) / dd)
+    val expect = rows.groupBy(_.getInt(2)).flatMap { case (lbl, rs) =>
+      val qs = rs.map(r => quant(r.getSeq[Float](1)))
+      val n = qs.size.toLong
+      val g = Array.tabulate(3, 3)((i, j) => sdiv(qs.map(q => q(i) * q(j)).sum, n))
+      var v = Array.fill(3)(scale)
+      for (_ <- 1 to 3) {
+        val r = Array.tabulate(3)(i => (0 until 3).map(j => g(i)(j) * v(j)).sum)
+        val m = math.max(r.map(math.abs).max, 1L)
+        v = r.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) * scale / m))
+      }
+      (0 until 3).map(i => (lbl, i.toLong) -> v(i))
+    }
+    assert(got == expect, s"got $got expect $expect")
+    // eigen-direction sanity: the max-|component| axis is the spread axis
+    assert(math.abs(got((1, 1L))) == scale && math.abs(got((2, 2L))) == scale)
+  }
 }
