@@ -2032,8 +2032,13 @@ object RelationalQueries {
     val l = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
       .join(fOrders, col("l_orderkey") === col("o_orderkey"))
       .drop("o_orderkey")
+    // ONE exchange for dedup + both joins: HashPartitioning(l_orderkey)
+    // satisfies the distinct's clustering (orderkey is a prefix of its
+    // keys) AND the semi/anti joins' distribution, so neither re-shuffles
+    // this side
     val mine = l.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .repartition(col("l_orderkey")).dropDuplicates(Seq("l_orderkey", "l_suppkey"))
     val others = l.select(col("l_orderkey").as("ok1"), col("l_suppkey").as("other_supp"))
     val returnedOthers = l.filter(col("l_returnflag") === "R")
       .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("r_supp"))
