@@ -1929,6 +1929,34 @@ object RelationalQueries {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Exact AUC (Mann–Whitney U) of `value` as a score for the positive
+    * class `event_type = posType` — the model-evaluation primitive next to
+    * the A/B readout: AUC = P(s_pos > s_neg) + ½P(tie), computed WITHOUT
+    * per-row ranks. Scores are exact cents, so grouping by score value
+    * and prefix-summing the negative counts gives
+    * 2U = Σ_v np_v·(2·Σ_{v'<v} nn_v' + nn_v) — every term BIGINT, tie
+    * handling exact by construction. The final AUC is one IEEE division
+    * of exact integers, identical across engines.
+    *
+    * Scale: one aggregation to distinct score values, then the
+    * hierarchical [[graft.pipeline.TrainingData.exclusivePrefixSum]]
+    * (never an unpartitioned window), then a 1-row aggregate.
+    */
+  def aucScore(s: SparkSession, d: String, posType: String = "purchase"): DataFrame = {
+    val g = events(s, d).select(
+        round(col("value") * 100).cast("long").as("cents"),
+        (col("event_type") === posType).cast("long").as("pos"))
+      .groupBy(col("cents"))
+      .agg(sum(col("pos")).as("np"), (count(lit(1)) - sum(col("pos"))).as("nn"))
+    val pre = pipeline.TrainingData.exclusivePrefixSum(g, "cents", "nn", "cum_nn")
+    g.join(pre, Seq("cents"))
+      .agg(sum(col("np") * (lit(2L) * col("cum_nn") + col("nn"))).as("auc_num2"),
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+      .select(col("auc_num2"), col("n_pos"), col("n_neg"),
+        (col("auc_num2").cast("double") /
+          (lit(2.0d) * col("n_pos").cast("double") * col("n_neg").cast("double"))).as("auc"))
+  }
+
   /** TPC-H Q15 family (top supplier): revenue per supplier over one
     * quarter, keep the supplier(s) AT the global maximum — Q15's create-
     * view + scalar-subquery shape as an aggregate reused twice: once for

@@ -72,6 +72,9 @@ object SparkEntry {
     "minmax_normalize" -> RelationalQueries.minmaxQuery _,
     // --- hash-armed A/B readout as exact integer moment components ---
     "ab_split_stats" -> RelationalQueries.abSplitQuery _,
+    // --- exact AUC (Mann–Whitney): rank-free integer pair counting via
+    // the hierarchical prefix sum over distinct score values ---
+    "auc_score" -> ((s, d) => RelationalQueries.aucScore(s, d)),
     "semi_anti_join" -> RelationalQueries.semiAntiJoin _,
     "window_topk" -> RelationalQueries.windowTopk _,
     "window_running" -> RelationalQueries.windowRunning _,
@@ -903,6 +906,25 @@ object SparkEntry {
          JOIN b ON l.l_partkey = b.p_partkey
          JOIN pq ON l.l_partkey = pq.l_partkey
          WHERE l.l_quantity::BIGINT * 5 * pq.n_p < pq.sumq""",
+    // Exact AUC: same grouped-by-score-value pair counting; the window
+    // here is over DISTINCT score values (bounded), not rows — the engine
+    // uses the hierarchical prefix sum for the same quantity.
+    "auc_score" ->
+      """WITH g AS (
+           SELECT round(value * 100)::BIGINT AS cents,
+                  sum((event_type = 'purchase')::BIGINT)::BIGINT AS np,
+                  (count(*) - sum((event_type = 'purchase')::BIGINT))::BIGINT AS nn
+           FROM events GROUP BY 1),
+         p AS (
+           SELECT np, nn,
+                  coalesce(sum(nn) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_nn
+           FROM g)
+         SELECT sum(np * (2 * cum_nn + nn))::BIGINT AS auc_num2,
+                sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+                sum(np * (2 * cum_nn + nn))::BIGINT::DOUBLE
+                  / (2.0 * sum(np)::BIGINT::DOUBLE * sum(nn)::BIGINT::DOUBLE) AS auc
+         FROM p""",
     // Q15 flavor: equality against the scalar max is exact because revenue
     // is an integer e4 BIGINT on both engines.
     "q15_top_supplier" ->

@@ -918,6 +918,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.values.sum == raw.length - raw.map(_._1).distinct.length)
   }
 
+  test("aucScore equals brute-force pair counting with ties, on real events") {
+    val rows = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("value") * 100).cast("long"),
+        (org.apache.spark.sql.functions.col("event_type") === "purchase").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) == 1L))
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val num2 = pos.iterator.map(p =>
+      2L * neg.count(_ < p) + neg.count(_ == p)).sum
+    val got = RelationalQueries.aucScore(spark, sf).collect().head
+    assert(got.getLong(0) == num2, s"2U: got ${got.getLong(0)} want $num2")
+    assert(got.getLong(1) == pos.length && got.getLong(2) == neg.length)
+    assert(math.abs(got.getDouble(3) -
+      num2.toDouble / (2.0 * pos.length * neg.length)) == 0.0)
+  }
+
   test("benfordDigits: digits are 1–9 and counts sum to the order count") {
     val rows = RelationalQueries.benfordDigits(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1))
