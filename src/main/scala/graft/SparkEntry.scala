@@ -408,6 +408,10 @@ object SparkEntry {
     // --- corpus vocabulary: token → (tf, df), deterministic top-k ---
     "vocab_topk" -> ((s, d) =>
       pipeline.TextAnalysis.vocabulary(Tables.documents(s, d), minCount = 2L, k = 100)),
+    // --- inverted-index construction: df/tf plus the bounded posting-list
+    // head (lowest maxPostings doc_ids) with truncation accounting ---
+    "posting_lists" -> ((s, d) =>
+      pipeline.Ranking.postingLists(Tables.documents(s, d), maxPostings = 20)),
     // --- count-min-sketch heavy hitters: the oracle replays the sketch
     // itself (portable salted hashes), overestimates and all ---
     "heavy_hitters" -> ((s, d) =>
@@ -1592,6 +1596,22 @@ object SparkEntry {
              dampNum = 85L, dampDen = 100L, base = 150000L, init = 1000000L)}
          SELECT n.v AS vertex, coalesce(m.m, 0)::BIGINT AS rank_mass
          FROM nodes n LEFT JOIN m3 m USING (v)""",
+    // Inverted index: posting head = the 20 lowest doc_ids per token.
+    "posting_lists" ->
+      """WITH t AS (
+           SELECT doc_id, x AS token
+           FROM documents,
+                unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS u(x)),
+         pd AS (SELECT token, doc_id, count(*)::BIGINT AS n FROM t GROUP BY 1, 2),
+         st AS (SELECT token, count(*)::BIGINT AS df, sum(n)::BIGINT AS tf
+                FROM pd GROUP BY 1),
+         rk AS (SELECT token, doc_id,
+                       row_number() OVER (PARTITION BY token ORDER BY doc_id) AS r
+                FROM pd),
+         pl AS (SELECT token, list(doc_id ORDER BY doc_id) AS postings
+                FROM rk WHERE r <= 20 GROUP BY 1)
+         SELECT st.token, st.df, st.tf, pl.postings, st.df > 20 AS truncated
+         FROM st JOIN pl USING (token)""",
     // Vocabulary: (tf desc, token asc) is a total order — the top-k cut is
     // deterministic, so sorted-frame comparison is exact.
     "vocab_topk" ->

@@ -135,4 +135,36 @@ object Ranking {
         Seq("doc_id"), "left_anti")
     neg.select(col("doc_id"), col("source"))
   }
+
+  /** Inverted-index CONSTRUCTION — the build side of [[keywordSearch]]/
+    * [[bm25]]'s probe side: per token its document frequency, total term
+    * frequency, and the posting list head (the `maxPostings` LOWEST
+    * doc_ids, ascending) with a `truncated` flag — the deterministic
+    * bounded-output contract every index builder at corpus scale needs
+    * (a full posting list for a stopword is corpus-sized; the cap plus
+    * accounting is the jaccardJoin `maxDf` discipline applied to output).
+    *
+    * Scale shape: one (token, doc) aggregation; the list head is a
+    * row_number cut that Spark's WindowGroupLimit pushes below the
+    * shuffle (partial top-k per map partition — only ≤ maxPostings rows
+    * per (partition, token) cross the wire, the quota_sample plan shape);
+    * collect_list then gathers at most `maxPostings` ids per token.
+    */
+  def postingLists(docs: DataFrame, maxPostings: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = InternalCaches.register(Dedup.rebalance(docs)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("n"))
+      .cache()) // feeds stats AND the ranked head
+    val stats = perDoc.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("n")).as("tf"))
+    val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    val head = perDoc
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= maxPostings)
+      .groupBy(col("token"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    stats.join(head, Seq("token"))
+      .select(col("token"), col("df"), col("tf"), col("postings"),
+        (col("df") > maxPostings).as("truncated"))
+  }
 }

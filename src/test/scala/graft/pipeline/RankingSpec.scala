@@ -67,4 +67,18 @@ class RankingSpec extends AnyFunSuite {
     // doc 3 highest (tf=3, short? dl=3 vs 2 — tf dominates); docs 1,2 tie → doc 1
     assert(top.head == 3L && top(1) == 1L)
   }
+
+  test("postingLists: df/tf exact, head = lowest ids, truncation flagged") {
+    // "hot" appears in 25 docs (twice in doc 0) → truncated head of 3;
+    // "cold" in 2 docs → full list, tf counts multiplicity
+    val rows = (0L until 25L).map(i =>
+      Row(i, if (i == 0) "hot hot cold" else if (i == 1) "hot cold cold" else "hot"))
+    val d = df(docSchema, rows)
+    val got = Ranking.postingLists(d, maxPostings = 3).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Long](3), r.getBoolean(4)))).toMap
+    graft.pipeline.InternalCaches.release()
+    assert(got("hot") == ((25L, 26L, Seq(0L, 1L, 2L), true)))
+    assert(got("cold") == ((2L, 3L, Seq(0L, 1L), false)))
+  }
 }
