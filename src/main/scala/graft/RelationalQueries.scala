@@ -2259,4 +2259,65 @@ object RelationalQueries {
         .as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
   }
+
+  /** TPC-H Q12 family (shipping-priority-by-mode): the fact-fact join +
+    * two-way conditional count shape. This testdata carries no ship mode or
+    * commit/receipt dates, so (documented proxies, same plan): linestatus
+    * stands in for the two ship modes and "late" means shipped ≥ 90 days
+    * after the order date; high priority is the standard URGENT/HIGH cut.
+    *
+    * Scale: the shipdate window is pushed to the parquet scan; orders is
+    * projected to three columns before the orderkey equi-join (broadcast
+    * at small SF via AQE, shuffle-hash at 100 TB); the lateness predicate
+    * rides the join as a residual; the final aggregate is two groups.
+    */
+  def q12Shipmode(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_linestatus").as("ship_mode"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+           sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q20 family (excess-inventory suppliers): the two-granularity
+    * correlated-aggregate + semi-join-chain shape — per (part, supplier)
+    * compare one aggregate of the group against another aggregate of the
+    * SAME group's subset (the availqty > ½·shipped correlation), then
+    * collapse qualifying pairs onto suppliers of one nation. No partsupp
+    * table in this testdata, so (documented proxy, same plan): "stock on
+    * hand" is the pair's all-time shipped quantity and a pair is EXCESS
+    * when 1998 moved less than a third of it; the part filter is the
+    * name-prefix cut (`p_name LIKE 'red%'` — the testdata's analog of
+    * Q20's `forest%`), the nation cut keeps NATION_3's suppliers.
+    *
+    * Scale: the red-part dimension broadcasts into the fact scan before
+    * the (partkey, suppkey) hash aggregate (map-side combined, both
+    * quantities from one pass — no self-join of lineitem); qualifying
+    * pairs shrink to distinct suppkeys before touching the supplier dim.
+    */
+  def q20Excess(s: SparkSession, d: String): DataFrame = {
+    val redParts = part(s, d).filter(col("p_name").startsWith("red")).select(col("p_partkey"))
+    val in1998 = col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1999-01-01").cast("timestamp")
+    val excessSupp = lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"), col("l_shipdate"))
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("qty_total"),
+           sum(when(in1998, round(col("l_quantity")).cast("long")).otherwise(0L)).as("qty_1998"))
+      .filter(col("qty_total") > col("qty_1998") * 3)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_excess_parts"))
+    val natSupp = supplier(s, d)
+      .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_3")
+        .select(col("n_nationkey"))), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    excessSupp.join(natSupp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("n_excess_parts"))
+  }
 }

@@ -64,6 +64,11 @@ object SparkEntry {
     "q16_part_suppliers" -> RelationalQueries.q16PartSuppliers _,
     "q19_disjunctive" -> RelationalQueries.q19Disjunctive _,
     "q21_waiting" -> RelationalQueries.q21Waiting _,
+    // Q12 flavor: late-line priority counts by mode (linestatus proxy);
+    // Q20 flavor: two-granularity correlated aggregate + semi-join chain
+    // (all-time-shipped stock proxy — no partsupp in this testdata)
+    "q12_shipmode" -> RelationalQueries.q12Shipmode _,
+    "q20_excess" -> RelationalQueries.q20Excess _,
     // --- BPE merge training: 3 rounds of most-frequent-pair + greedy
     // left-to-right merge over the weighted word vocabulary; the output
     // IS the merge table a tokenizer ships ---
@@ -994,6 +999,40 @@ object SparkEntry {
            GROUP BY 1) w
          JOIN supplier s ON w.l_suppkey = s.s_suppkey
          ORDER BY w.numwait DESC, s.s_name LIMIT 100""",
+    // Q12 flavor: linestatus is the mode proxy, late = shipped ≥ 90 days
+    // after the order date (no commit/receipt dates in this testdata).
+    "q12_shipmode" ->
+      """SELECT l.l_linestatus AS ship_mode,
+                sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l.l_shipdate < TIMESTAMP '1997-01-01'
+           AND l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+         GROUP BY 1""",
+    // Q20 flavor: all-time shipped quantity is the availqty proxy (no
+    // partsupp); a (part, supplier) pair is excess when 1998 moved less
+    // than a third of it; red% parts, NATION_3 suppliers.
+    "q20_excess" ->
+      """WITH ps AS (
+           SELECT l.l_partkey, l.l_suppkey,
+                  sum(round(l.l_quantity)::BIGINT) AS qty_total,
+                  sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1998-01-01'
+                            AND l.l_shipdate < TIMESTAMP '1999-01-01'
+                           THEN round(l.l_quantity)::BIGINT ELSE 0 END) AS qty_1998
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE p.p_name LIKE 'red%'
+           GROUP BY 1, 2),
+         ex AS (
+           SELECT l_suppkey, count(*)::BIGINT AS n_excess_parts
+           FROM ps WHERE qty_total > qty_1998 * 3 GROUP BY 1)
+         SELECT s.s_name, ex.n_excess_parts
+         FROM ex
+         JOIN supplier s ON ex.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         WHERE n.n_name = 'NATION_3'""",
     // Min-max normalization: picked extremes, one IEEE division.
     "minmax_normalize" ->
       """WITH s AS (
