@@ -2260,6 +2260,57 @@ object RelationalQueries {
       .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Smoothed target encoding — the categorical-feature primitive of every
+    * GBDT / feature-engineering pipeline: each category's label mean shrunk
+    * toward the global prior, enc = (Σy + m·prior)/(n + m). Everything is
+    * EXACT integer arithmetic: labels as BIGINT cents, the prior and the
+    * encoded value as cents·10⁴ floor divisions (both engines floor — all
+    * quantities positive), so the contract is engine-exact with no fp mean
+    * anywhere. Category = customer market segment, label = order total.
+    *
+    * Scale: orders pre-aggregate per CUSTOMER before touching the customer
+    * dimension (the join input shrinks from |orders| to |customers|), the
+    * per-segment frame is a handful of rows, and the global prior derives
+    * from that frame itself (broadcast single row — no second scan).
+    */
+  def targetEncode(s: SparkSession, d: String, m: Int = 100): DataFrame = {
+    val perCust = orders(s, d)
+      .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+    val seg = perCust
+      .join(customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("n")).as("n_orders"), sum(col("sc")).as("sum_cents"))
+    val prior = seg.agg(sum(col("sum_cents")).as("gs"), sum(col("n_orders")).as("gn"))
+      .select(expr("gs * 10000 div gn").as("prior_c4"))
+    seg.crossJoin(broadcast(prior))
+      .select(col("c_mktsegment"), col("n_orders"), col("sum_cents"), col("prior_c4"),
+        expr(s"(sum_cents * 10000 + $m * prior_c4) div (n_orders + $m)").as("encoded_c4"))
+  }
+
+  /** Frequent event-type trigrams — per-user sequential pattern mining
+    * (the length-3 extension of [[transitionsQuery]]'s Markov pairs): the
+    * top-k most common (e1, e2, e3) consecutive-event sequences across
+    * all users, deterministically ordered. (ts, event_id) makes tied
+    * timestamps a total order, so both engines see identical sequences.
+    *
+    * Scale: ONE per-user window sort (never unpartitioned) producing the
+    * two leads, then a map-side-combined count over ≤ |types|³ groups;
+    * the top-k cut moves |types|³ rows, not events.
+    */
+  def seqPatterns(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d).select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("e1"), col("e2"), col("e3")).limit(k)
+  }
+
   /** TPC-H Q12 family (shipping-priority-by-mode): the fact-fact join +
     * two-way conditional count shape. This testdata carries no ship mode or
     * commit/receipt dates, so (documented proxies, same plan): linestatus

@@ -69,6 +69,27 @@ object SparkEntry {
     // (all-time-shipped stock proxy — no partsupp in this testdata)
     "q12_shipmode" -> RelationalQueries.q12Shipmode _,
     "q20_excess" -> RelationalQueries.q20Excess _,
+    // --- smoothed target encoding: exact-integer shrunk category means ---
+    "target_encode" -> ((s, d) => RelationalQueries.targetEncode(s, d)),
+    // --- sequential pattern mining: top-k per-user event-type trigrams ---
+    "seq_patterns" -> ((s, d) => RelationalQueries.seqPatterns(s, d)),
+    // --- JL sparse random projection: 64 floats → 8 exact BIGINT coords,
+    // hash-derived ±1 sign matrix both engines re-derive ---
+    "rand_project" -> ((s, d) =>
+      pipeline.TrainingData.randomProjection(Tables.embeddings(s, d))),
+    // --- grid-density clustering (DBSCAN approximation) over the first two
+    // quantized embedding coordinates shifted to [0, 254] ---
+    "grid_dbscan" -> ((s, d) => {
+      val pts = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("maxabs", array_max(transform(col("e"), x => abs(x))))
+        .withColumn("scale",
+          when(col("maxabs") === 0.0d, 1.0d).otherwise(col("maxabs") / 127.0d))
+        .select(col("vec_id").as("id"),
+          (floor(element_at(col("e"), 1) / col("scale") + 0.5d).cast("long") + 127L).as("x"),
+          (floor(element_at(col("e"), 2) / col("scale") + 0.5d).cast("long") + 127L).as("y"))
+      operators.SpatialJoin.gridDensityClusters(pts, cellSize = 16L, minPts = 3L)
+    }),
     // --- BPE merge training: 3 rounds of most-frequent-pair + greedy
     // left-to-right merge over the weighted word vocabulary; the output
     // IS the merge table a tokenizer ships ---
@@ -1033,6 +1054,90 @@ object SparkEntry {
          JOIN supplier s ON ex.l_suppkey = s.s_suppkey
          JOIN nation n ON s.s_nationkey = n.n_nationkey
          WHERE n.n_name = 'NATION_3'""",
+    // Smoothed target encoding: all-integer floor divisions (both engines
+    // floor on positives), m = 100.
+    "target_encode" ->
+      """WITH pc AS (
+           SELECT o_custkey, count(*)::BIGINT AS n,
+                  sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sc
+           FROM orders GROUP BY 1),
+         seg AS (
+           SELECT c.c_mktsegment, sum(pc.n)::BIGINT AS n_orders,
+                  sum(pc.sc)::BIGINT AS sum_cents
+           FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
+           GROUP BY 1),
+         pr AS (
+           SELECT (sum(sum_cents)::BIGINT * 10000) // sum(n_orders)::BIGINT AS prior_c4
+           FROM seg)
+         SELECT seg.c_mktsegment, seg.n_orders, seg.sum_cents, pr.prior_c4,
+                (seg.sum_cents * 10000 + 100 * pr.prior_c4) // (seg.n_orders + 100)
+                  AS encoded_c4
+         FROM seg, pr""",
+    // Top-k event-type trigrams; (cnt DESC, e1, e2, e3) is a total order.
+    "seq_patterns" ->
+      """WITH seq AS (
+           SELECT event_type AS e1,
+                  lead(event_type, 1) OVER w AS e2,
+                  lead(event_type, 2) OVER w AS e3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT e1, e2, e3, count(*)::BIGINT AS cnt
+         FROM seq WHERE e3 IS NOT NULL
+         GROUP BY 1, 2, 3
+         ORDER BY cnt DESC, e1, e2, e3 LIMIT 20""",
+    // JL sparse projection: replay the quantization rule and the
+    // hash-derived density-⅓ sign matrix, then the exact integer dot.
+    "rand_project" ->
+      """WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         s AS (
+           SELECT vec_id, e,
+                  CASE WHEN m = 0.0 THEN 1.0 ELSE m / 127.0 END AS scale
+           FROM (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m FROM e)),
+         q AS (
+           SELECT vec_id, list_transform(e, x -> floor(x / scale + 0.5)::BIGINT) AS qv
+           FROM s),
+         sg AS (
+           SELECT k, i,
+                  CASE (('0x' || substring(md5('rp_' || k::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT % 6)
+                    WHEN 0 THEN 1::BIGINT WHEN 1 THEN -1::BIGINT ELSE 0::BIGINT END AS sgn
+           FROM range(8) t1(k), range(64) t2(i)),
+         u AS (
+           SELECT vec_id, i, qv[i + 1] AS qi FROM q, range(64) t(i))
+         SELECT u.vec_id, sg.k AS out_dim, sum(u.qi * sg.sgn)::BIGINT AS proj
+         FROM u JOIN sg USING (i) GROUP BY 1, 2""",
+    // Grid-density clusters: replay quantization for the first two dims,
+    // core cells ≥ 3 points, 8-adjacency components by recursive min-label.
+    "grid_dbscan" ->
+      """WITH RECURSIVE e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         s AS (
+           SELECT vec_id, e,
+                  CASE WHEN m = 0.0 THEN 1.0 ELSE m / 127.0 END AS scale
+           FROM (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m FROM e)),
+         pt AS (
+           SELECT vec_id, floor(e[1] / scale + 0.5)::BIGINT + 127 AS x,
+                  floor(e[2] / scale + 0.5)::BIGINT + 127 AS y
+           FROM s),
+         cells AS (
+           SELECT x // 16 AS cx, y // 16 AS cy, count(*)::BIGINT AS n_points
+           FROM pt GROUP BY 1, 2),
+         core AS (
+           SELECT cx, cy, n_points, cx * 1048576 + cy AS cell_id
+           FROM cells WHERE n_points >= 3),
+         edges AS (
+           SELECT a.cell_id AS s, b.cell_id AS t
+           FROM core a JOIN core b
+             ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+         walk(id, lab) AS (
+           SELECT s, s FROM edges
+           UNION
+           SELECT e.s, w.lab FROM edges e JOIN walk w ON w.id = e.t),
+         lab AS (
+           SELECT id, MIN(lab) AS cluster_id FROM walk GROUP BY id)
+         SELECT l.cluster_id, count(*)::BIGINT AS n_cells,
+                sum(c.n_points)::BIGINT AS n_points
+         FROM lab l JOIN core c ON l.id = c.cell_id GROUP BY 1""",
     // Min-max normalization: picked extremes, one IEEE division.
     "minmax_normalize" ->
       """WITH s AS (

@@ -54,4 +54,46 @@ object SpatialJoin {
       .filter(col("a_id") < col("b_id") && dx * dx + dy * dy <= lit(r2))
       .select(col("a_id"), col("b_id"), (dx * dx + dy * dy).as("dist2"))
   }
+
+  /** Grid-density clustering — DBSCAN's scalable grid approximation: a
+    * cell of side `cellSize` is CORE when it holds ≥ `minPts` points, and
+    * clusters are the connected components of 8-adjacent core cells.
+    * Returns one row per cluster: (cluster_id = min member cell id,
+    * n_cells, n_points). The reference clusters only by exact key
+    * equality (its ⊕-aggregate groups); density clustering is the spatial
+    * analog a curation pipeline needs (embedding-map hotspots, geo
+    * burst detection) built from the same two primitives this file and
+    * [[graft.pipeline.Components]] already own.
+    *
+    * Scale: the corpus-sized input is reduced to cell counts by ONE
+    * map-side-combined aggregate; everything after (adjacency join,
+    * component rounds) runs on |core cells| rows — bounded by the grid,
+    * orders of magnitude below the point count. The adjacency is the same
+    * count-once 3×3 replicate equi-join as [[gridDistanceJoin]] (no
+    * quadratic cell pairing), and the (0,0) offset yields each core
+    * cell's self-edge, so isolated core cells keep a label.
+    *
+    * Precondition: x, y ∈ [0, 2²⁰·cellSize) so cell_id = cx·2²⁰ + cy is
+    * injective (both engines compute it with plain integer arithmetic).
+    */
+  def gridDensityClusters(points: DataFrame, cellSize: Long, minPts: Long): DataFrame = {
+    val cells = points
+      .selectExpr(s"x div ${cellSize}L AS cx", s"y div ${cellSize}L AS cy")
+      .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n_points"))
+    val core = cells.filter(col("n_points") >= minPts)
+      .withColumn("cell_id", col("cx") * lit(1048576L) + col("cy"))
+    val a = core.select(col("cell_id").as("ca"), col("cx"), col("cy"))
+    val b = core
+      .withColumn("ox", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("oy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("cell_id").as("cb"),
+        (col("cx") + col("ox")).as("cx"), (col("cy") + col("oy")).as("cy"))
+    val edges = a.join(b, Seq("cx", "cy")).select(col("ca"), col("cb"))
+    val labels = graft.pipeline.Components
+      .connectedComponents(edges, "ca", "cb")
+      .select(col("doc_id").as("cell_id"), col("cluster_id"))
+    labels.join(core.select(col("cell_id"), col("n_points")), Seq("cell_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n_points")).as("n_points"))
+  }
 }

@@ -273,6 +273,46 @@ object TrainingData {
   /** The quantized int vector itself (array<long> in [-127, 127]). */
   def quantizedVector(e: Column, scale: Column): Column = quantized(e, scale)
 
+  /** Sparse random projection (Johnson–Lindenstrauss, Achlioptas s=3
+    * density-⅓ signs): each int8-quantized embedding is compressed to
+    * `outDims` exact BIGINT coordinates out[k] = Σᵢ sign(k,i)·qᵢ, with
+    * sign(k,i) ∈ {+1, −1, 0} (probability ⅙/⅙/⅔) drawn from the portable
+    * 60-bit hash of "rp_k_i" — so the projection matrix is a pure formula
+    * both engines derive independently, never shipped data. This is the
+    * embedding-compression step ahead of ANN indexing / dedup at scale:
+    * 64 floats → 8 ints preserving pairwise geometry within JL distortion.
+    *
+    * Scale: ZERO shuffle — the sign matrix is an `outDims`-row broadcast
+    * (one array per output coordinate, built once per plan, not one hash
+    * per data row), and each output row is a codegen'd zip_with/aggregate
+    * fold over the input arrays. Output is `outDims`× the row count in
+    * (id, int) shape — narrower than the input it replaces.
+    *
+    * `dim` must match the embedding width (zip_with would null-pad a
+    * mismatch into a null projection rather than fail loudly — kept as a
+    * parameter because a driver-side width probe would cost an action).
+    */
+  def randomProjection(emb: DataFrame, outDims: Int = 8, dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    def sign(k: Column, i: Column): Column = {
+      // one hash per (k, i) matrix entry, evaluated on outDims rows only
+      val h = pmod(graft.functions.PortableHash.hash60(
+        concat(lit("rp_"), k.cast("string"), lit("_"), i.cast("string"))), lit(6L))
+      when(h === 0L, 1L).when(h === 1L, -1L).otherwise(0L)
+    }
+    val signs = spark.range(outDims.toLong).select(col("id").as("out_dim"),
+      transform(sequence(lit(0), lit(dim - 1)), i => sign(col("id"), i)).as("signs"))
+    val q = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("maxabs", array_max(transform(col("e"), x => abs(x))))
+      .withColumn("scale",
+        when(col("maxabs") === 0.0d, 1.0d).otherwise(col("maxabs") / 127.0d))
+      .select(col("vec_id"), quantized(col("e"), col("scale")).as("q"))
+    q.crossJoin(broadcast(signs))
+      .select(col("vec_id"), col("out_dim"),
+        aggregate(zip_with(col("q"), col("signs"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("proj"))
+  }
+
   /** Per-label Gram matrix XᵀX over the int8-quantized embeddings — the
     * reference's TableMult (matrix multiply as Join∘Agg,
     * `LaraQueries.covariance`'s sibling) lifted to the embedding table:

@@ -941,4 +941,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSet.subsetOf(('1' to '9').map(_.toString).toSet))
     assert(rows.map(_._2).sum == Tables.orders(spark, sf).count())
   }
+
+  test("targetEncode: exact shrink identity; encoded lands between raw mean and prior") {
+    val rows = RelationalQueries.targetEncode(spark, sf).collect()
+    assert(rows.length > 1)
+    for (r <- rows) {
+      val (n, sc, prior, enc) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(enc == (sc * 10000 + 100 * prior) / (n + 100), "floor-div shrink identity")
+      val raw = sc * 10000 / n
+      // floor divisions can each be off by <1 from the real-number bound
+      assert(enc >= math.min(raw, prior) - 1 && enc <= math.max(raw, prior) + 1,
+        s"encoded $enc outside [$raw, $prior]")
+    }
+  }
+
+  test("seqPatterns: trigram counts equal a per-user brute-force fold") {
+    val got = RelationalQueries.seqPatterns(spark, sf, k = 100000).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    val brute = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1).getTime, r.getTimestamp(1).getNanos,
+        r.getLong(2)), r.getString(3)))
+      .groupBy(_._1).values
+      .flatMap(_.sortBy(e => e._2).map(_._3).sliding(3).filter(_.length == 3)
+        .map(t => (t(0), t(1), t(2))))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
 }

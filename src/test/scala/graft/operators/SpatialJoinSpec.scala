@@ -50,4 +50,27 @@ class SpatialJoinSpec extends AnyFunSuite {
     val got = run(pts, 10L)
     assert(got == Set((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L)))
   }
+
+  private def clusters(pts: Seq[(Long, Long, Long)], cell: Long, minPts: Long) =
+    SpatialJoin.gridDensityClusters(
+      df(schema, pts.map { case (i, x, y) => Row(i, x, y) }), cell, minPts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("gridDensityClusters: diagonal adjacency merges, noise dropped, isolated core kept") {
+    val pts = Seq(
+      (1L, 1L, 1L), (2L, 2L, 2L), (3L, 3L, 3L),       // cell (0,0): core
+      (4L, 11L, 11L), (5L, 12L, 12L), (6L, 13L, 13L), // cell (1,1): core, diag-adjacent
+      (7L, 55L, 55L), (8L, 56L, 56L),                 // cell (5,5): below minPts → noise
+      (9L, 99L, 99L), (10L, 98L, 98L), (11L, 97L, 97L), (12L, 96L, 96L)) // cell (9,9): isolated core
+    val got = clusters(pts, 10L, 3L)
+    // labels are min member cell_id (cx·2²⁰ + cy): (0,0)→0; (9,9)→9·2²⁰+9
+    assert(got == Set((0L, 2L, 6L), (9L * 1048576L + 9L, 1L, 4L)))
+  }
+
+  test("gridDensityClusters: a chain of adjacent core cells is one cluster; a gap splits it") {
+    val chain = for (c <- 0L to 2L; p <- 0L until 3L) yield (c * 10 + p + 1, c * 10 + p, 0L)
+    val far = for (p <- 0L until 3L) yield (100L + p, 50L + p, 0L) // cell (5,0): 2-cell gap
+    val got = clusters(chain ++ far, 10L, 3L)
+    assert(got == Set((0L, 3L, 9L), (5L * 1048576L, 1L, 3L)))
+  }
 }

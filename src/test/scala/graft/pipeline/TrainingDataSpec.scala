@@ -167,6 +167,31 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(r(2L) == ((1.0d, 0L, 0L, 0L)))
   }
 
+  test("randomProjection: exact integer JL fold matches a scalar replay; zero-vector safe") {
+    val es = new StructType().add("vec_id", LongType).add("embedding", ArrayType(FloatType))
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      1L -> Array.tabulate(64)(i => math.sin(i + 1.0).toFloat),
+      2L -> Array.tabulate(64)(i => ((i % 5) - 2).toFloat),
+      3L -> Array.fill(64)(0f))
+    val d = df(es, vecs.map { case (id, a) => Row(id, a.toSeq) })
+    val got = TrainingData.randomProjection(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def sign(k: Long, i: Int): Long =
+      java.lang.Math.floorMod(graft.functions.PortableHash.local60(s"rp_${k}_$i"), 6L) match {
+        case 0L => 1L; case 1L => -1L; case _ => 0L
+      }
+    val expect = (for {
+      (id, a) <- vecs
+      maxabs = a.map(x => math.abs(x.toDouble)).max
+      scale = if (maxabs == 0.0) 1.0 else maxabs / 127.0
+      q = a.map(x => math.floor(x.toDouble / scale + 0.5).toLong)
+      k <- 0L until 8L
+    } yield (id, k, q.zipWithIndex.map { case (qi, i) => qi * sign(k, i) }.sum)).toSet
+    assert(got == expect)
+    assert(got.count(_._3 != 0L) > 8, "projection degenerated to zeros")
+    assert(got.filter(_._1 == 3L).forall(_._3 == 0L), "zero vector must project to zero")
+  }
+
   test("gramMatrix: per-label upper-triangle sums equal the brute-force outer products") {
     val es = new StructType().add("vec_id", LongType)
       .add("embedding", ArrayType(FloatType)).add("label", IntegerType)
