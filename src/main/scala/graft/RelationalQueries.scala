@@ -2260,6 +2260,53 @@ object RelationalQueries {
       .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** k-anonymity audit with one generalization rung — the privacy
+    * complement of [[graft.pipeline.TextAnalysis.piiRedact]]-style masking:
+    * group the corpus by its quasi-identifiers (nation, market segment);
+    * any group smaller than k generalizes its segment to '*' (suppression)
+    * and re-counts within the nation; a still-small '*' rung folds to the
+    * fully-generalized (-1, '*') bucket. Output is the post-generalization
+    * equivalence classes with their exact sizes and a k_anonymous flag —
+    * false only possible on the final bucket.
+    *
+    * Scale: two map-side-combined aggregates over shrinking frames
+    * (|nations|·|segments| → |nations| → 1) — the corpus is scanned once.
+    */
+  def kAnonymity(s: SparkSession, d: String, k: Long = 5L): DataFrame =
+    kAnonymityOf(customer(s, d), k)
+
+  /** The generalization ladder over any frame with customer-shaped QI
+    * columns (see [[kAnonymity]] for the contract instance).
+    */
+  def kAnonymityOf(cust: DataFrame, k: Long): DataFrame = {
+    val cols = Seq("nat", "seg", "bal_k", "n").map(col)
+    val g0 = cust
+      .groupBy(col("c_nationkey").cast("long").as("nat"), col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_k"))
+      .agg(count(lit(1)).as("n"))
+    // rung 1: drop the most specific attribute (balance bucket; sentinel
+    // -999 — real buckets can be negative, so -1 would collide)
+    val l1 = g0.filter(col("n") < k)
+      .groupBy(col("nat"), col("seg")).agg(sum(col("n")).as("n"))
+      .withColumn("bal_k", lit(-999L))
+    // rung 2: suppress the segment
+    val l2 = l1.filter(col("n") < k)
+      .groupBy(col("nat")).agg(sum(col("n")).as("n"))
+      .withColumn("seg", lit("*")).withColumn("bal_k", lit(-999L))
+    // rung 3: the fully-generalized residual bucket (may stay below k —
+    // the only row allowed to report k_anonymous = false)
+    val rest = l2.filter(col("n") < k)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"))
+      .select(lit(-1L).as("nat"), lit("*").as("seg"), lit(-999L).as("bal_k"), col("n"))
+      .filter(col("n") > 0L)
+    g0.filter(col("n") >= k).select(cols: _*)
+      .unionByName(l1.filter(col("n") >= k).select(cols: _*))
+      .unionByName(l2.filter(col("n") >= k).select(cols: _*))
+      .unionByName(rest)
+      .select(col("nat"), col("seg"), col("bal_k"), col("n"),
+        (col("n") >= k).as("k_anonymous"))
+  }
+
   /** Smoothed target encoding — the categorical-feature primitive of every
     * GBDT / feature-engineering pipeline: each category's label mean shrunk
     * toward the global prior, enc = (Σy + m·prior)/(n + m). Everything is

@@ -23,6 +23,66 @@ object SparkEntry {
     LaraQueries.covariance(spark, "/root/testdata/sf0.001")
   }
 
+  /** The retrieval_eval query batch — shared between the Spark plan and
+    * the generated DuckDB oracle so the two can never drift.
+    */
+  val evalQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "join", "vector"),
+    2L -> Seq("merge", "batch"),
+    3L -> Seq("customer", "query", "window", "sort"))
+
+  /** Generated DuckDB oracle for retrieval_eval: the bm25_score CTE chain
+    * instantiated per query in [[evalQueries]], then the engine's exact
+    * count-above-best-relevant rank arithmetic (LEFT JOIN ON TRUE keeps
+    * the one aggregate row when no doc is relevant, like Spark's agg over
+    * an empty frame).
+    */
+  private def retrievalEvalOracle: String = {
+    val per = evalQueries.map { case (qid, terms) =>
+      val in = terms.map(t => s"'$t'").mkString(", ")
+      val nt = terms.size
+      s"""p$qid AS (
+           SELECT doc_id, len(t)::BIGINT AS dl, x AS term, count(*)::BIGINT AS tf
+           FROM toks, unnest(t) AS u(x)
+           WHERE x IN ($in)
+           GROUP BY 1, 2, 3),
+         d$qid AS (SELECT term, count(*)::BIGINT AS df FROM p$qid GROUP BY term),
+         s$qid AS (
+           SELECT p.doc_id, p.term,
+             ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * (1.2 + 1.0))
+               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / (st.sdl::DOUBLE / st.n))) AS sc
+           FROM p$qid p JOIN d$qid d USING (term) CROSS JOIN stats st),
+         b$qid AS (
+           SELECT doc_id, count(*)::BIGINT AS n_matched,
+             round(list_reduce(list_prepend(0.0::DOUBLE,
+                 [z.sc for z in list_sort(list(struct_pack(term := term, sc := sc)))]),
+               (a, h) -> a + h), 6) AS bm25
+           FROM s$qid GROUP BY doc_id),
+         best$qid AS (
+           SELECT bm25 AS bb, doc_id AS bid FROM b$qid WHERE n_matched = $nt
+           ORDER BY bm25 DESC, doc_id LIMIT 1),
+         e$qid AS (
+           SELECT $qid::BIGINT AS query_id, count(*)::BIGINT AS n_scored,
+             coalesce(sum(CASE WHEN b.n_matched = $nt THEN 1 ELSE 0 END), 0)::BIGINT AS n_rel,
+             coalesce(sum(CASE WHEN b.bm25 > x.bb
+                              OR (b.bm25 = x.bb AND b.doc_id < x.bid)
+                              THEN 1 ELSE 0 END), 0)::BIGINT AS n_above
+           FROM b$qid b LEFT JOIN best$qid x ON TRUE)"""
+    }.mkString(",\n         ")
+    val union = evalQueries.map { case (qid, _) => s"SELECT * FROM e$qid" }
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS t
+           FROM documents),
+         stats AS (SELECT count(*)::BIGINT AS n, sum(len(t))::BIGINT AS sdl FROM toks),
+         $per
+         SELECT query_id, n_scored, n_rel,
+                CASE WHEN n_rel = 0 THEN 0 ELSE n_above + 1 END::BIGINT AS first_rel_rank,
+                CASE WHEN n_rel = 0 THEN 0 ELSE 1000000 // (n_above + 1) END::BIGINT AS rr_e6
+         FROM ($union)"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- Lara core (SURVEY §2.1): Ext / Map / Union / Agg / Join / Rename ---
     "lara_ext_wordcount" -> LaraQueries.extWordcount _,
@@ -71,6 +131,18 @@ object SparkEntry {
     "q20_excess" -> RelationalQueries.q20Excess _,
     // --- smoothed target encoding: exact-integer shrunk category means ---
     "target_encode" -> ((s, d) => RelationalQueries.targetEncode(s, d)),
+    // --- k-anonymity audit with one suppression/generalization rung ---
+    "k_anonymity" -> ((s, d) => RelationalQueries.kAnonymity(s, d)),
+    // --- hashing-trick featurizer: token → signed bucket, sparse output ---
+    "feature_hash" -> ((s, d) =>
+      pipeline.TextAnalysis.featureHash(Tables.documents(s, d))),
+    // --- reliability diagram of the quality score vs the lang label ---
+    "calibration_bins" -> ((s, d) =>
+      pipeline.TextAnalysis.calibrationBins(Tables.documents(s, d))),
+    // --- retrieval eval: first-relevant rank / reciprocal rank per query,
+    // computed without any global sort ---
+    "retrieval_eval" -> ((s, d) =>
+      pipeline.Ranking.retrievalEval(Tables.documents(s, d), evalQueries)),
     // --- sequential pattern mining: top-k per-user event-type trigrams ---
     "seq_patterns" -> ((s, d) => RelationalQueries.seqPatterns(s, d)),
     // --- JL sparse random projection: 64 floats → 8 exact BIGINT coords,
@@ -1073,6 +1145,69 @@ object SparkEntry {
                 (seg.sum_cents * 10000 + 100 * pr.prior_c4) // (seg.n_orders + 100)
                   AS encoded_c4
          FROM seg, pr""",
+    // k-anonymity: replay the three generalization rungs with k = 5;
+    // -999 balance sentinel (real buckets can be negative).
+    "k_anonymity" ->
+      """WITH g0 AS (
+           SELECT c_nationkey::BIGINT AS nat, c_mktsegment AS seg,
+                  floor(c_acctbal / 1000)::BIGINT AS bal_k, count(*)::BIGINT AS n
+           FROM customer GROUP BY 1, 2, 3),
+         l1 AS (
+           SELECT nat, seg, -999::BIGINT AS bal_k, sum(n)::BIGINT AS n
+           FROM g0 WHERE n < 5 GROUP BY 1, 2),
+         l2 AS (
+           SELECT nat, '*' AS seg, -999::BIGINT AS bal_k, sum(n)::BIGINT AS n
+           FROM l1 WHERE n < 5 GROUP BY 1),
+         rest AS (
+           SELECT -1::BIGINT AS nat, '*' AS seg, -999::BIGINT AS bal_k,
+                  coalesce(sum(n), 0)::BIGINT AS n
+           FROM l2 WHERE n < 5 HAVING coalesce(sum(n), 0) > 0)
+         SELECT nat, seg, bal_k, n, n >= 5 AS k_anonymous
+         FROM (
+           SELECT * FROM g0 WHERE n >= 5
+           UNION ALL SELECT * FROM l1 WHERE n >= 5
+           UNION ALL SELECT * FROM l2 WHERE n >= 5
+           UNION ALL SELECT * FROM rest)""",
+    // Hashing-trick featurizer: both hash roles replayed; exactly-cancelled
+    // buckets dropped on both sides.
+    "feature_hash" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS tok
+           FROM documents)
+         SELECT doc_id,
+                ('0x' || substring(md5('fh_' || tok), 1, 15))::BIGINT % 256 AS bucket,
+                sum(CASE WHEN ('0x' || substring(md5('fs_' || tok), 1, 15))::BIGINT % 2 = 0
+                         THEN 1 ELSE -1 END)::BIGINT AS weight
+         FROM t GROUP BY 1, 2
+         HAVING sum(CASE WHEN ('0x' || substring(md5('fs_' || tok), 1, 15))::BIGINT % 2 = 0
+                         THEN 1 ELSE -1 END) <> 0""",
+    // Calibration: the text_quality_score formula with the lang label
+    // carried; e6 snap exact because the score is already round(6).
+    "calibration_bins" ->
+      """WITH st AS (
+           SELECT lang = 'en' AS pos,
+             round(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
+               greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 4) AS avg_token_len,
+             round(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is','it','for','on')))::DOUBLE /
+               greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 4) AS stopword_ratio,
+             round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::DOUBLE /
+               greatest(length(text), 1), 4) AS punct_ratio
+           FROM documents),
+         q AS (
+           SELECT pos,
+             round(1.0 / (1.0 + exp(-(-1.0 + stopword_ratio * 8.0 +
+               CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE -1.0 END -
+               punct_ratio * 4.0))), 6) AS q
+           FROM st)
+         SELECT least(floor(q * 10)::BIGINT, 9) AS bin, count(*)::BIGINT AS n,
+                sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+                sum(round(q * 1000000)::BIGINT)::BIGINT AS sum_q_e6
+         FROM q GROUP BY 1""",
+    // Retrieval eval: the bm25_score pipeline replayed per query, the
+    // first-relevant rank counted (never sorted) exactly like the engine.
+    "retrieval_eval" -> retrievalEvalOracle,
     // Top-k event-type trigrams; (cnt DESC, e1, e2, e3) is a total order.
     "seq_patterns" ->
       """WITH seq AS (

@@ -167,4 +167,41 @@ object Ranking {
       .select(col("token"), col("df"), col("tf"), col("postings"),
         (col("df") > maxPostings).as("truncated"))
   }
+
+  /** Retrieval-quality evaluation (MRR family) over a query batch: for
+    * each query, rank the [[bm25]]-scored docs by (bm25 DESC, doc_id) and
+    * report the rank of the first RELEVANT doc — relevance judged
+    * independently of the ranker as "contains every query term"
+    * (n_matched = |terms|). Emits exact integers only: candidate count,
+    * relevant count, first-relevant rank, and the reciprocal rank as a
+    * e6 floor division (0s when nothing relevant); MRR is the client's
+    * mean over query rows.
+    *
+    * Scale: NO ranking window — the first-relevant rank is computed as
+    * 1 + |docs strictly ahead of the best relevant doc|, via two
+    * aggregates and a broadcast 1-row frame per query, so nothing
+    * corpus-sized is ever sorted. Queries fan out as independent
+    * subplans (a handful), each moving only its own term postings.
+    */
+  def retrievalEval(docs: DataFrame, queries: Seq[(Long, Seq[String])]): DataFrame = {
+    require(queries.nonEmpty, "retrievalEval: at least one query")
+    queries.map { case (qid, terms) =>
+      val sc = bm25(docs, terms)
+      // best relevant = max (bm25, -doc_id): the doc the ranking sees first
+      val best = sc.filter(col("n_matched") === terms.size)
+        .agg(max(struct(col("bm25"), (-col("doc_id")).as("nid"))).as("b"))
+        .select(col("b.bm25").as("bb"), (-col("b.nid")).as("bid"))
+      sc.crossJoin(broadcast(best))
+        .agg(count(lit(1)).as("n_scored"),
+          coalesce(sum(when(col("n_matched") === terms.size, 1L).otherwise(0L)), lit(0L))
+            .as("n_rel"),
+          coalesce(sum(when(col("bm25") > col("bb") ||
+            (col("bm25") === col("bb") && col("doc_id") < col("bid")), 1L)
+            .otherwise(0L)), lit(0L)).as("n_above"))
+        .select(lit(qid).as("query_id"), col("n_scored"), col("n_rel"),
+          when(col("n_rel") === 0L, 0L).otherwise(col("n_above") + 1L).as("first_rel_rank"),
+          when(col("n_rel") === 0L, 0L)
+            .otherwise(expr("1000000 div (n_above + 1)")).as("rr_e6"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -23,13 +23,19 @@ object TextAnalysis {
     * stopword ratios — the standard cheap filters applied before expensive
     * dedup/training stages.
     */
-  def qualityStats(docs: DataFrame): DataFrame = {
-    val toks = Dedup.tokens(col("text"))
-    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
-    docs.select(
+  def qualityStats(docs: DataFrame): DataFrame =
+    docs.select(Seq(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars_m"),
-      size(toks).cast("long").as("n_tokens"),
+      size(Dedup.tokens(col("text"))).cast("long").as("n_tokens")) ++ ratioCols: _*)
+
+  /** The three quality ratios over `text` — shared by [[qualityStats]] and
+    * [[calibrationBins]] so the contracts can never drift.
+    */
+  private def ratioCols: Seq[Column] = {
+    val toks = Dedup.tokens(col("text"))
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+    Seq(
       round(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
         greatest(size(toks), lit(1)), 4).as("avg_token_len"),
       round(size(filter(toks, t => t.isin(stop.map(x => x: Any): _*))).cast("double") /
@@ -43,13 +49,64 @@ object TextAnalysis {
     * punctuation density.
     */
   def qualityScore(docs: DataFrame): DataFrame =
-    qualityStats(docs).select(col("doc_id"),
-      round(
-        lit(1.0) / (lit(1.0) + exp(-(
-          lit(-1.0)
-            + col("stopword_ratio") * 8.0
-            + when(col("avg_token_len").between(3.0, 8.0), 1.0).otherwise(-1.0)
-            - col("punct_ratio") * 4.0))), 6).as("quality"))
+    qualityStats(docs).select(col("doc_id"), qualityFromStats.as("quality"))
+
+  /** The score formula over the [[qualityStats]] ratio columns — shared by
+    * [[qualityScore]] and [[calibrationBins]] so the two contracts can
+    * never drift.
+    */
+  private def qualityFromStats: Column =
+    round(
+      lit(1.0) / (lit(1.0) + exp(-(
+        lit(-1.0)
+          + col("stopword_ratio") * 8.0
+          + when(col("avg_token_len").between(3.0, 8.0), 1.0).otherwise(-1.0)
+          - col("punct_ratio") * 4.0))), 6)
+
+  /** Calibration readout of the quality score against the language label
+    * (pos = lang "en", the score's fluency heuristic is English-trained):
+    * per predicted-probability decile, the exact support, positive count,
+    * and the integer-e6 sum of predictions — n_pos/n vs sum_q_e6/(n·10⁶)
+    * is the classic reliability diagram, left as client divisions so the
+    * contract stays integer-exact. The ML-eval sibling of [[graft.RelationalQueries.aucScore]]:
+    * AUC ranks, calibration checks the probabilities themselves.
+    *
+    * Scale: per-row scoring (no shuffle) into a ≤ `bins`-group map-side-
+    * combined aggregate. The e6 snap is exact: the score is already
+    * rounded to 6 decimals, so q·10⁶ sits on an integer.
+    */
+  def calibrationBins(docs: DataFrame, bins: Int = 10): DataFrame =
+    docs.select((col("lang") === "en").as("pos") +: ratioCols: _*)
+      .select(col("pos"), qualityFromStats.as("q"))
+      .select(col("pos"),
+        least(floor(col("q") * bins).cast("long"), lit(bins - 1L)).as("bin"),
+        round(col("q") * 1000000).cast("long").as("q_e6"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("q_e6")).as("sum_q_e6"))
+
+  /** Hashing-trick featurizer (feature hashing): every token folds into a
+    * `dims`-wide sparse vector bucket via the portable hash, with a second
+    * hash bit choosing ±1 so collisions cancel in expectation — the
+    * classic constant-memory text featurizer (no vocabulary pass, no
+    * dictionary to ship). Output is the sparse form (doc_id, bucket,
+    * weight ≠ 0); exactly-cancelled buckets are dropped as true sparsity.
+    *
+    * Scale: tokenize + hash are per-row map work; the only shuffle is the
+    * (doc_id, bucket) map-side-combined aggregate, carrying id/int rows.
+    * No vocabulary join — the whole point of the trick at 100 TB.
+    */
+  def featureHash(docs: DataFrame, dims: Int = 256): DataFrame = {
+    val h = graft.functions.PortableHash.hash60(concat(lit("fh_"), col("tok")))
+    val sgn = when(pmod(graft.functions.PortableHash.hash60(
+      concat(lit("fs_"), col("tok"))), lit(2L)) === 0L, 1L).otherwise(-1L)
+    docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), pmod(h, lit(dims.toLong)).as("bucket"), sgn.as("sgn"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sgn")).as("weight"))
+      .filter(col("weight") =!= 0L)
+  }
 
   /** n-gram-heuristic language ID: score each candidate language by hits of
     * its most frequent function words / character patterns, pick the argmax.

@@ -942,6 +942,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == Tables.orders(spark, sf).count())
   }
 
+  test("kAnonymityOf: all three generalization rungs fire; negative buckets don't collide") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cs = new StructType().add("c_nationkey", IntegerType)
+      .add("c_mktsegment", StringType).add("c_acctbal", DoubleType)
+    val rows =
+      Seq.fill(6)(Row(1, "AUTO", 100.0)) ++                       // kept at rung 0
+      Seq(Row(1, "BIKE", 100.0), Row(1, "BIKE", 1100.0), Row(1, "BIKE", 2100.0)) ++
+      (Seq.fill(3)(Row(2, "CAR", 100.0)) ++ Seq.fill(3)(Row(2, "CAR", 1100.0))) ++ // rung 1
+      Seq(Row(3, "DOG", 100.0), Row(3, "DOG", 1100.0),
+        Row(3, "EEL", 100.0), Row(3, "EEL", 1100.0)) ++           // rung 2 still small → rest
+      Seq.fill(5)(Row(4, "NEG", -500.0))                          // bucket -1: kept at rung 0
+    val got = RelationalQueries.kAnonymityOf(df(cs, rows), k = 5L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(got == Set(
+      (1L, "AUTO", 0L, 6L, true),
+      (2L, "CAR", -999L, 6L, true),
+      (4L, "NEG", -1L, 5L, true),
+      (-1L, "*", -999L, 7L, true))) // residual: (1,BIKE)=3 + nation-3's 4
+  }
+
   test("targetEncode: exact shrink identity; encoded lands between raw mean and prior") {
     val rows = RelationalQueries.targetEncode(spark, sf).collect()
     assert(rows.length > 1)

@@ -228,6 +228,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(lang(1L) == "en" && lang(2L) == "de" && lang(3L) == "und")
   }
 
+  test("featureHash: signed bucket sums equal a scalar replay; cancelled buckets dropped") {
+    val d = df(docSchema, Seq(
+      Row(1L, "cat dog cat fish bird"),
+      Row(2L, "dog dog dog"),
+      Row(3L, "")))
+    val got = TextAnalysis.featureHash(d, dims = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def bucket(t: String) =
+      java.lang.Math.floorMod(graft.functions.PortableHash.local60(s"fh_$t"), 16L)
+    def sgn(t: String) =
+      if (java.lang.Math.floorMod(graft.functions.PortableHash.local60(s"fs_$t"), 2L) == 0L) 1L
+      else -1L
+    val want = Seq(1L -> "cat dog cat fish bird", 2L -> "dog dog dog")
+      .flatMap { case (id, text) =>
+        text.split("\\s+").filter(_.nonEmpty).map(t => (id, bucket(t)) -> sgn(t))
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      .filter(_._2 != 0L)
+    assert(got == want)
+    assert(!got.keySet.exists(_._1 == 3L), "empty doc contributes nothing")
+  }
+
+  test("calibrationBins: bins partition the corpus; per-bin sums match a qualityScore join") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val got = TextAnalysis.calibrationBins(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val q = TextAnalysis.qualityScore(docs).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lang = docs.select("doc_id", "lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = q.toSeq.groupBy { case (_, v) => math.min(math.floor(v * 10).toLong, 9L) }
+      .view.mapValues { xs =>
+        (xs.size.toLong,
+          xs.count { case (id, _) => lang(id) == "en" }.toLong,
+          xs.map { case (_, v) => math.round(v * 1000000) }.sum)
+      }.toMap
+    assert(got == want)
+    assert(got.values.map(_._1).sum == docs.count())
+  }
+
   test("fingerprints: normalized digest conflates formatting noise; rolling hash is order-sensitive") {
     val ds = new StructType().add("doc_id", LongType).add("text", StringType)
     val d = df(ds, Seq(

@@ -68,6 +68,30 @@ class RankingSpec extends AnyFunSuite {
     assert(top.head == 3L && top(1) == 1L)
   }
 
+  test("retrievalEval: ranks equal a collected sort of the bm25 output; no-relevant → zeros") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val queries = graft.SparkEntry.evalQueries :+ (9L -> Seq("spark", "xyzzynotoken"))
+    val got = Ranking.retrievalEval(docs, queries).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    graft.pipeline.InternalCaches.release()
+    for ((qid, terms) <- queries) {
+      val sc = Ranking.bm25(docs, terms).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      graft.pipeline.InternalCaches.release()
+      val ranked = sc.sortBy { case (id, _, s) => (-s, id) }
+      val firstRel = ranked.indexWhere(_._2 == terms.size.toLong)
+      val nRel = sc.count(_._2 == terms.size.toLong).toLong
+      val want =
+        if (nRel == 0) (sc.length.toLong, 0L, 0L, 0L)
+        else (sc.length.toLong, nRel, firstRel + 1L, 1000000L / (firstRel + 1L))
+      assert(got(qid) == want, s"query $qid: got ${got(qid)}, want $want")
+    }
+    assert(got(9L)._2 == 0L && got(9L)._4 == 0L)
+    assert(got(1L)._3 >= 1L)
+  }
+
   test("postingLists: df/tf exact, head = lowest ids, truncation flagged") {
     // "hot" appears in 25 docs (twice in doc 0) → truncated head of 3;
     // "cold" in 2 docs → full list, tf counts multiplicity
