@@ -2260,6 +2260,28 @@ object RelationalQueries {
       .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Click→purchase interval join: every purchase paired with the same
+    * user's clicks in the trailing hour — the batch twin of
+    * [[graft.streaming.EventStreams.streamingIntervalJoin]]'s native
+    * watermarked stream-stream join (differential spec pins equality).
+    * Gaps are exact BIGINT microseconds.
+    *
+    * Scale: an equi-join on user_id with the time band as a residual
+    * predicate — a plain shuffled hash join (both sides pre-filtered by
+    * type at the scan), never a time-range cross product.
+    */
+  def clickPurchaseJoin(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("bu"), col("ts").as("b_ts"), col("event_id").as("purchase_id"))
+    clicks.join(buys, col("cu") === col("bu") &&
+        col("c_ts") >= col("b_ts") - expr("INTERVAL 1 HOUR") && col("c_ts") <= col("b_ts"))
+      .select(col("purchase_id"), col("click_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   /** k-anonymity audit with one generalization rung — the privacy
     * complement of [[graft.pipeline.TextAnalysis.piiRedact]]-style masking:
     * group the corpus by its quasi-identifiers (nation, market segment);

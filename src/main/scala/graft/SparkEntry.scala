@@ -133,6 +133,9 @@ object SparkEntry {
     "target_encode" -> ((s, d) => RelationalQueries.targetEncode(s, d)),
     // --- k-anonymity audit with one suppression/generalization rung ---
     "k_anonymity" -> ((s, d) => RelationalQueries.kAnonymity(s, d)),
+    // --- trailing-hour click→purchase interval join (batch twin of the
+    // native stream-stream join) ---
+    "click_purchase_join" -> RelationalQueries.clickPurchaseJoin _,
     // --- hashing-trick featurizer: token → signed bucket, sparse output ---
     "feature_hash" -> ((s, d) =>
       pipeline.TextAnalysis.featureHash(Tables.documents(s, d))),
@@ -1145,6 +1148,14 @@ object SparkEntry {
                 (seg.sum_cents * 10000 + 100 * pr.prior_c4) // (seg.n_orders + 100)
                   AS encoded_c4
          FROM seg, pr""",
+    // Interval join: equi-join on user with the time band as residual.
+    "click_purchase_join" ->
+      """SELECT b.event_id AS purchase_id, c.event_id AS click_id,
+                (epoch_us(b.ts) - epoch_us(c.ts))::BIGINT AS gap_us
+         FROM events b JOIN events c
+           ON c.user_id = b.user_id
+          AND c.ts >= b.ts - INTERVAL 1 HOUR AND c.ts <= b.ts
+         WHERE b.event_type = 'purchase' AND c.event_type = 'click'""",
     // k-anonymity: replay the three generalization rungs with k = 5;
     // -999 balance sentinel (real buckets can be negative).
     "k_anonymity" ->

@@ -135,6 +135,31 @@ object EventStreams {
     * feed. State is the digest set, pruned by the event-time watermark.
     * Expects columns (ts: timestamp, text: string, ...).
     */
+  /** Native watermarked STREAM-STREAM interval join — the one Structured
+    * Streaming join primitive the buffered-replay twins don't exercise:
+    * each purchase pairs with the same user's clicks in the trailing
+    * hour, both sides unbounded. Spark's state store holds each side
+    * only until the watermark passes its join-window end — the engine's
+    * own bounded-state machinery, no custom state code at all. Batch twin:
+    * [[graft.RelationalQueries.clickPurchaseJoin]] (exact differential).
+    *
+    * Scale: state is bounded by rate × (watermark + interval) per side;
+    * the join shuffles both streams on user_id like the batch hash join.
+    */
+  def streamingIntervalJoin(events: Dataset[Event],
+                            watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(_.event_type == "click")
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    val buys = events.filter(_.event_type == "purchase")
+      .select(col("user_id").as("bu"), col("ts").as("b_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("b_ts", watermark)
+    clicks.join(buys, expr(
+      "cu = bu AND c_ts >= b_ts - INTERVAL 1 HOUR AND c_ts <= b_ts"))
+      .select(col("purchase_id"), col("click_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs
       .withColumn("content_hash", md5(col("text")))

@@ -218,6 +218,33 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingIntervalJoin: native stream-stream join equals the batch twin on real events") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val in = MemoryStream[Event]
+    val q = EventStreams.streamingIntervalJoin(in.toDS())
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      // two CHRONOLOGICAL slices so cross-slice pairs exercise the join
+      // state without falling behind the watermark (a random split would
+      // make slice 2 mostly late — watermark-dropped by design)
+      val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+      val (a, b) = sorted.splitAt(sorted.length / 2)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+      val got = spark.table("ssj").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.RelationalQueries.clickPurchaseJoin(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty)
+      assert(got == batch, s"stream ${got.size} pairs vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streamStore: micro-batches append access-path-sorted files to a Lara store") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
