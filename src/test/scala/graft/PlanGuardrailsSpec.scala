@@ -115,6 +115,10 @@ class PlanGuardrailsSpec extends AnyFunSuite {
     def boundedSide(p: LogicalPlan): Boolean = p.collectFirst {
       // grouping-key-free aggregate → exactly one row
       case a: Aggregate if a.groupingExpressions.isEmpty => true
+      // constant-cardinality Range leaf (e.g. a generated sign matrix) —
+      // bounded by construction, independent of data size
+      case r: org.apache.spark.sql.catalyst.plans.logical.Range
+        if r.numElements <= BigInt(4096) => true
     }.nonEmpty
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.optimizedPlan
