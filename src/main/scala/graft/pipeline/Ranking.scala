@@ -33,22 +33,38 @@ object Ranking {
   def bm25(docs: DataFrame, queryTerms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25: at least one query term")
-    // ONE tokenization pass: per doc keep only its length and the tokens
-    // matching the query (filtered before materialization — a few tokens,
-    // not the document). Cached: both the stats aggregate and the postings
-    // explode read it.
-    val base = InternalCaches.register(Dedup.rebalance(docs)
+    bm25Scored(bm25Base(docs, queryTerms), queryTerms, k1, b)
+  }
+
+  /** ONE tokenization pass: per doc keep only its length and the tokens
+    * matching `terms` (filtered before materialization — a few tokens,
+    * not the document). Cached: both the stats aggregate and the postings
+    * explode read it; [[retrievalEval]] shares one base (built on the
+    * UNION of its queries' terms) across the whole batch, so the corpus
+    * is scanned once per batch, not once per query.
+    */
+  private def bm25Base(docs: DataFrame, terms: Seq[String]): DataFrame =
+    InternalCaches.register(Dedup.rebalance(docs)
       .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
       .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
-        filter(col("t"), x => x.isin(queryTerms: _*)).as("mt"))
+        filter(col("t"), x => x.isin(terms: _*)).as("mt"))
       .cache())
+
+  /** BM25 scoring over a prepared base whose `mt` arrays may carry a
+    * SUPERSET of `queryTerms` (they are re-filtered here; df/idf/avgdl are
+    * corpus-global either way, so scores are identical to a dedicated
+    * base).
+    */
+  private def bm25Scored(base: DataFrame, queryTerms: Seq[String],
+                         k1: Double, b: Double): DataFrame = {
     // global scalars from ONE aggregate row: exact integer arithmetic, so
     // avgdl is combine-order-independent
     val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
     // postings of the query terms only — filtered map-side above, so only
     // |terms|·df rows enter the (doc_id, term) shuffle
     val postings = base
-      .select(col("doc_id"), col("dl"), explode(col("mt")).as("term"))
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("mt"), x => x.isin(queryTerms: _*))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -185,23 +201,62 @@ object Ranking {
     */
   def retrievalEval(docs: DataFrame, queries: Seq[(Long, Seq[String])]): DataFrame = {
     require(queries.nonEmpty, "retrievalEval: at least one query")
-    queries.map { case (qid, terms) =>
-      val sc = bm25(docs, terms)
-      // best relevant = max (bm25, -doc_id): the doc the ranking sees first
-      val best = sc.filter(col("n_matched") === terms.size)
-        .agg(max(struct(col("bm25"), (-col("doc_id")).as("nid"))).as("b"))
-        .select(col("b.bm25").as("bb"), (-col("b.nid")).as("bid"))
-      sc.crossJoin(broadcast(best))
-        .agg(count(lit(1)).as("n_scored"),
-          coalesce(sum(when(col("n_matched") === terms.size, 1L).otherwise(0L)), lit(0L))
-            .as("n_rel"),
-          coalesce(sum(when(col("bm25") > col("bb") ||
-            (col("bm25") === col("bb") && col("doc_id") < col("bid")), 1L)
-            .otherwise(0L)), lit(0L)).as("n_above"))
-        .select(lit(qid).as("query_id"), col("n_scored"), col("n_rel"),
-          when(col("n_rel") === 0L, 0L).otherwise(col("n_above") + 1L).as("first_rel_rank"),
-          when(col("n_rel") === 0L, 0L)
-            .otherwise(expr("1000000 div (n_above + 1)")).as("rr_e6"))
-    }.reduce(_ unionByName _)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (k1, b) = (1.2, 0.75)
+    // ONE plan for the whole batch (not one subplan per query — at a real
+    // batch size that multiplies every shuffle by |queries|): the corpus
+    // is tokenized once over the UNION of terms, global df/idf computed
+    // once per term, and a broadcast (term → query) table fans scored
+    // postings out to their queries; everything after runs on
+    // |queries|·df rows through one aggregation cascade.
+    val base = bm25Base(docs, queries.flatMap(_._2).distinct)
+    val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("mt")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val termQuery = queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }.toDF("query_id", "term")
+    val qsize = queries.map { case (qid, ts) => (qid, ts.size.toLong) }
+      .toDF("query_id", "n_terms")
+    val scored = postings.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("sc", col("idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") /
+          (col("sdl").cast("double") / col("n")))))
+      .join(broadcast(termQuery), Seq("term"))
+    // per (query, doc): the bm25_score fold, bit-identical to bm25()
+    val perDoc = scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        round(aggregate(
+          array_sort(collect_list(struct(col("term"), col("sc")))),
+          lit(0.0d), (acc, x) => acc + x.getField("sc")), 6).as("bm25"))
+      .join(broadcast(qsize), Seq("query_id"))
+    // best relevant = max (bm25, -doc_id): the doc the ranking sees first
+    val best = perDoc.filter(col("n_matched") === col("n_terms"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("bm25"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("query_id"), col("b.bm25").as("bb"), (-col("b.nid")).as("bid"))
+    val perQuery = perDoc.join(broadcast(best), Seq("query_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("ns"),
+        sum(when(col("n_matched") === col("n_terms"), 1L).otherwise(0L)).as("nr"),
+        sum(when(col("bm25") > col("bb") ||
+          (col("bm25") === col("bb") && col("doc_id") < col("bid")), 1L)
+          .otherwise(0L)).as("na"))
+    // row-per-query even when a query matches nothing at all
+    qsize.select(col("query_id")).join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("ns"), lit(0L)).as("n_scored"),
+        coalesce(col("nr"), lit(0L)).as("n_rel"),
+        coalesce(col("na"), lit(0L)).as("na"))
+      .select(col("query_id"), col("n_scored"), col("n_rel"),
+        when(col("n_rel") === 0L, 0L).otherwise(col("na") + 1L).as("first_rel_rank"),
+        when(col("n_rel") === 0L, 0L)
+          .otherwise(expr("1000000 div (na + 1)")).as("rr_e6"))
   }
 }
