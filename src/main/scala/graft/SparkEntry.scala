@@ -139,6 +139,9 @@ object SparkEntry {
     // --- hashing-trick featurizer: token → signed bucket, sparse output ---
     "feature_hash" -> ((s, d) =>
       pipeline.TextAnalysis.featureHash(Tables.documents(s, d))),
+    // --- per-language tokenizer fertility (subwords per word) totals ---
+    "tokenizer_fertility" -> ((s, d) =>
+      pipeline.TextAnalysis.tokenizerFertility(Tables.documents(s, d))),
     // --- reliability diagram of the quality score vs the lang label ---
     "calibration_bins" -> ((s, d) =>
       pipeline.TextAnalysis.calibrationBins(Tables.documents(s, d))),
@@ -1193,6 +1196,14 @@ object SparkEntry {
          FROM t GROUP BY 1, 2
          HAVING sum(CASE WHEN ('0x' || substring(md5('fs_' || tok), 1, 15))::BIGINT % 2 = 0
                          THEN 1 ELSE -1 END) <> 0""",
+    // Tokenizer fertility: the bpe_tokens counters aggregated per lang.
+    "tokenizer_fertility" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+                sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))::BIGINT
+                  AS n_subwords,
+                sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')))::BIGINT
+                  AS n_words
+         FROM documents GROUP BY 1""",
     // Calibration: the text_quality_score formula with the lang label
     // carried; e6 snap exact because the score is already round(6).
     "calibration_bins" ->

@@ -86,6 +86,25 @@ object TextAnalysis {
         sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
         sum(col("q_e6")).as("sum_q_e6"))
 
+  /** Tokenizer-fertility audit: per language, the exact corpus totals of
+    * BPE-ish subword tokens ([[bpeishTokens]]) vs whitespace words —
+    * fertility (subwords per word) is the client's division. The
+    * per-language cost screen every multilingual tokenizer evaluation
+    * starts with: a language whose fertility is 2× pays 2× the context
+    * budget for the same text.
+    *
+    * Scale: per-row counting into a ≤ |langs|-group map-side-combined
+    * aggregate; one scan, no shuffle of text.
+    */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        size(bpeishTokens(col("text"))).cast("long").as("n_sub"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_words"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sub")).as("n_subwords"),
+        sum(col("n_words")).as("n_words"))
+
   /** Hashing-trick featurizer (feature hashing): every token folds into a
     * `dims`-wide sparse vector bucket via the portable hash, with a second
     * hash bit choosing ±1 so collisions cancel in expectation — the
