@@ -44,6 +44,16 @@ class PlanGuardrailsSpec extends AnyFunSuite {
     }
   }
 
+  test("rand_project: zero exchanges — the sign matrix broadcasts, nothing shuffles") {
+    // the JL projection's whole point at 100 TB: per-row map work against
+    // an 8-row broadcast; any Exchange means the plan regressed to moving
+    // vectors
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = SparkEntry.queries("rand_project")(spark, sf).queryExecution.executedPlan
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.isEmpty, s"rand_project shuffles (${shuffles.size}):\n$plan")
+  }
+
   test("cached key-partitioned frame self-joins with ZERO per-join exchanges") {
     // the invariant triangleCount's wedge join and semanticDedup's pair
     // join rest on: BOTH children of a self-join over a persisted frame

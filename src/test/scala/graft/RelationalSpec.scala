@@ -942,6 +942,17 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == Tables.orders(spark, sf).count())
   }
 
+  test("q20Excess: the part dimension broadcasts into the fact scan; single pair aggregate") {
+    val p = plan(RelationalQueries.q20Excess(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"red-parts dim not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // both quantity aggregates come from ONE (partkey, suppkey) hash
+    // aggregate — a lineitem self-join here would be the scale mistake.
+    // The path prints once per FileScan per plan representation (2 reps)
+    assert("lineitem\\.parquet".r.findAllIn(p).size <= 2,
+      s"lineitem scanned more than once:\n$p")
+  }
+
   test("kAnonymityOf: all three generalization rungs fire; negative buckets don't collide") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
