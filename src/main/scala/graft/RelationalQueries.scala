@@ -347,6 +347,44 @@ object RelationalQueries {
         Num.centsSumExact(col("value")).as("total_value"))
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` (the engine's own
+    * merging-session operator — state-store-ready, identical semantics in
+    * streaming) next to [[sessionizeBatch]]'s gaps-and-islands window
+    * formulation. Split rule: a new session starts when the gap REACHES
+    * the duration (t ≥ prev + gap); the window end is last event + gap —
+    * both replayed by the oracle in exact integer MICROSECONDS (the
+    * millisecond grain would mis-split sub-ms gaps).
+    *
+    * Scale: one shuffle on user_id; session merging is partition-local.
+    */
+  def sessionWindowAgg(s: SparkSession, d: String): DataFrame =
+    sessionWindowOf(events(s, d))
+
+  /** The native-session_window aggregation over any events-shaped frame. */
+  def sessionWindowOf(ev: DataFrame): DataFrame =
+    ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        Num.centsSumExact(col("value")).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+
+  /** Explicit GROUPING SETS (the general form behind [[rollupAgg]]/cube):
+    * per-returnflag totals, per-linestatus totals, and the grand total in
+    * ONE pass, each row tagged with the engine's grouping_id bitmask —
+    * the same Expand-based plan Spark uses for rollup/cube, exercised
+    * with a non-hierarchical set list neither rollup nor cube can express.
+    */
+  def groupingSetsAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+
   /** Ordered funnel analysis: for each user, the deepest prefix of
     * `stages` completed as a strictly-time-increasing event subsequence —
     * the canonical product-analytics query (ClickHouse `windowFunnel`,

@@ -187,6 +187,10 @@ object SparkEntry {
     "set_ops" -> RelationalQueries.setOps _,
     "rollup_agg" -> RelationalQueries.rollupAgg _,
     "sessionize_batch" -> ((s, d) => RelationalQueries.sessionizeBatch(s, d)),
+    // --- NATIVE session_window sessionization (µs-exact split replay) ---
+    "session_window_agg" -> RelationalQueries.sessionWindowAgg _,
+    // --- explicit GROUPING SETS with grouping_id bitmask ---
+    "grouping_sets_agg" -> RelationalQueries.groupingSetsAgg _,
     // --- ordered funnel: deepest strictly-time-increasing stage prefix
     // per user, ONE shuffle (the SQL chain joins the fact table per stage) ---
     "funnel_stages" -> RelationalQueries.funnelQuery _,
@@ -273,6 +277,18 @@ object SparkEntry {
           pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
             lit(20011L)).as("dst"))
       sources.GraphLoader.bfsLevels(e, rounds = 6)
+    }),
+    // --- hop plot / effective-diameter curve: multi-seed BFS distance
+    // distribution over the same hash-derived graph ---
+    "hop_plot" -> ((s, d) => {
+      val e = pipeline.Dedup.rebalance(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
+        .select(
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tv_"), col("l_orderkey"))),
+            lit(20011L)).as("src"),
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
+            lit(20011L)).as("dst"))
+      sources.GraphLoader.hopPlot(e, rounds = 4)
     }),
     // --- per-edge common-neighbor / degree counts (neighborhood Jaccard
     // components) via the degree-oriented wedge join ---
@@ -2099,6 +2115,35 @@ object SparkEntry {
                 max(tms) AS session_end, count(*)::BIGINT AS n_events,
                 sum(round(value * 100)::BIGINT) / 100.0 AS total_value
          FROM t GROUP BY user_id, session_id""",
+    // Native session_window: split when the µs gap EXCEEDS the duration
+    // (an event exactly at session end still merges — spec-pinned);
+    // window end = last event + gap.
+    "session_window_agg" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+         s AS (
+           SELECT *, CASE WHEN tus - lag(tus) OVER
+               (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000
+             THEN 1 ELSE 0 END AS ns
+           FROM e),
+         t AS (
+           SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS sid
+           FROM s)
+         SELECT user_id, min(tus) AS session_start_us,
+                max(tus) + 1800000000 AS session_end_us,
+                count(*)::BIGINT AS n_events,
+                sum(round(value * 100)::BIGINT) / 100.0 AS total_value
+         FROM t GROUP BY user_id, sid""",
+    // GROUPING SETS: bitmask order (l_returnflag, l_linestatus) matches
+    // Spark's grouping_id (first column = most significant bit).
+    "grouping_sets_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+                count(*)::BIGINT AS n,
+                sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
     // Funnel: the classic stage-chain formulation — min completion time of
     // each prefix, each stage strictly after the previous stage's earliest
     // completion. Greedy earliest-match subsequence (the Spark fold) and
@@ -2633,6 +2678,16 @@ object SparkEntry {
            WHERE s <> t),
          ${sources.GraphLoader.bfsOracleCtes(rounds = 6)}
          SELECT v AS vertex, dist FROM d6""",
+    // Hop plot: the multi-seed BFS chain generated by the same Scala loop.
+    "hop_plot" ->
+      s"""WITH und AS MATERIALIZED (
+           SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+             SELECT ('0x' || substring(md5('tv_' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 20011 AS s,
+                    ('0x' || substring(md5('tw_' || l_partkey::VARCHAR), 1, 15))::BIGINT % 20011 AS t
+             FROM lineitem)
+           WHERE s <> t),
+         ${sources.GraphLoader.hopPlotOracleCtes(rounds = 4)}
+         SELECT dist AS hop, count(*)::BIGINT AS n_pairs FROM h4 GROUP BY 1""",
     // Neighborhood Jaccard components: the oracle is the definitional
     // common-neighbor join over the full adjacency.
     "neighbor_jaccard" ->

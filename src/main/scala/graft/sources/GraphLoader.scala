@@ -664,6 +664,66 @@ object GraphLoader {
     dist.select(col("v").as("vertex"), col("dist"))
   }
 
+  /** Hop plot (neighborhood function): multi-seed BFS distance
+    * distribution — for the hash-picked seed set {v : v ≡ 0 (mod
+    * seedMod)}, the number of (seed, vertex) pairs at each exact hop
+    * distance ≤ rounds. The cumulative curve is the effective-diameter
+    * estimator (ANF/HyperANF's exact small-seed form); counts stay
+    * non-cumulative so no unpartitioned window is ever planned — the
+    * prefix sum over ≤ rounds+1 rows is the client's fold.
+    *
+    * Scale: frontier state is |seeds|·|V| pairs at worst (seeds are a
+    * ~1/seedMod sample — the knob that keeps multi-source BFS linear);
+    * every round is the bfsLevels join + min-aggregate with the seed
+    * riding as a key. The adjacency is built once, pre-partitioned on v.
+    */
+  def hopPlot(edges: DataFrame, rounds: Int, seedMod: Long = 2003L): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .distinct().filter(col("a") =!= col("b"))
+    val adj = bothDirections(und)
+      .repartition(col("v"))
+      .localCheckpoint(true)
+    var dist = adj.select(col("v")).distinct()
+      .filter(pmod(col("v"), lit(seedMod)) === 0L)
+      .select(col("v").as("seed"), col("v"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val proposals = adj.join(dist, Seq("v"))
+        .select(col("seed"), col("w").as("v"), (col("dist") + 1L).as("dist"))
+      val prev = dist
+      dist = dist.unionByName(proposals)
+        .groupBy(col("seed"), col("v")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      prev.unpersist()
+    }
+    adj.unpersist()
+    // the final checkpointed frame stays alive until its consumers run
+    // (same contract as bfsLevels' returned dist)
+    dist.groupBy(col("dist").as("hop")).agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** DuckDB twin of [[hopPlot]]'s loop over a caller-supplied `und(a, b)`.
+    * The caller appends `SELECT hop, count(*) FROM h<rounds> GROUP BY 1`.
+    */
+  def hopPlotOracleCtes(rounds: Int, seedMod: Long = 2003L): String = {
+    val sb = new StringBuilder(
+      s"""badj AS MATERIALIZED (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
+         h0 AS MATERIALIZED (
+           SELECT v AS seed, v, 0::BIGINT AS dist
+           FROM (SELECT DISTINCT v FROM badj) WHERE v % $seedMod = 0)""")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+         h$i AS MATERIALIZED (SELECT seed, v, min(dist)::BIGINT AS dist FROM (
+           SELECT seed, v, dist FROM h${i - 1}
+           UNION ALL
+           SELECT x.seed, a.w, x.dist + 1 FROM badj a JOIN h${i - 1} x ON a.v = x.v)
+           GROUP BY seed, v)""")
+    }
+    sb.toString
+  }
+
   /** DuckDB twin of [[bfsLevels]]' loop (the kCoreOracleCtes anti-drift
     * pattern): CTE text over a caller-supplied `und(a, b)`. The caller
     * appends `SELECT v AS vertex, dist FROM d<rounds>`. MATERIALIZED is

@@ -942,6 +942,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == Tables.orders(spark, sf).count())
   }
 
+  test("sessionWindowOf: exactly-at-gap still merges; one µs beyond splits; end = last + gap") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val es = new StructType().add("event_id", LongType).add("ts", TimestampType)
+      .add("user_id", LongType).add("value", DoubleType)
+    def t(us: Long) = java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(us * 1000))
+    val gapUs = 1800000000L // 30 min
+    val d = df(es, Seq(
+      Row(1L, t(0L), 1L, 1.0), Row(2L, t(gapUs), 1L, 2.0),         // exactly at end → merged
+      Row(3L, t(0L), 2L, 3.0), Row(4L, t(gapUs + 1L), 2L, 4.0)))   // 1 µs beyond → split
+    val got = RelationalQueries.sessionWindowOf(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 2 * gapUs, 2L),
+      (2L, 0L, gapUs, 1L), (2L, gapUs + 1L, 2 * gapUs + 1L, 1L)), s"got $got")
+  }
+
   test("q20Excess: the part dimension broadcasts into the fact scan; single pair aggregate") {
     val p = plan(RelationalQueries.q20Excess(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"red-parts dim not broadcast:\n$p")

@@ -164,6 +164,30 @@ class GraphLoaderSpec extends AnyFunSuite {
     assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 1L), s"got $one")
   }
 
+  test("hopPlot: with every vertex a seed, counts equal all-pairs BFS distances") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // path 1-2-3-4 + shortcut 1-3; component {7,8}
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (7L, 8L))
+    val st = new StructType().add("src", LongType).add("dst", LongType)
+    val d = df(st, es.map(e => Row(e._1, e._2)))
+    val got = GraphLoader.hopPlot(d, rounds = 3, seedMod = 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force all-pairs BFS, capped at 3 hops
+    val adj = es.flatMap(e => Seq(e, e.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    def bfs(s: Long): Map[Long, Long] = {
+      var dist = Map(s -> 0L); var frontier = Set(s)
+      for (h <- 1L to 3L) {
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty)).filterNot(dist.contains)
+        dist ++= frontier.map(_ -> h)
+      }
+      dist
+    }
+    val want = Seq(1L, 2L, 3L, 4L, 7L, 8L).flatMap(s => bfs(s).values)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == want, s"got $got want $want")
+  }
+
   test("sssp: weighted relaxation prefers the lighter multi-hop path") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
