@@ -160,6 +160,26 @@ object EventStreams {
         (unix_micros(col("b_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
 
+  /** NATIVE streaming session windows — Spark's own merging-session state
+    * (sessions extend/merge in the state store, close when the watermark
+    * passes the session end), the streaming half of
+    * [[graft.RelationalQueries.sessionWindowOf]]: identical grouping,
+    * identical µs-exact split rule, so closed sessions EQUAL the batch
+    * rows (differential spec). Complements the custom
+    * flatMapGroupsWithState sessionizer with the engine-native operator.
+    */
+  def streamingSessionWindow(events: DataFrame,
+                             watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+
   def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs
       .withColumn("content_hash", md5(col("text")))

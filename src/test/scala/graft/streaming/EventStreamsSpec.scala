@@ -218,6 +218,39 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingSessionWindow: closed native sessions equal the batch twin on real events") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val in = MemoryStream[Event]
+    val q = EventStreams.streamingSessionWindow(in.toDF())
+      .writeStream.format("memory").queryName("ssw").outputMode("append").start()
+    try {
+      val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+      val (a, b) = sorted.splitAt(sorted.length / 2)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+      // sentinel far in the future closes every real session
+      val sentinel = sorted.last.ts.getTime + 100L * 3600 * 1000
+      in.addData(Event(-1L, new Timestamp(sentinel), -1L, "x", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(-2L, new Timestamp(sentinel + 3600 * 1000), -1L, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ssw").filter(col("user_id") >= 0L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      val batch = graft.RelationalQueries.sessionWindowOf(
+        graft.Tables.events(spark, sf)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(batch.nonEmpty)
+      assert(got == batch, s"stream ${got.size} sessions vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streamingIntervalJoin: native stream-stream join equals the batch twin on real events") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
