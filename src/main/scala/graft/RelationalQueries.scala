@@ -966,7 +966,7 @@ object RelationalQueries {
     * global sort. Negative values bucket correctly (floor is monotone
     * everywhere).
     */
-  private def rankPickPerType(vals: DataFrame, rankSql: String): DataFrame = {
+  private[graft] def rankPickPerType(vals: DataFrame, rankSql: String): DataFrame = {
     val vb = floor(col("value")).cast("long")
     val counts = vals.groupBy(col("event_type"), vb.as("vb"))
       .agg(count(lit(1)).as("cnt"))

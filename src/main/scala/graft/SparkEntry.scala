@@ -155,6 +155,9 @@ object SparkEntry {
     // hash-derived ±1 sign matrix both engines re-derive ---
     "rand_project" -> ((s, d) =>
       pipeline.TrainingData.randomProjection(Tables.embeddings(s, d))),
+    // --- robust (median/MAD) raw-norm outlier screen over embeddings ---
+    "embed_outliers" -> ((s, d) =>
+      pipeline.TrainingData.embedOutliers(Tables.embeddings(s, d))),
     // --- grid-density clustering (DBSCAN approximation) over the first two
     // quantized embedding coordinates shifted to [0, 254] ---
     "grid_dbscan" -> ((s, d) => {
@@ -1279,6 +1282,33 @@ object SparkEntry {
            SELECT vec_id, i, qv[i + 1] AS qi FROM q, range(64) t(i))
          SELECT u.vec_id, sg.k AS out_dim, sum(u.qi * sg.sgn)::BIGINT AS proj
          FROM u JOIN sg USING (i) GROUP BY 1, 2""",
+    // Embedding-norm outliers: e3-quantized exact norms; lower-median
+    // rank picks for med and MAD replayed by window rank.
+    "embed_outliers" ->
+      """WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         s AS (
+           SELECT vec_id,
+                  list_sum(list_transform(e,
+                    x -> floor(x * 1000 + 0.5) * floor(x * 1000 + 0.5)))::BIGINT AS snorm
+           FROM e),
+         r AS (
+           SELECT snorm, row_number() OVER (ORDER BY snorm) AS rk,
+                  count(*) OVER () AS n
+           FROM s),
+         med AS (SELECT snorm AS med FROM r WHERE rk = (n + 1) // 2),
+         d AS (SELECT abs(s.snorm - med.med) AS dev FROM s, med),
+         r2 AS (
+           SELECT dev, row_number() OVER (ORDER BY dev) AS rk,
+                  count(*) OVER () AS n
+           FROM d),
+         mad AS (SELECT dev AS mad FROM r2 WHERE rk = (n + 1) // 2)
+         SELECT count(*)::BIGINT AS n, med.med, mad.mad,
+                sum(CASE WHEN abs(s.snorm - med.med) > 3 * mad.mad
+                         THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+                min(s.snorm)::BIGINT AS snorm_min,
+                max(s.snorm)::BIGINT AS snorm_max
+         FROM s, med, mad GROUP BY med.med, mad.mad""",
     // Grid-density clusters: replay quantization for the first two dims,
     // core cells ≥ 3 points, 8-adjacency components by recursive min-label.
     "grid_dbscan" ->

@@ -273,6 +273,37 @@ object TrainingData {
   /** The quantized int vector itself (array<long> in [-127, 127]). */
   def quantizedVector(e: Column, scale: Column): Column = quantized(e, scale)
 
+  /** Embedding-norm outlier audit: per-corpus robust (median/MAD) screen
+    * of RAW vector magnitudes — the degenerate-embedding detector (zero
+    * vectors, exploded norms from a bad encoder batch) run before any
+    * cosine-based stage normalizes magnitude away. Norms are exact BIGINT
+    * Σ⌊x·10³+½⌋² (the ann_ivf e3 quantization); median and MAD are the
+    * lower-median discrete-rank picks via the histogram-rank
+    * decomposition ([[graft.RelationalQueries.rankPickPerType]] — no
+    * global sort), so the one-row contract is engine-exact.
+    */
+  def embedOutliers(emb: DataFrame): DataFrame = {
+    import graft.RelationalQueries.rankPickPerType
+    val snorm = emb.select(col("vec_id"),
+      aggregate(transform(col("embedding").cast("array<double>"), x => {
+        val v = floor(x * 1000 + lit(0.5d)); v * v
+      }), lit(0.0d), (a, x) => a + x).cast("long").as("snorm"))
+    val vals = snorm.select(lit("all").as("event_type"), col("snorm").cast("double").as("value"))
+    val med = rankPickPerType(vals, "(n + 1) div 2").withColumnRenamed("picked", "med")
+    val dev = vals.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), abs(col("value") - col("med")).as("value"))
+    val mad = rankPickPerType(dev, "(n + 1) div 2").withColumnRenamed("picked", "mad")
+    vals.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum((abs(col("value") - col("med")) > col("mad") * 3).cast("long")).as("n_outliers"),
+        min(col("value")).cast("long").as("snorm_min"),
+        max(col("value")).cast("long").as("snorm_max"))
+      .select(col("n"), col("med").cast("long").as("med"), col("mad").cast("long").as("mad"),
+        col("n_outliers"), col("snorm_min"), col("snorm_max"))
+  }
+
   /** Sparse random projection (Johnson–Lindenstrauss, Achlioptas s=3
     * density-⅓ signs): each int8-quantized embedding is compressed to
     * `outDims` exact BIGINT coordinates out[k] = Σᵢ sign(k,i)·qᵢ, with

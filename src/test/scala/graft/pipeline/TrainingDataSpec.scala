@@ -167,6 +167,28 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(r(2L) == ((1.0d, 0L, 0L, 0L)))
   }
 
+  test("embedOutliers: lower-median med/MAD over exact norms; planted outlier flagged") {
+    val es = new StructType().add("vec_id", LongType).add("embedding", ArrayType(FloatType))
+    // norms (e3-quantized): 9 normal-ish vectors + 1 exploded + 1 zero
+    val vecs: Seq[(Long, Array[Float])] =
+      (1L to 9L).map(i => i -> Array.fill(4)(0.001f * i)) ++
+      Seq(10L -> Array.fill(4)(100f), 11L -> Array.fill(4)(0f))
+    val d = df(es, vecs.map { case (id, a) => Row(id, a.toSeq) })
+    val r = TrainingData.embedOutliers(d).collect()
+    assert(r.length == 1)
+    val (n, med, mad, nOut, mn, mx) = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getLong(3), r(0).getLong(4), r(0).getLong(5))
+    def norm(a: Array[Float]) =
+      a.map(x => { val v = math.floor(x.toDouble * 1000 + 0.5); v * v }).sum.toLong
+    val norms = vecs.map(v => norm(v._2)).sorted
+    val wantMed = norms((norms.size + 1) / 2 - 1)
+    val devs = norms.map(x => math.abs(x - wantMed)).sorted
+    val wantMad = devs((devs.size + 1) / 2 - 1)
+    assert((n, med, mad) == ((11L, wantMed, wantMad)), s"got ($n, $med, $mad)")
+    assert(nOut == norms.count(x => math.abs(x - wantMed) > 3 * wantMad) && nOut >= 1L)
+    assert(mn == norms.head && mx == norms.last)
+  }
+
   test("randomProjection: exact integer JL fold matches a scalar replay; zero-vector safe") {
     val es = new StructType().add("vec_id", LongType).add("embedding", ArrayType(FloatType))
     val vecs: Seq[(Long, Array[Float])] = Seq(
