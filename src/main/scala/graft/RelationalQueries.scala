@@ -2418,6 +2418,48 @@ object RelationalQueries {
       .orderBy(col("cnt").desc, col("e1"), col("e2"), col("e3")).limit(k)
   }
 
+  /** TPC-H Q2 family (min-cost supplier): the correlated-min-subquery +
+    * four-dimension join shape. No partsupp in this testdata, so
+    * (documented proxy, same plan): supply cost per (part, supplier) is
+    * the minimum exact integer unit price ever shipped
+    * (cents div quantity — both engines floor on positives); the part cut
+    * is size 15 STANDARD, the region cut EUROPE. Winners are the pairs
+    * matching their part's regional minimum; (acctbal DESC, nation,
+    * supplier, part) is a total order so the LIMIT frontier is
+    * deterministic.
+    *
+    * Scale: part dim broadcasts into the fact scan before the
+    * (part, supplier) aggregate; the correlated min is a per-part
+    * aggregate of the ALREADY-collapsed pair frame joined back — never a
+    * per-row subquery; supplier/nation/region hops broadcast.
+    */
+  def q2MinCost(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+      .select(col("p_partkey"))
+    val eurSupp = supplier(s, d)
+      .join(broadcast(nation(s, d)
+        .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")
+          .select(col("r_regionkey"))), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val cost = lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("cast(round(l_extendedprice * 100) as bigint) div cast(round(l_quantity) as bigint)")
+          .as("unit_cents"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("unit_cents")).as("cost_cents"))
+      .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+    val minCost = cost.groupBy(col("l_partkey")).agg(min(col("cost_cents")).as("min_cost"))
+    cost.join(minCost, Seq("l_partkey"))
+      .filter(col("cost_cents") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("cost_cents"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
   /** TPC-H Q12 family (shipping-priority-by-mode): the fact-fact join +
     * two-way conditional count shape. This testdata carries no ship mode or
     * commit/receipt dates, so (documented proxies, same plan): linestatus

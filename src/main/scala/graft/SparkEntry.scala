@@ -126,9 +126,11 @@ object SparkEntry {
     "q21_waiting" -> RelationalQueries.q21Waiting _,
     // Q12 flavor: late-line priority counts by mode (linestatus proxy);
     // Q20 flavor: two-granularity correlated aggregate + semi-join chain
-    // (all-time-shipped stock proxy — no partsupp in this testdata)
+    // (all-time-shipped stock proxy — no partsupp in this testdata);
+    // Q2 flavor: correlated regional min-cost supplier (unit-cents proxy)
     "q12_shipmode" -> RelationalQueries.q12Shipmode _,
     "q20_excess" -> RelationalQueries.q20Excess _,
+    "q2_min_cost" -> RelationalQueries.q2MinCost _,
     // --- smoothed target encoding: exact-integer shrunk category means ---
     "target_encode" -> ((s, d) => RelationalQueries.targetEncode(s, d)),
     // --- k-anonymity audit with one suppression/generalization rung ---
@@ -1117,6 +1119,30 @@ object SparkEntry {
            GROUP BY 1) w
          JOIN supplier s ON w.l_suppkey = s.s_suppkey
          ORDER BY w.numwait DESC, s.s_name LIMIT 100""",
+    // Q2 flavor: min unit-cents supply cost per (part, supplier); the
+    // correlated regional minimum joined back; total-order LIMIT.
+    "q2_min_cost" ->
+      """WITH ps AS (
+           SELECT l.l_partkey, l.l_suppkey,
+                  min(round(l.l_extendedprice * 100)::BIGINT
+                      // round(l.l_quantity)::BIGINT) AS cost_cents
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+           GROUP BY 1, 2),
+         es AS (
+           SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+           FROM supplier s
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           WHERE r.r_name = 'EUROPE'),
+         c AS (
+           SELECT ps.l_partkey, ps.cost_cents, es.s_name, es.s_acctbal, es.n_name
+           FROM ps JOIN es ON ps.l_suppkey = es.s_suppkey),
+         m AS (SELECT l_partkey, min(cost_cents) AS min_cost FROM c GROUP BY 1)
+         SELECT c.s_acctbal, c.s_name, c.n_name, c.l_partkey AS p_partkey,
+                c.cost_cents
+         FROM c JOIN m ON c.l_partkey = m.l_partkey AND c.cost_cents = m.min_cost
+         ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, p_partkey LIMIT 100""",
     // Q12 flavor: linestatus is the mode proxy, late = shipped ≥ 90 days
     // after the order date (no commit/receipt dates in this testdata).
     "q12_shipmode" ->
