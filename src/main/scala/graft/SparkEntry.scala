@@ -425,6 +425,15 @@ object SparkEntry {
     "ewma_smooth" -> RelationalQueries.ewmaQuery _,
     // --- JSON payload extraction feeding exact per-type integer stats ---
     "json_extract" -> RelationalQueries.jsonExtractQuery _,
+    // --- Spark 4 VARIANT path: parse once into the binary variant
+    // encoding, typed variant_get extraction (the modern semi-structured
+    // column story next to json_extract's string-path get) ---
+    "variant_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))),
     // --- max drawdown via the hierarchical prefix-MAX carry ---
     "max_drawdown" -> RelationalQueries.maxDrawdownQuery _,
     // --- collocation mining by integer lift cross-multiplication
@@ -2869,6 +2878,11 @@ object SparkEntry {
                 sum(k)::BIGINT AS sum_k, min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k,
                 count(DISTINCT k)::BIGINT AS ndv_k
          FROM p GROUP BY 1""",
+    // Variant path: typed extraction of the same key DuckDB reads as JSON.
+    "variant_extract" ->
+      """SELECT json_extract(props, '$.k')::BIGINT AS k, count(*)::BIGINT AS cnt,
+                sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
+         FROM events GROUP BY 1""",
     // Max drawdown: the oracle states the GLOBAL running max the
     // engine's day-local + carry decomposition must reproduce.
     "max_drawdown" ->
