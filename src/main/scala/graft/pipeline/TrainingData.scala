@@ -283,24 +283,35 @@ object TrainingData {
     * global sort), so the one-row contract is engine-exact.
     */
   def embedOutliers(emb: DataFrame): DataFrame = {
-    import graft.RelationalQueries.rankPickPerType
     val snorm = emb.select(col("vec_id"),
       aggregate(transform(col("embedding").cast("array<double>"), x => {
         val v = floor(x * 1000 + lit(0.5d)); v * v
       }), lit(0.0d), (a, x) => a + x).cast("long").as("snorm"))
-    val vals = snorm.select(lit("all").as("event_type"), col("snorm").cast("double").as("value"))
-    val med = rankPickPerType(vals, "(n + 1) div 2").withColumnRenamed("picked", "med")
-    val dev = vals.join(broadcast(med), Seq("event_type"))
-      .select(col("event_type"), abs(col("value") - col("med")).as("value"))
-    val mad = rankPickPerType(dev, "(n + 1) div 2").withColumnRenamed("picked", "mad")
-    vals.join(broadcast(med), Seq("event_type"))
-      .join(broadcast(mad), Seq("event_type"))
+    // global lower-median pick over NON-NEGATIVE integer values via the
+    // hierarchical exclusive prefix sum (per-type partitioning would be a
+    // constant key here, which degenerates to a corpus-wide window — the
+    // exact thing the plan guardrails ban). The picked frame is exactly
+    // one row: rank (n+1)/2 falls into a single value bucket.
+    def pick(vals: DataFrame, vcol: String): DataFrame = {
+      val counts = vals.groupBy(col(vcol).as("k")).agg(count(lit(1)).as("cnt"))
+      val pre = exclusivePrefixSum(counts, "k", "cnt", "pre")
+      val tot = vals.agg(count(lit(1)).as("n"))
+      counts.join(pre, Seq("k")).crossJoin(broadcast(tot))
+        .filter(col("pre") < expr("(n + 1) div 2") &&
+          expr("(n + 1) div 2") <= col("pre") + col("cnt"))
+        .select(col("k").as("picked"))
+    }
+    val med = pick(snorm.select(col("snorm")), "snorm").withColumnRenamed("picked", "med")
+    val dev = snorm.crossJoin(broadcast(med))
+      .select(abs(col("snorm") - col("med")).as("dev"))
+    val mad = pick(dev, "dev").withColumnRenamed("picked", "mad")
+    snorm.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
       .groupBy(col("med"), col("mad"))
       .agg(count(lit(1)).as("n"),
-        sum((abs(col("value") - col("med")) > col("mad") * 3).cast("long")).as("n_outliers"),
-        min(col("value")).cast("long").as("snorm_min"),
-        max(col("value")).cast("long").as("snorm_max"))
-      .select(col("n"), col("med").cast("long").as("med"), col("mad").cast("long").as("mad"),
+        sum((abs(col("snorm") - col("med")) > col("mad") * 3).cast("long")).as("n_outliers"),
+        min(col("snorm")).as("snorm_min"),
+        max(col("snorm")).as("snorm_max"))
+      .select(col("n"), col("med"), col("mad"),
         col("n_outliers"), col("snorm_min"), col("snorm_max"))
   }
 
