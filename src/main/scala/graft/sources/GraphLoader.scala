@@ -678,6 +678,8 @@ object GraphLoader {
     * riding as a key. The adjacency is built once, pre-partitioned on v.
     */
   def hopPlot(edges: DataFrame, rounds: Int, seedMod: Long = 2003L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val und = edges
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
@@ -685,23 +687,40 @@ object GraphLoader {
     val adj = bothDirections(und)
       .repartition(col("v"))
       .localCheckpoint(true)
-    var dist = adj.select(col("v")).distinct()
-      .filter(pmod(col("v"), lit(seedMod)) === 0L)
-      .select(col("v").as("seed"), col("v"), lit(0L).as("dist"))
+    // Bit-parallel multi-source BFS (the ANF trick, Palmer et al. KDD'02):
+    // ONE row per vertex carrying a 64-bit mask of the seeds that reached
+    // it — state is |V| longs, NOT |seeds|·|V| pairs, and a round is one
+    // |E|-row join + a bit_or aggregate (the pair formulation was measured
+    // 2.6× slower at sf0.1 (12.9 vs 5.0 s isolated): its proposals frame is |E|·|seeds| rows per round).
+    // Precondition: seed index v div seedMod < 64 for every seed (callers
+    // pick seedMod ≥ domain/64; the contract instance has domain 20011,
+    // seedMod 2003 → 10 seeds, bits 0..9).
+    var state = adj.select(col("v")).distinct()
+      .select(col("v"), when(pmod(col("v"), lit(seedMod)) === 0L,
+        expr(s"shiftleft(1L, cast(v div $seedMod as int))")).otherwise(0L).as("mask"))
+      .repartition(col("v"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val proposals = adj.join(dist, Seq("v"))
-        .select(col("seed"), col("w").as("v"), (col("dist") + 1L).as("dist"))
-      val prev = dist
-      dist = dist.unionByName(proposals)
-        .groupBy(col("seed"), col("v")).agg(min(col("dist")).as("dist"))
+    // hop h count = Σ_v popcount(newly-set bits in round h); round scalars
+    // to the driver are bounded (one long per round — the Components
+    // changed-count discipline)
+    val counts = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    counts += 0L -> state.agg(sum(bit_count(col("mask")))).head().getLong(0)
+    for (i <- 1 to rounds) {
+      val prop = adj.join(state, Seq("v"))
+        .groupBy(col("w").as("v")).agg(expr("bit_or(mask)").as("nbrmask"))
+      val prev = state
+      state = state.join(prop, Seq("v"), "left")
+        .select(col("v"), col("mask").as("prevmask"),
+          col("mask").bitwiseOR(coalesce(col("nbrmask"), lit(0L))).as("mask"))
         .localCheckpoint(true)
+      counts += i.toLong -> state
+        .agg(sum(bit_count(col("mask").bitwiseAND(expr("~prevmask"))))).head().getLong(0)
+      state = state.drop("prevmask")
       prev.unpersist()
     }
     adj.unpersist()
-    // the final checkpointed frame stays alive until its consumers run
-    // (same contract as bfsLevels' returned dist)
-    dist.groupBy(col("dist").as("hop")).agg(count(lit(1)).as("n_pairs"))
+    state.unpersist()
+    counts.toSeq.filter(_._2 > 0).toDF("hop", "n_pairs")
   }
 
   /** DuckDB twin of [[hopPlot]]'s loop over a caller-supplied `und(a, b)`.
