@@ -385,6 +385,40 @@ object RelationalQueries {
       .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
         sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
 
+  /** CEP-style sequence pattern matching (MATCH_RECOGNIZE's core
+    * `view+ purchase` shape): collapse each user's event stream into
+    * maximal same-type runs (gaps-and-islands change detection), then
+    * match purchase-runs whose immediately preceding run is views —
+    * emitting the view-run length ("how much browsing converts") as a
+    * histogram with match and purchase counts. Deterministic through the
+    * (ts, event_id) total order.
+    *
+    * Scale: the change-detection window is per-user (never
+    * unpartitioned); the run-level window runs on the COLLAPSED run
+    * frame — already shrunk by the first aggregate; final output is a
+    * ≤ max-run-length histogram.
+    */
+  def patternMatch(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val seq = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = seq.groupBy(col("user_id"), col("run"))
+      .agg(min(col("event_type")).as("rtype"), // constant within a run
+        count(lit(1)).as("rsize"))
+    val wr = Window.partitionBy("user_id").orderBy("run")
+    runs
+      .withColumn("prev_type", lag(col("rtype"), 1).over(wr))
+      .withColumn("prev_size", lag(col("rsize"), 1).over(wr))
+      .filter(col("rtype") === "purchase" && col("prev_type") === "view")
+      .groupBy(col("prev_size").as("views_before"))
+      .agg(count(lit(1)).as("n_matches"), sum(col("rsize")).as("n_purchases"))
+  }
+
   /** Ordered funnel analysis: for each user, the deepest prefix of
     * `stages` completed as a strictly-time-increasing event subsequence —
     * the canonical product-analytics query (ClickHouse `windowFunnel`,

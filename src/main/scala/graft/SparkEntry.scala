@@ -153,6 +153,8 @@ object SparkEntry {
       pipeline.Ranking.retrievalEval(Tables.documents(s, d), evalQueries)),
     // --- sequential pattern mining: top-k per-user event-type trigrams ---
     "seq_patterns" -> ((s, d) => RelationalQueries.seqPatterns(s, d)),
+    // --- CEP run-pattern match: view+ purchase conversion histogram ---
+    "pattern_match" -> RelationalQueries.patternMatch _,
     // --- JL sparse random projection: 64 floats → 8 exact BIGINT coords,
     // hash-derived ±1 sign matrix both engines re-derive ---
     "rand_project" -> ((s, d) =>
@@ -1284,6 +1286,32 @@ object SparkEntry {
     // Retrieval eval: the bm25_score pipeline replayed per query, the
     // first-relevant rank counted (never sorted) exactly like the engine.
     "retrieval_eval" -> retrievalEvalOracle,
+    // CEP run pattern: same gaps-and-islands run collapse, run-level lag.
+    "pattern_match" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                       THEN 1 ELSE 0 END AS chg
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         r AS (
+           SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           FROM e),
+         runs AS (
+           SELECT user_id, run, min(event_type) AS rtype, count(*)::BIGINT AS rsize
+           FROM r GROUP BY 1, 2),
+         m AS (
+           SELECT rtype, rsize,
+                  lag(rtype) OVER wr AS prev_type,
+                  lag(rsize) OVER wr AS prev_size
+           FROM runs
+           WINDOW wr AS (PARTITION BY user_id ORDER BY run))
+         SELECT prev_size AS views_before, count(*)::BIGINT AS n_matches,
+                sum(rsize)::BIGINT AS n_purchases
+         FROM m WHERE rtype = 'purchase' AND prev_type = 'view'
+         GROUP BY 1""",
     // Top-k event-type trigrams; (cnt DESC, e1, e2, e3) is a total order.
     "seq_patterns" ->
       """WITH seq AS (
