@@ -2413,6 +2413,9 @@ object RelationalQueries {
     * dimension (the join input shrinks from |orders| to |customers|), the
     * per-segment frame is a handful of rows, and the global prior derives
     * from that frame itself (broadcast single row — no second scan).
+    * Overflow: sum_cents·10⁴ stays under 2⁶³ through ~10¹⁴ cents of global
+    * volume; beyond that (full 100 TB), lift the two shrink expressions to
+    * DECIMAL(38,0) — ANSI mode fails loudly rather than wrapping either way.
     */
   def targetEncode(s: SparkSession, d: String, m: Int = 100): DataFrame = {
     val perCust = orders(s, d)

@@ -201,6 +201,9 @@ object Ranking {
     */
   def retrievalEval(docs: DataFrame, queries: Seq[(Long, Seq[String])]): DataFrame = {
     require(queries.nonEmpty, "retrievalEval: at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "retrievalEval: query ids must be unique")
+    require(queries.forall(_._2.nonEmpty), "retrievalEval: every query needs terms")
     val spark = docs.sparkSession
     import spark.implicits._
     val (k1, b) = (1.2, 0.75)
