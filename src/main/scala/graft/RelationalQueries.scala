@@ -398,9 +398,13 @@ object RelationalQueries {
     * frame — already shrunk by the first aggregate; final output is a
     * ≤ max-run-length histogram.
     */
-  def patternMatch(s: SparkSession, d: String): DataFrame = {
+  def patternMatch(s: SparkSession, d: String): DataFrame =
+    patternMatchOf(events(s, d))
+
+  /** The run-pattern histogram over any events-shaped frame. */
+  def patternMatchOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val seq = events(s, d)
+    val seq = ev
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("chg",
         when(lag(col("event_type"), 1).over(w).isNull ||

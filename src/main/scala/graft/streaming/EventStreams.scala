@@ -924,6 +924,67 @@ object EventStreams {
       }
   }
 
+  /** (buffer, last CLOSED run, open run) for [[streamingPatternMatch]]. */
+  final case class PatState(buf: List[(Long, Int, Long, String)],
+                            prevType: Option[String], prevSize: Long,
+                            openType: Option[String], openSize: Long)
+  final case class PatMatch(user_id: Long, views_before: Long, n_purchases: Long)
+
+  /** Streaming twin of `RelationalQueries.patternMatch` — the CEP
+    * `view+ purchase` run pattern detected AT INGEST: per user, events
+    * replay in the batch window's exact (ts, event_id) order (watermark-
+    * buffered, the streamingScd2 discipline); a run CLOSES when a
+    * different type arrives, and a closing purchase-run whose predecessor
+    * run was views emits one match row. Append mode cannot retract, so a
+    * user's final (never-closed) run cannot match — the differential spec
+    * closes every tail run with a per-user sentinel event on BOTH sides
+    * and asserts the aggregated histogram EQUALS the batch query's.
+    *
+    * State per user: the watermark-horizon buffer plus two (type, size)
+    * run summaries — bounded like every twin here.
+    */
+  def streamingPatternMatch(events: Dataset[Event],
+                            watermark: String = "2 hours"): Dataset[PatMatch] = {
+    import events.sparkSession.implicits._
+    def drain(uid: Long, st: PatState, wm: Long): (PatState, List[PatMatch]) = {
+      val (ready, still) = st.buf.partition { case (sec, nanos, _, _) =>
+        sec * 1000 + nanos / 1000000 < wm
+      }
+      var (pt, ps, ot, os) = (st.prevType, st.prevSize, st.openType, st.openSize)
+      val out = List.newBuilder[PatMatch]
+      for ((_, _, _, ty) <- ready.sortBy(e => (e._1, e._2, e._3))) {
+        ot match {
+          case Some(o) if o == ty => os += 1
+          case Some(o) =>
+            if (o == "purchase" && pt.contains("view")) out += PatMatch(uid, ps, os)
+            pt = Some(o); ps = os; ot = Some(ty); os = 1
+          case None => ot = Some(ty); os = 1
+        }
+      }
+      (PatState(still, pt, ps, ot, os), out.result())
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatState, PatMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[PatState]) =>
+          val prev = state.getOption.getOrElse(PatState(Nil, None, 0L, None, 0L))
+          var buf = prev.buf
+          for (e <- rows)
+            buf = (Math.floorDiv(e.ts.getTime, 1000L), e.ts.getNanos,
+              e.event_id, e.event_type) :: buf
+          val (next, out) =
+            drain(uid, prev.copy(buf = buf), state.getCurrentWatermarkMs())
+          state.update(next)
+          if (next.buf.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(next.buf.map { case (s, n, _, _) => s * 1000 + n / 1000000 }.min + 1,
+                state.getCurrentWatermarkMs() + 1))
+          out.iterator
+      }
+  }
+
   def streamingAsOf(events: Dataset[Event], touchTypes: Set[String],
                     convTypes: Set[String],
                     watermark: String = "2 hours"): Dataset[Attribution] = {

@@ -251,6 +251,46 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingPatternMatch: per-match rows aggregate to the batch histogram on real events") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val real = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    // close every user's tail run on BOTH sides: one far-future sentinel
+    // event of a never-matching type per user (append mode cannot emit a
+    // never-closed run)
+    val horizon = real.map(_.ts.getTime).max + 50L * 3600 * 1000
+    val sentinels = real.map(_.user_id).distinct.zipWithIndex.map { case (u, i) =>
+      Event(-1000L - i, new Timestamp(horizon), u, "zzz", 0.0)
+    }
+    val evs = real ++ sentinels
+    val in = MemoryStream[Event]
+    val q = EventStreams.streamingPatternMatch(in.toDS())
+      .writeStream.format("memory").queryName("spm").outputMode("append").start()
+    try {
+      val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+      val (a, b) = sorted.splitAt(sorted.length / 2)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+      // flush: advance the watermark past the sentinels so they drain
+      in.addData(Event(-1L, new Timestamp(horizon + 10L * 3600 * 1000), -1L, "x", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(-2L, new Timestamp(horizon + 11L * 3600 * 1000), -1L, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("spm")
+        .groupBy(col("views_before"))
+        .agg(count(lit(1)).as("n_matches"), sum(col("n_purchases")).as("n_purchases"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val batch = graft.RelationalQueries.patternMatchOf(
+        evs.toDF().select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(batch.nonEmpty)
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streamingIntervalJoin: native stream-stream join equals the batch twin on real events") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
