@@ -144,6 +144,17 @@ object SparkEntry {
     // --- per-language tokenizer fertility (subwords per word) totals ---
     "tokenizer_fertility" -> ((s, d) =>
       pipeline.TextAnalysis.tokenizerFertility(Tables.documents(s, d))),
+    // --- within-document line dedup (boilerplate cleaner): lines are
+    // SYNTHESIZED from the single-line fixture with a conditional repeat
+    // so both engines rebuild and fingerprint the same cleaned text ---
+    "dedup_intradoc" -> ((s, d) => {
+      val dup = when(pmod(col("doc_id"), lit(2L)) === 0L,
+        substring(col("text"), 1, 40)).otherwise(substring(col("text"), 1, 60))
+      val synth = concat(col("text"), lit("\n"), substring(col("text"), 1, 40),
+        lit("\n"), dup, lit("\n"), col("text"))
+      pipeline.TextAnalysis.dedupLines(
+        Tables.documents(s, d).select(col("doc_id"), synth.as("text")))
+    }),
     // --- reliability diagram of the quality score vs the lang label ---
     "calibration_bins" -> ((s, d) =>
       pipeline.TextAnalysis.calibrationBins(Tables.documents(s, d))),
@@ -1252,6 +1263,24 @@ object SparkEntry {
          FROM t GROUP BY 1, 2
          HAVING sum(CASE WHEN ('0x' || substring(md5('fs_' || tok), 1, 15))::BIGINT % 2 = 0
                          THEN 1 ELSE -1 END) <> 0""",
+    // Intra-doc line dedup: first-occurrence filter replayed over the
+    // same synthesized lines; the md5 proves the rebuilt text.
+    "dedup_intradoc" ->
+      """WITH syn AS (
+           SELECT doc_id,
+                  text || chr(10) || substring(text, 1, 40) || chr(10) ||
+                  CASE WHEN doc_id % 2 = 0 THEN substring(text, 1, 40)
+                       ELSE substring(text, 1, 60) END || chr(10) || text AS t
+           FROM documents),
+         l AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM syn),
+         k AS (
+           SELECT doc_id, lines,
+                  [lines[i] for i in range(1, len(lines) + 1)
+                   if list_position(lines, lines[i]) = i] AS kept
+           FROM l)
+         SELECT doc_id, len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept,
+                md5(array_to_string(kept, chr(10))) AS fp_clean
+         FROM k""",
     // Tokenizer fertility: the bpe_tokens counters aggregated per lang.
     "tokenizer_fertility" ->
       """SELECT lang, count(*)::BIGINT AS n_docs,

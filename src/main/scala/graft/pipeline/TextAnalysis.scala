@@ -105,6 +105,27 @@ object TextAnalysis {
         sum(col("n_sub")).as("n_subwords"),
         sum(col("n_words")).as("n_words"))
 
+  /** Within-document LINE deduplication — the classic intra-doc
+    * boilerplate cleaner (repeated headers/footers/nav junk): every line
+    * after its first occurrence in the SAME document is dropped, order
+    * otherwise preserved, and the cleaned text re-joined. Pure per-row
+    * HOF work (keep line i iff its first index IS i) — zero shuffle, runs
+    * at scan speed; per-line cost is O(lines²) in the line count of one
+    * document, bounded by document length, never by the corpus.
+    * Returns (doc_id, n_lines, n_kept, fp_clean) — the fingerprint proves
+    * the rebuilt text, not just counts.
+    */
+  def dedupLines(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"), split(col(textCol), "\n").as("lines"))
+      .select(col("doc_id"), col("lines"),
+        filter(col("lines"), (l, i) => array_position(col("lines"), l) === i + 1)
+          .as("kept"))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(array_join(col("kept"), "\n")).as("fp_clean"))
+
   /** Hashing-trick featurizer (feature hashing): every token folds into a
     * `dims`-wide sparse vector bucket via the portable hash, with a second
     * hash bit choosing ±1 so collisions cancel in expectation — the

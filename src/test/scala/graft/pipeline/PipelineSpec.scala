@@ -228,6 +228,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(lang(1L) == "en" && lang(2L) == "de" && lang(3L) == "und")
   }
 
+  test("dedupLines: first occurrence kept, order preserved, rebuilt text fingerprinted") {
+    val d = df(docSchema, Seq(
+      Row(1L, "header\nbody one\nheader\nbody two\nheader"),
+      Row(2L, "a\na\na"),
+      Row(3L, "unique")))
+    val got = TextAnalysis.dedupLines(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def fp(s: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(got(1L) == ((5L, 3L, fp("header\nbody one\nbody two"))))
+    assert(got(2L) == ((3L, 1L, fp("a"))))
+    assert(got(3L) == ((1L, 1L, fp("unique"))))
+  }
+
   test("featureHash: signed bucket sums equal a scalar replay; cancelled buckets dropped") {
     val d = df(docSchema, Seq(
       Row(1L, "cat dog cat fish bird"),
