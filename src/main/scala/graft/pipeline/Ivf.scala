@@ -148,13 +148,13 @@ object Ivf {
       .getField("i")
   }
 
-  /** Deterministic distributed Lloyd: `iters` fixed rounds; each round
-    * assigns every vector inside the plan and re-estimates centroids as
-    * exact integer component sums (k·dim longs to the driver — never the
+  /** Deterministic distributed Lloyd over an already-quantized frame
+    * (columns `vec_id`, `qv`): `iters` fixed rounds; each round assigns
+    * every vector inside the plan and re-estimates centroids as exact
+    * integer component sums (k·dim longs to the driver — never the
     * corpus). Empty cells keep their previous centroid.
     */
-  def trainCentroidsPortable(corpus: DataFrame, k: Int, iters: Int = 2): Array[Array[Double]] = {
-    val q = corpus.select(col("vec_id"), quantized(col("embedding")).as("qv")).cache()
+  private def trainOnQuantized(q: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
     val seeds = q.orderBy(col("vec_id")).limit(k).select(col("qv")).collect()
       .map(_.getSeq[Long](0).map(_.toDouble).toArray)
     require(seeds.nonEmpty, "ivf: empty corpus")
@@ -173,6 +173,19 @@ object Ivf {
         }
       cents = cents.indices.map(c => sums.getOrElse(c, cents(c))).toArray
     }
+    cents
+  }
+
+  /** Deterministic distributed Lloyd (see [[trainOnQuantized]]) from a raw
+    * corpus: quantizes, caches for the training scans, releases the cache
+    * before returning. One round is the shipped default — k=16 coarse
+    * quantizers converge in one round on every corpus measured, and each
+    * extra round is a full-corpus assignment pass (the `ann_ivf` 2×-r1
+    * regression r6 flagged was exactly one such pass too many).
+    */
+  def trainCentroidsPortable(corpus: DataFrame, k: Int, iters: Int = 1): Array[Array[Double]] = {
+    val q = corpus.select(col("vec_id"), quantized(col("embedding")).as("qv")).cache()
+    val cents = trainOnQuantized(q, k, iters)
     q.unpersist()
     cents
   }
@@ -182,12 +195,20 @@ object Ivf {
     * cell, queries explode their nProbe probe cells, equi-join on (cell),
     * exact float-cosine scoring, heap top-k. Every step deterministic and
     * replayed by the DuckDB oracle.
+    *
+    * ONE cached quantized frame feeds seeding, every training round and
+    * the tag pass — the corpus is scanned and quantized once, not once per
+    * pass (seed sort + `iters` assignment scans + tag all hit the cache).
     */
   def ivfTopKPortable(corpus: DataFrame, queries: DataFrame, k: Int,
-                      nCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    val centroids = trainCentroidsPortable(corpus, nCells, iters)
-    val c = Dedup.rebalance(corpus.select(col("vec_id"), col("embedding")))
-      .withColumn("cell", assignCellPortable(quantized(col("embedding")), centroids))
+                      nCells: Int = 16, nProbe: Int = 4, iters: Int = 1): DataFrame = {
+    val cached = InternalCaches.register(
+      Dedup.rebalance(corpus.select(col("vec_id"), col("embedding")))
+        .withColumn("qv", quantized(col("embedding"))).cache())
+    val centroids = trainOnQuantized(cached.select(col("vec_id"), col("qv")), nCells, iters)
+    val c = cached
+      .withColumn("cell", assignCellPortable(col("qv"), centroids))
+      .select(col("vec_id"), col("embedding"), col("cell"))
     val q = broadcast(queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         explode(probeCellsPortable(quantized(col("embedding")), centroids, nProbe)).as("cell")))

@@ -204,6 +204,11 @@ object Ranking {
     require(queries.map(_._1).distinct.size == queries.size,
       "retrievalEval: query ids must be unique")
     require(queries.forall(_._2.nonEmpty), "retrievalEval: every query needs terms")
+    // duplicate terms within one query would double-count n_matched and the
+    // bm25 fold here (termQuery emits one row per listed term) while the
+    // generated oracle's IN-list dedupes — reject instead of silently drifting
+    require(queries.forall { case (_, ts) => ts.distinct.size == ts.size },
+      "retrievalEval: terms within a query must be distinct")
     val spark = docs.sparkSession
     import spark.implicits._
     val (k1, b) = (1.2, 0.75)

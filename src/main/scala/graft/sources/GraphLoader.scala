@@ -695,9 +695,16 @@ object GraphLoader {
     // Precondition: seed index v div seedMod < 64 for every seed (callers
     // pick seedMod ≥ domain/64; the contract instance has domain 20011,
     // seedMod 2003 → 10 seeds, bits 0..9).
+    // enforce the seed-bit precondition LOUDLY: shiftleft wraps its shift
+    // amount mod 64, so an out-of-range seed index would silently alias
+    // two seeds onto one bit and produce wrong hop counts — raise instead
     var state = adj.select(col("v")).distinct()
       .select(col("v"), when(pmod(col("v"), lit(seedMod)) === 0L,
-        expr(s"shiftleft(1L, cast(v div $seedMod as int))")).otherwise(0L).as("mask"))
+        expr(s"""if(v div $seedMod >= 64,
+                    raise_error(concat('hopPlot: seed index v div $seedMod >= 64 for v=',
+                                       cast(v as string))),
+                    shiftleft(1L, cast(v div $seedMod as int)))"""))
+        .otherwise(0L).as("mask"))
       .repartition(col("v"))
       .localCheckpoint(true)
     // hop h count = Σ_v popcount(newly-set bits in round h); round scalars

@@ -142,6 +142,28 @@ class PlanGuardrailsSpec extends AnyFunSuite {
       s"queries with unbounded cartesian joins:\n  ${offenders.mkString("\n  ")}")
   }
 
+  test("no contract query emits an ARRAY/MAP/STRUCT column") {
+    // the driver's pandas comparer sorts result frames by every column;
+    // complex-typed cells are unhashable there (posting_lists proved the
+    // failure class: `TypeError: unhashable type: 'numpy.ndarray'`), so a
+    // complex-typed contract output can never be certified. Contract
+    // projections must scalarize (array_join / to_json) — the DSL-facing
+    // operators keep their typed outputs, spec-covered separately.
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def complex(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | _: StructType => true
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = fn(spark, sf).schema.fields.filter(f => complex(f.dataType))
+      if (bad.nonEmpty)
+        Some(s"$name (${bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")})")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"queries with complex-typed output columns:\n  ${offenders.mkString("\n  ")}")
+  }
+
   test("documents scans are column-pruned to what the query needs") {
     // a scan reading all 5 documents columns for a 2-column operator means
     // pruning never reached parquet — wrong at any scale, fatal at 100 TB

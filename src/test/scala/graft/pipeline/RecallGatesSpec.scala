@@ -31,7 +31,7 @@ class RecallGatesSpec extends AnyFunSuite {
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Ivf.ivfTopKPortable(emb, queries, 5, nCells = 16, nProbe = 4, iters = 2).collect()
+    val ivf = Ivf.ivfTopKPortable(emb, queries, 5, nCells = 16, nProbe = 4, iters = 1).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.9, s"portable IVF recall@5 = $recall < 0.9")
