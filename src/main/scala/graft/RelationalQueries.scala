@@ -299,6 +299,34 @@ object RelationalQueries {
       .select(col("user_id"), col("event_id"), col("running_value"))
   }
 
+  /** Trailing-interval rolling aggregate via a RANGE window frame — the
+    * time-windowed running metric a ROWS frame cannot express (event gaps
+    * and duplicate timestamps make row offsets wrong): per event, the
+    * count and exact-cents value sum of the same user's events in the
+    * trailing hour, current row included; simultaneous events (equal µs)
+    * are RANGE peers and share one frame on both engines, so the output
+    * is deterministic without a tiebreak column.
+    *
+    * Scale: one shuffle on user_id; the frame is evaluated by the
+    * sliding-window aggregator (running add/remove over the sorted
+    * partition), O(partition) not O(partition · frame). Cents sums keep
+    * the contract fp-exact (the Num discipline).
+    */
+  def rollingHourRange(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-3599999999L, 0L) // (t − 1h, t] in µs
+    ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+      .select(col("user_id"), col("event_id"), col("tus"),
+        count(lit(1)).over(w).as("n_trailing"),
+        (sum(round(col("value") * 100).cast("long")).over(w) / 100.0)
+          .as("v_trailing"))
+  }
+
+  /** Contract instance over the events table. */
+  def rollingHourQuery(s: SparkSession, d: String): DataFrame =
+    rollingHourRange(events(s, d))
+
   /** Distinct aggregates: suppliers and parts per order. */
   def distinctAgg(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

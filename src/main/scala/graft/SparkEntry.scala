@@ -209,6 +209,9 @@ object SparkEntry {
     "sessionize_batch" -> ((s, d) => RelationalQueries.sessionizeBatch(s, d)),
     // --- NATIVE session_window sessionization (µs-exact split replay) ---
     "session_window_agg" -> RelationalQueries.sessionWindowAgg _,
+    // --- RANGE-frame trailing-hour rolling count/sum per user (the
+    // window class ROWS frames can't express) ---
+    "rolling_hour_range" -> RelationalQueries.rollingHourQuery _,
     // --- explicit GROUPING SETS with grouping_id bitmask ---
     "grouping_sets_agg" -> RelationalQueries.groupingSetsAgg _,
     // --- ordered funnel: deepest strictly-time-increasing stage prefix
@@ -228,6 +231,15 @@ object SparkEntry {
     "event_transitions" -> RelationalQueries.transitionsQuery _,
     // --- OHLC time-series downsample (picked doubles, engine-exact) ---
     "ohlc_downsample" -> RelationalQueries.ohlcQuery _,
+    // --- the SAME aggregation run through the real streaming engine
+    // (file source → watermark → flatMapGroupsWithState → memory sink),
+    // returned as a batch frame: the oracle certifies the streaming path
+    // end-to-end, not just its batch twin ---
+    "streaming_ohlc_replay" -> streaming.EventStreams.streamingOhlcReplay _,
+    // --- native streaming session windows (the session-window state
+    // store), replayed to a batch frame the same way — certified by the
+    // batch session_window_agg oracle ---
+    "streaming_sessions_replay" -> streaming.EventStreams.streamingSessionsReplay _,
     // --- LOCF gap-fill over the per-type hourly axis ---
     "gap_fill" -> RelationalQueries.gapFillQuery _,
     // --- winsorization: clip to per-type discrete-percentile bands ---
@@ -2269,6 +2281,36 @@ object SparkEntry {
                 count(*)::BIGINT AS n_events,
                 sum(round(value * 100)::BIGINT) / 100.0 AS total_value
          FROM t GROUP BY user_id, sid""",
+    // RANGE-frame trailing hour: equal-µs events are frame peers in both
+    // engines; cents sums keep the value exact.
+    "rolling_hour_range" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events)
+         SELECT user_id, event_id, tus,
+                count(*) OVER w::BIGINT AS n_trailing,
+                (sum(round(value * 100)::BIGINT) OVER w) / 100.0 AS v_trailing
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                      RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""",
+    // The streaming session replay must land on EXACTLY the batch
+    // answer — same oracle text as session_window_agg.
+    "streaming_sessions_replay" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+         s AS (
+           SELECT *, CASE WHEN tus - lag(tus) OVER
+               (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000
+             THEN 1 ELSE 0 END AS ns
+           FROM e),
+         t AS (
+           SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS sid
+           FROM s)
+         SELECT user_id, min(tus) AS session_start_us,
+                max(tus) + 1800000000 AS session_end_us,
+                count(*)::BIGINT AS n_events,
+                sum(round(value * 100)::BIGINT) / 100.0 AS total_value
+         FROM t GROUP BY user_id, sid""",
     // GROUPING SETS: bitmask order (l_returnflag, l_linestatus) matches
     // Spark's grouping_id (first column = most significant bit).
     "grouping_sets_agg" ->
@@ -2339,6 +2381,25 @@ object SparkEntry {
     // OHLC: first/last by deterministic (ts, event_id) rank; values are
     // picked, never summed — exact across engines.
     "ohlc_downsample" ->
+      """WITH b AS (
+           SELECT event_type, (floor(epoch(ts) / 3600))::BIGINT AS h,
+                  ts, event_id, value
+           FROM events),
+         r AS (
+           SELECT event_type, h, value,
+                  row_number() OVER (PARTITION BY event_type, h
+                                     ORDER BY ts, event_id) AS ra,
+                  row_number() OVER (PARTITION BY event_type, h
+                                     ORDER BY ts DESC, event_id DESC) AS rd
+           FROM b)
+         SELECT event_type, h,
+                max(CASE WHEN ra = 1 THEN value END) AS o,
+                max(CASE WHEN rd = 1 THEN value END) AS c,
+                min(value) AS lo, max(value) AS hi, count(*)::BIGINT AS n
+         FROM r GROUP BY 1, 2""",
+    // The streaming replay must land on EXACTLY the batch answer — same
+    // oracle text as ohlc_downsample (that equality is the whole point).
+    "streaming_ohlc_replay" ->
       """WITH b AS (
            SELECT event_type, (floor(epoch(ts) / 3600))::BIGINT AS h,
                   ts, event_id, value

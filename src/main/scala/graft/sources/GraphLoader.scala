@@ -103,6 +103,26 @@ object GraphLoader {
       struct(col("b").as("v"), col("a").as("w")))).as("e"))
     .select(col("e.v").as("v"), col("e.w").as("w"))
 
+  /** The three canonical edges (a < b) of every (u, v, w) triangle in ONE
+    * pass — an explode, NOT a three-branch union: a union of three selects
+    * of the same LAZY triangle frame evaluates the whole wedge-join
+    * machinery three times (measured: the dominant cost of
+    * clustering_coeff / neighbor_jaccard / each kTruss round before this).
+    * v < w is canonical by construction; (u,v) and (u,w) need least/greatest.
+    */
+  private def triangleEdges(tri: DataFrame): DataFrame = tri
+    .select(explode(array(
+      struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
+      struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
+      struct(col("v").as("a"), col("w").as("b")))).as("e"))
+    .select(col("e.a").as("a"), col("e.b").as("b"))
+
+  /** The three corners of every triangle in one pass (same explode
+    * rationale as [[triangleEdges]]).
+    */
+  private def triangleCorners(tri: DataFrame): DataFrame = tri
+    .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+
   /** Shared machinery of the degree-oriented triangle family
     * ([[triangleCount]], [[neighborJaccard]], [[clusteringCoefficient]],
     * [[degreeAssortativity]]): returns (und, deg, tri) — the canonical
@@ -165,9 +185,7 @@ object GraphLoader {
     */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
     val (_, deg, tri) = orientedTriangles(edges)
-    val perVertex = tri.select(col("u").as("id"))
-      .unionByName(tri.select(col("v").as("id")))
-      .unionByName(tri.select(col("w").as("id")))
+    val perVertex = triangleCorners(tri)
       .groupBy(col("id")).agg(count(lit(1)).as("tri"))
     deg.join(perVertex, Seq("id"), "left")
       .select(col("id").as("vertex"), col("deg"),
@@ -580,11 +598,7 @@ object GraphLoader {
         .filter(col("v") < col("w"))
       val tri = wedges.join(und, wedges("v") === und("a") && wedges("w") === und("b"))
         .select(col("u"), col("v"), col("w"))
-      val sup = tri
-        .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
-        .unionByName(
-          tri.select(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")))
-        .unionByName(tri.select(col("v").as("a"), col("w").as("b"))) // v < w canonical
+      val sup = triangleEdges(tri)
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
       val kept = sup.filter(col("support") >= k - 2).localCheckpoint(true)
       oriented.unpersist()
@@ -841,11 +855,18 @@ object GraphLoader {
     * discipline). At 1000 executors this is rounds × (one edge-sized
     * shuffle) — the Pregel floor for any vertex program.
     */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    val und = edges
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame =
+    labelPropagationOn(edges
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
-      .distinct().filter(col("a") =!= col("b"))
+      .distinct().filter(col("a") =!= col("b")), rounds)
+
+  /** [[labelPropagation]] over an ALREADY-CANONICAL undirected edge frame
+    * (a < b, distinct, no self-loops) — composing operators
+    * (communityStats) skip the idempotent-but-not-free re-canonicalization
+    * (a full distinct shuffle of the edge list).
+    */
+  private def labelPropagationOn(und: DataFrame, rounds: Int): DataFrame = {
     // ONE read of und, not a self-union of two: each read re-runs the
     // caller's src/dst derivation AND the distinct shuffle (md5 fixtures
     // pay that twice); the explode doubles rows in the same pass
@@ -858,11 +879,16 @@ object GraphLoader {
     for (_ <- 1 to rounds) {
       val freq = adj.join(labels.withColumnRenamed("v", "w"), Seq("w"))
         .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
-      val best = freq.groupBy(col("v")).agg(max(col("c")).as("mc"))
       val prev = labels
-      labels = freq.join(best, Seq("v"))
-        .filter(col("c") === col("mc"))
-        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+      // min label among max count in ONE aggregation: max over the
+      // (c, −lbl) lexicographic struct — the freq→best→rejoin formulation
+      // evaluates the |E|-row adjacency join TWICE per round (freq is a
+      // lazy plan read by both sides); this evaluates it once. Exact:
+      // labels are non-negative longs, so max(−lbl) = min(lbl).
+      labels = freq
+        .groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("lbl"))
         .localCheckpoint(true)
       prev.unpersist()
     }
@@ -906,17 +932,17 @@ object GraphLoader {
     */
   def communityStats(edges: DataFrame, rounds: Int): DataFrame = {
     // canonicalize ONCE and cache: the edge list is consumed four times
-    // (labelPropagation's own derivation + m / internal / degree reads
-    // here) — uncached, callers deriving src/dst with expensive per-row
+    // (labelPropagationOn's adjacency + m / internal / degree reads here)
+    // — uncached, callers deriving src/dst with expensive per-row
     // expressions (the md5 hash fixtures) would recompute that projection
-    // every time. labelPropagation re-canonicalizes the already-canonical
-    // cache — a cheap idempotent distinct against re-reading the source.
+    // every time. labelPropagationOn takes the canonical frame directly
+    // (no re-canonicalization distinct).
     val und = graft.pipeline.InternalCaches.register(edges
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .distinct().filter(col("a") =!= col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val lab = labelPropagation(und.select(col("a").as("src"), col("b").as("dst")), rounds)
+    val lab = labelPropagationOn(und, rounds)
       .select(col("vertex").as("v"), col("label").as("lbl"))
     val mDf = und.agg(count(lit(1)).as("m"))
     val internal = und
@@ -951,11 +977,7 @@ object GraphLoader {
     */
   def neighborJaccard(edges: DataFrame): DataFrame = {
     val (und, deg, tri) = orientedTriangles(edges)
-    val perEdge = tri
-      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
-      .unionByName(
-        tri.select(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")))
-      .unionByName(tri.select(col("v").as("a"), col("w").as("b"))) // v < w canonical already
+    val perEdge = triangleEdges(tri)
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
     // deg is vertex-sized (bounded by the id domain, tiny next to the edge
     // list) — broadcast both roles so the corpus-sized edge frame never

@@ -649,6 +649,80 @@ object EventStreams {
       }
   }
 
+  /** Batch-replay certification of the streaming path: runs
+    * [[streamingOhlc]] to completion over the events table THROUGH the
+    * real streaming engine — file source → watermark →
+    * flatMapGroupsWithState → memory sink — and returns the streamed rows
+    * as a batch frame, so the driver's DuckDB gate certifies the streaming
+    * engine end-to-end with the SAME oracle as the batch `ohlc_downsample`
+    * (the 16 differential specs prove stream==batch to the build; this
+    * makes one such proof driver-visible).
+    *
+    * Mechanics: the normalized events are staged to a temp parquet dir and
+    * streamed from it; two far-future sentinel files are then appended so
+    * the watermark sweeps every real hour closed (two, because a timeout
+    * fires only in a batch AFTER the watermark passed it — the
+    * differential specs' proven sentinel pattern). Sentinel rows are
+    * filtered from the result. The only driver transfer is the 1-row max-ts
+    * scalar; results are aggregate-sized (types × hours).
+    */
+  def streamingOhlcReplay(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    replayEvents(s, dir, "ohlc_replay")(in => streamingOhlc(in).toDF())
+      .filter(col("event_type") =!= "__wm")
+      .select(col("event_type"), col("h"), col("o"), col("c"),
+        col("lo"), col("hi"), col("n"))
+
+  /** Batch-replay certification of Spark's NATIVE streaming session
+    * windows (the session-window state store, a different engine path
+    * than the flatMapGroupsWithState twins): same staging/sentinel
+    * machinery as [[streamingOhlcReplay]], certified by the SAME DuckDB
+    * oracle as the batch `session_window_agg`. Sentinel sessions (user
+    * −7) never close and are filtered; every REAL session ends ≥ 97 hours
+    * before the final watermark, so all of them emit.
+    */
+  def streamingSessionsReplay(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    replayEvents(s, dir, "sessions_replay")(in => streamingSessionWindow(in.toDF()))
+      .filter(col("user_id") =!= -7L)
+      .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+        col("n_events"), col("total_value"))
+
+  /** Shared machinery of the streaming-replay contract queries: stage the
+    * normalized events to a temp parquet dir, run `build`'s streaming plan
+    * over a file stream of it into a memory sink, then append two
+    * far-future sentinel batches (user −7, type "__wm", +100h/+101h) so
+    * the watermark sweeps every real window closed (two, because a
+    * watermark-gated emission fires only in a batch AFTER the watermark
+    * advanced — the differential specs' proven sentinel pattern). Returns
+    * the sink as a batch frame; callers filter the sentinel rows. The only
+    * driver transfer is the 1-row max-ts scalar; sink contents are
+    * aggregate-sized.
+    */
+  private def replayEvents(s: org.apache.spark.sql.SparkSession, dir: String,
+                           tag: String)(build: Dataset[Event] => DataFrame): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    val src = s"$tmp/in"
+    ev.write.parquet(src)
+    val maxMs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val in = s.readStream.schema(ev.schema).parquet(src).as[Event]
+    val qname = tag + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = build(in).writeStream.format("memory").queryName(qname)
+      .outputMode("append").option("checkpointLocation", s"$tmp/ckpt").start()
+    try {
+      q.processAllAvailable() // the real events
+      Seq(Event(-1L, new Timestamp(maxMs + 100L * 3600000L), -7L, "__wm", 0.0)).toDS()
+        .write.mode("append").parquet(src)
+      q.processAllAvailable() // watermark passes every real window
+      Seq(Event(-2L, new Timestamp(maxMs + 101L * 3600000L), -7L, "__wm", 0.0)).toDS()
+        .write.mode("append").parquet(src)
+      q.processAllAvailable() // fires the now-expired emissions
+    } finally q.stop()
+    s.table(qname)
+  }
+
   final case class FirstTouch(user_id: Long, fday: Long)
   /** `fday`: the candidate (or emitted) first day; `emitted`: tombstone —
     * the watermark has passed the day, the row is out, later events of

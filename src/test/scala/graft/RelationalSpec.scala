@@ -268,6 +268,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$finalPlan")
   }
 
+  test("rollingHourRange: boundary exactly 1h ago excluded, peers share frames") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def t(us: Long) = new java.sql.Timestamp(us / 1000) // whole-ms fixtures
+    val st = new StructType().add("event_id", LongType).add("ts", TimestampType)
+      .add("user_id", LongType).add("event_type", StringType).add("value", DoubleType)
+    val H = 3600000000L
+    val ev = TestSpark.df(st, Seq(
+      Row(1L, t(0L), 1L, "a", 1.0),        // base
+      Row(2L, t(H), 1L, "a", 2.0),         // exactly 1h later: frame EXCLUDES id 1
+      Row(3L, t(H + 1000L), 1L, "a", 4.0), // 1ms after the peers
+      Row(4L, t(H), 1L, "a", 8.0),         // peer of id 2: same tus, shared frame
+      Row(5L, t(2 * H - 1000L), 2L, "b", 16.0))) // other user: independent
+    val got = RelationalQueries.rollingHourRange(ev).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((1L, 1.0)))
+    // ids 2 and 4 are RANGE peers at t=1h: both see {2,4} but NOT 1
+    // (the frame is (t−1h, t], the 1h-ago point falls outside)
+    assert(got(2L) == ((2L, 10.0)), s"got ${got(2L)}")
+    assert(got(4L) == ((2L, 10.0)), s"got ${got(4L)}")
+    // id 3 is 1ms after the peers: sees 2, 4, itself
+    assert(got(3L) == ((3L, 14.0)), s"got ${got(3L)}")
+    assert(got(5L) == ((1L, 16.0)))
+  }
+
   test("gapFill: missing hours carry the last close; observed flags real hours") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
