@@ -53,20 +53,25 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
-    // Each query runs SPARK_GRAFT_REPS times (DEFAULT 5) and reports the
-    // per-query MEDIAN over its SUCCESSFUL reps. Single-run timings on this
-    // box swing ±20% (GC, page cache, thread scheduling) — medians are the
-    // only honest round-over-round comparison, so they are the default, not
-    // an opt-in. Reps run per-query back-to-back (not whole-suite loops)
-    // so the cache-cold discipline applies to every rep identically.
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(5).max(1)
+    // Each query runs repsOf(name) times and reports the per-query MEDIAN
+    // over its SUCCESSFUL reps. Single-run timings on this box swing ±20%
+    // (GC, page cache, thread scheduling) — medians are the only honest
+    // round-over-round comparison, so they are the default, not an opt-in.
+    // Reps run per-query back-to-back (not whole-suite loops) so the
+    // cache-cold discipline applies to every rep identically.
+    // Default policy at ~200 queries (keeps suite wall time bounded as the
+    // surface grows, per the r6 review): 5 reps for the baseline-graded 43,
+    // 3 for the rest — never 1. SPARK_GRAFT_REPS overrides both.
+    val repsOverride = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt.max(1))
+    def repsOf(name: String): Int =
+      repsOverride.getOrElse(if (baselineQueries(name)) 5 else 3)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
+      val times = (1 to repsOf(name)).flatMap { _ =>
         // each rep starts cache-cold: internal .cache() reuse within one
         // query is measured, cross-query cache leakage and its GC pressure
         // are not. InternalCaches.release() also empties the registry so
@@ -106,11 +111,11 @@ object Bench {
     val total = results.map(_._2).filterNot(_.isNaN).sum
     val headline = results.filter { case (k, _) => Bench.baselineQueries(k) }
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"queries":${qmap(results)},"failed":${errors.size},"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":${repsOf("q1_agg")},"reps_tail":${repsOf("__tail")},"n_queries":${results.size},"queries":${qmap(results)},"failed":${errors.size},"errors":$errs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"baseline_total":${fmt(headline.map(_._2).filterNot(_.isNaN).sum)},"queries":${qmap(headline)},"failed":${errors.size},"errors":$errs,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":${repsOf("q1_agg")},"reps_tail":${repsOf("__tail")},"n_queries":${results.size},"baseline_total":${fmt(headline.map(_._2).filterNot(_.isNaN).sum)},"queries":${qmap(headline)},"failed":${errors.size},"errors":$errs,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
