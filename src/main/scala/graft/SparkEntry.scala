@@ -240,6 +240,11 @@ object SparkEntry {
     // store), replayed to a batch frame the same way — certified by the
     // batch session_window_agg oracle ---
     "streaming_sessions_replay" -> streaming.EventStreams.streamingSessionsReplay _,
+    // --- streaming windowed-aggregation state store (tumbling windows,
+    // append mode), replayed the same way — the third certified streaming
+    // engine path; cents sums are order-independent so the streamed rows
+    // are bit-equal to events_bin's oracle ---
+    "streaming_bin_replay" -> streaming.EventStreams.streamingBinReplay _,
     // --- LOCF gap-fill over the per-type hourly axis ---
     "gap_fill" -> RelationalQueries.gapFillQuery _,
     // --- winsorization: clip to per-type discrete-percentile bands ---
@@ -2292,6 +2297,12 @@ object SparkEntry {
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY tus
                       RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""",
+    // The streaming windowed-agg replay must land on EXACTLY the batch
+    // answer — same oracle text as events_bin.
+    "streaming_bin_replay" ->
+      """SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS bin, event_type,
+                sum(round(value * 100)::BIGINT) / 100.0 AS sum_value, count(*)::BIGINT AS n
+         FROM events GROUP BY 1, 2""",
     // The streaming session replay must land on EXACTLY the batch
     // answer — same oracle text as session_window_agg.
     "streaming_sessions_replay" ->

@@ -686,6 +686,30 @@ object EventStreams {
       .select(col("user_id"), col("session_start_us"), col("session_end_us"),
         col("n_events"), col("total_value"))
 
+  /** Batch-replay certification of Spark's streaming WINDOWED-AGGREGATION
+    * state store — the THIRD distinct streaming engine path certified in
+    * the driver's gate (after `streaming_ohlc_replay`'s
+    * flatMapGroupsWithState and `streaming_sessions_replay`'s merging
+    * session-window store): tumbling 1-hour event-time windows over the
+    * events file stream, emitted in append mode as the watermark passes
+    * each window. Cents-quantized sums and counts are order-independent
+    * BIGINT folds, so the streamed rows are bit-equal to the batch
+    * `events_bin` plan regardless of micro-batch arrival order — certified
+    * by the SAME DuckDB oracle. Sentinel rows live in their own far-future
+    * windows and are filtered by type.
+    */
+  def streamingBinReplay(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    replayEvents(s, dir, "bin_replay") { in =>
+      in.toDF()
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(graft.Num.centsSumExact(col("value")).as("sum_value"),
+          count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("bin"),
+          col("event_type"), col("sum_value"), col("n"))
+    }.filter(col("event_type") =!= "__wm")
+      .select(col("bin"), col("event_type"), col("sum_value"), col("n"))
+
   /** Shared machinery of the streaming-replay contract queries: stage the
     * normalized events to a temp parquet dir, run `build`'s streaming plan
     * over a file stream of it into a memory sink, then append two
