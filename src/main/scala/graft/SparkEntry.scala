@@ -553,6 +553,9 @@ object SparkEntry {
     "text_quality" -> ((s, d) => pipeline.TextAnalysis.qualityStats(Tables.documents(s, d))),
     "text_quality_score" -> ((s, d) => pipeline.TextAnalysis.qualityScore(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => pipeline.TextAnalysis.langId(Tables.documents(s, d))),
+    // --- inter-annotator agreement (Cohen's κ) between two independent
+    // labeling rules — integer-exact 2×2 confusion, one double division ---
+    "label_agreement" -> ((s, d) => pipeline.TextAnalysis.labelAgreement(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => pipeline.TextAnalysis.fingerprint(Tables.documents(s, d))),
     "text_rolling_fp" -> ((s, d) => pipeline.TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => pipeline.TextAnalysis.repetitionStats(Tables.documents(s, d))),
@@ -2247,6 +2250,33 @@ object SparkEntry {
              CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE -1.0 END -
              punct_ratio * 4.0))), 6) AS quality
          FROM st""",
+    // Cohen's κ: both annotator rules are integer-exact (scaled count
+    // comparison / pattern containment), so the 2×2 confusion is identical
+    // by construction; κ is one integer-derived double division on both
+    // engines — the same IEEE value, rounded at 6.
+    "label_agreement" ->
+      """WITH l AS (
+           SELECT
+             CASE WHEN 10000 * len(list_filter(string_split_regex(text, '\s+'),
+                    x -> x IN ('the','a','of','and','to','in','is','it','for','on')))
+                  >= 800 * greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1)
+               THEN 1 ELSE 0 END AS a,
+             CASE WHEN contains(' ' || text || ' ', ' the ')
+                    OR contains(' ' || text || ' ', ' and ')
+                    OR contains(' ' || text || ' ', ' of ')
+                    OR contains(' ' || text || ' ', ' is ')
+               THEN 1 ELSE 0 END AS b
+           FROM documents),
+         c AS (
+           SELECT sum(a * b)::BIGINT AS n11, sum(a * (1 - b))::BIGINT AS n10,
+                  sum((1 - a) * b)::BIGINT AS n01, sum((1 - a) * (1 - b))::BIGINT AS n00
+           FROM l)
+         SELECT n11, n10, n01, n00,
+           round(((n11 + n00) * (n11 + n10 + n01 + n00) -
+                  ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))::DOUBLE /
+                 ((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00) -
+                  ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))::DOUBLE, 6) AS kappa
+         FROM c""",
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
          FROM documents""",

@@ -186,6 +186,51 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
         round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6).as("top_share"))
 
+  /** Inter-annotator agreement (Cohen's κ) between two independent binary
+    * labeling rules — the standard label-quality audit run before trusting
+    * any filter rule at corpus scale (κ near 0 means the rules agree no
+    * better than chance and at least one is noise; κ near 1 means they are
+    * redundant). Annotator A keeps a document when its stopword share is at
+    * least 8% of tokens (the fluency rule, compared integer-exactly as
+    * 10000·n_stop ≥ 800·n_tokens — no double ratio, no rounding tie);
+    * annotator B keeps it when the padded text contains any English
+    * function-word pattern (the [[langId]] en-profile hits). The 2×2
+    * confusion is four BIGINT counts; κ = (N·agree − Σ marginal products) /
+    * (N² − Σ marginal products) is one integer-derived double division,
+    * bit-identical across engines, rounded at 6.
+    *
+    * Scale: two per-row boolean rules (zero shuffle) into a keyless
+    * aggregate — map-side partials, four longs cross the exchange; the κ
+    * arithmetic runs on the one-row result. The same shape audits ANY pair
+    * of labeling rules (model-vs-model, rule-vs-human sample) at 100 TB.
+    */
+  def labelAgreement(docs: DataFrame): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+    val aKeep = size(filter(toks, t => t.isin(stop.map(x => x: Any): _*))).cast("long") * 10000L >=
+      greatest(size(toks), lit(1)).cast("long") * 800L
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val bKeep = Seq(" the ", " and ", " of ", " is ")
+      .map(p => padded.contains(p)).reduce(_ || _)
+    val counts = docs
+      .select(aKeep.cast("long").as("a"), bKeep.cast("long").as("b"))
+      .agg(
+        sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+    counts.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      round(
+        ((col("n11") + col("n00")) * (col("n11") + col("n10") + col("n01") + col("n00")) -
+          ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+           (col("n01") + col("n00")) * (col("n10") + col("n00")))).cast("double") /
+        ((col("n11") + col("n10") + col("n01") + col("n00")) *
+         (col("n11") + col("n10") + col("n01") + col("n00")) -
+          ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+           (col("n01") + col("n00")) * (col("n10") + col("n00")))).cast("double"),
+        6).as("kappa"))
+  }
+
   /** Content fingerprint: digest of whitespace-normalized lowercased text —
     * stable under formatting noise; the key for exact-ish dedup joins.
     */

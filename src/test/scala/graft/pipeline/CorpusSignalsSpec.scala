@@ -264,6 +264,28 @@ class CorpusSignalsSpec extends AnyFunSuite {
     InternalCaches.release()
   }
 
+  test("labelAgreement: chance-level rules give kappa 0, full agreement gives 1") {
+    // one doc per confusion cell: a = stopword share ≥ 8%, b = contains an
+    // en function-word pattern. Hand-computed 2×2: all four cells hit once,
+    // symmetric marginals → κ = 0 exactly.
+    val chance = docs(
+      1L -> "the the the x",                                        // a=1 b=1
+      2L -> "a a a a a a a a a a",                                  // a=1 b=0
+      3L -> "is z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12",           // a=0 (1/13) b=1
+      4L -> "xyz qqq")                                              // a=0 b=0
+    val r = TextAnalysis.labelAgreement(chance).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 1L, 1L)),
+      s"confusion ${r}")
+    assert(r.getDouble(4) == 0.0, s"kappa ${r.getDouble(4)}")
+    // both rules agree on every doc → κ = 1
+    val agree = docs(
+      1L -> "the the the x", 2L -> "the of and is",                 // n11 = 2
+      3L -> "xyz qqq", 4L -> "w1 w2 w3")                            // n00 = 2
+    val r2 = TextAnalysis.labelAgreement(agree).head()
+    assert((r2.getLong(0), r2.getLong(3)) == ((2L, 2L)) && r2.getDouble(4) == 1.0,
+      s"got $r2")
+  }
+
   test("bigramLmScore: common phrasing outranks gibberish on mean frequency") {
     val common = (1L to 6L).map(_ -> "the quick brown fox jumps")
     val odd = Seq(7L -> "zxqv wkjh pqrs tuvw xyzab")
