@@ -32,6 +32,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // local-mode scan sizing: the driver's testdata tables arrive as one
+      // parquet file each (sf1.0 lineitem ≈ 80 MB), and the 128 MB default
+      // would plan such a scan as a single task — one core doing all the IO
+      // and partial aggregation while 31 idle. 16 MB keeps ≥ #cores splits
+      // once a table is big enough to matter; a real cluster reading
+      // many-file tables keeps the default.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config(Tables.eventsConf._1, Tables.eventsConf._2)

@@ -1297,19 +1297,38 @@ object RelationalQueries {
   def equiDepthQuery(s: SparkSession, d: String): DataFrame =
     equiDepth(events(s, d))
 
+  /** Distinct (order, brand) basket frame shared by [[basketPairs]] and
+    * [[assocRules]] — computed ONCE and persisted via `InternalCaches`
+    * (basketPairs reads it twice, assocRules four times; the r7 sf1.0
+    * rehearsal caught each readout re-running the lineitem scan + distinct
+    * shuffle). `repartition(o)` before the distinct means the aggregate
+    * (grouping keys ⊇ partitioning key) AND the downstream pair self-join
+    * on `o` both plan zero additional exchanges off the cached frame.
+    * The part-dimension join is left to AQE: at bench scale it broadcasts
+    * itself; at cluster scale part is SF-proportional (billions of rows at
+    * 100 TB) and a forced broadcast hint would OOM the driver — the r6
+    * version had exactly that hint.
+    */
+  private def orderBrands(s: SparkSession, d: String): DataFrame =
+    pipeline.InternalCaches.register(
+      lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey"))
+        .join(part(s, d).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("o"), col("p_brand").as("b"))
+        .repartition(col("o"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Market-basket co-occurrence: for each unordered brand pair, how many
     * orders contain both — the support table association mining starts
     * from. The pair join is per-order (equi-join on the order key with
     * `brand_a < brand_b`), so the blow-up is bounded by distinct brands
     * PER ORDER (≤ items per order — single digits in order-shaped data),
     * never a global cross: shuffles carry (order, brand) pairs and the
-    * |brands|²-bounded counts. The part dimension broadcasts.
+    * |brands|²-bounded counts.
     */
   def basketPairs(s: SparkSession, d: String): DataFrame = {
-    val ob = lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey"))
-      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("o"), col("p_brand").as("b")).distinct()
+    val ob = orderBrands(s, d)
     ob.select(col("o"), col("b").as("brand_a"))
       .join(ob.select(col("o"), col("b").as("brand_b")), Seq("o"))
       .filter(col("brand_a") < col("brand_b"))
@@ -1784,10 +1803,7 @@ object RelationalQueries {
     * sides are tiny aggregates broadcast back onto ≤ |brands|² pair rows.
     */
   def assocRules(s: SparkSession, d: String): DataFrame = {
-    val ob = lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey"))
-      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("o"), col("p_brand").as("b")).distinct()
+    val ob = orderBrands(s, d)
     val sup = ob.groupBy(col("b")).agg(count(lit(1)).as("sup"))
     val nB = ob.select(col("o")).distinct().agg(count(lit(1)).as("n_baskets"))
     ob.select(col("o"), col("b").as("brand_a"))

@@ -13,6 +13,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // single-file testdata tables must still fan out to parallel scan
+      // tasks — see the same setting in Bench for the full rationale
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.eventsConf._1, Tables.eventsConf._2)
       .config("spark.ui.enabled", "false")

@@ -57,8 +57,14 @@ object ScaleUp {
       val sel = if (keepRep) cols :+ col("rep") else cols
       df.crossJoin(reps).select(sel.toIndexedSeq: _*)
     }
-    def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    // Fact tables are written as MANY files (one per shuffle partition),
+    // matching how a real cluster lays out a big table. The r7 rehearsal
+    // found the single-file layout this used to produce planned every scan
+    // as ONE task (80 MB file < the 128 MB maxPartitionBytes default = one
+    // split), serializing all 32 cores onto one — which inflated every
+    // scan-bound query's sf1.0 time ~5-10× and poisoned the scaling read.
+    def write(df: DataFrame, name: String, parts: Int = 32): Unit = {
+      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scaleup] $name done")
     }
 
@@ -71,8 +77,8 @@ object ScaleUp {
     val kDoc = maxKey(tbl("documents"), "doc_id")
     val kVec = maxKey(tbl("embeddings"), "vec_id")
 
-    write(tbl("region"), "region")
-    write(tbl("nation"), "nation")
+    write(tbl("region"), "region", parts = 1)
+    write(tbl("nation"), "nation", parts = 1)
     write(scaled(tbl("customer"), Map("c_custkey" -> kCust)), "customer")
     write(scaled(tbl("supplier"), Map("s_suppkey" -> kSupp)), "supplier")
     write(scaled(tbl("part"), Map("p_partkey" -> kPart)), "part")
