@@ -13,7 +13,10 @@ sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # driver testdata tables are single files; ScaleUp rehearsal tables are
+    # directories of part files — read_parquet needs the glob form for those
+    src = p if os.path.isfile(p) else f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = []
