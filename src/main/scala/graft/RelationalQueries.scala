@@ -2607,4 +2607,200 @@ object RelationalQueries {
     excessSupp.join(natSupp, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("n_excess_parts"))
   }
+
+  /** The A/B arm assignment shared by [[abSplitStats]], [[chi2Independence]]
+    * and [[mannWhitney]] — the portable salted user hash, so every
+    * experiment readout in the suite agrees on who is in which arm.
+    */
+  private def abArm: org.apache.spark.sql.Column =
+    when(pmod(graft.functions.PortableHash.hash60(
+      concat(lit("ab_"), col("user_id"))), lit(2L)) === 0L, "A").otherwise("B")
+
+  /** χ² test of independence (2×2, per event type): does arm membership
+    * predict conversion (event value ≥ $50)? The four cell counts are one
+    * map-side-combined aggregate over the events scan; the statistic is
+    * the closed-form N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) — a single scalar
+    * expression over exact BIGINT cell counts, written with the identical
+    * operation order in the DuckDB oracle so the IEEE double result is
+    * bit-equal (no SUM-of-doubles anywhere; the skill-noted fp-drift trap
+    * does not apply to a deterministic scalar expression tree).
+    *
+    * Scale: shuffle carries |event_type| × 4 longs; the statistic is
+    * computed on aggregate-sized rows. At true 100 TB counts the long
+    * products approach 2^63 — the products are computed in long only up
+    * to ad/bc (≤ n²), then cast to double before squaring, keeping every
+    * intermediate finite and deterministic.
+    */
+  def chi2Independence(ev: DataFrame): DataFrame = {
+    val conv = round(col("value") * 100).cast("long") >= 5000L
+    val cells = ev.select(col("event_type"), abArm.as("arm"), conv.as("conv"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("arm") === "A" && col("conv"), 1L).otherwise(0L)).as("a"),
+           sum(when(col("arm") === "A" && !col("conv"), 1L).otherwise(0L)).as("b"),
+           sum(when(col("arm") === "B" && col("conv"), 1L).otherwise(0L)).as("c"),
+           sum(when(col("arm") === "B" && !col("conv"), 1L).otherwise(0L)).as("d"))
+    val n = (col("a") + col("b") + col("c") + col("d")).cast("double")
+    val dd = (col("a") * col("d") - col("b") * col("c")).cast("double")
+    val den = ((col("a") + col("b")) * (col("c") + col("d"))).cast("double") *
+              ((col("a") + col("c")) * (col("b") + col("d"))).cast("double")
+    cells.select(col("event_type"), col("a"), col("b"), col("c"), col("d"),
+      when(den === 0.0, 0.0).otherwise(round(n * dd * dd / den, 6)).as("chi2"))
+  }
+
+  /** Contract instance over the events table. */
+  def chi2Query(s: SparkSession, d: String): DataFrame =
+    chi2Independence(events(s, d))
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) per event type: the
+    * non-parametric A/B readout — ranks the pooled cents-quantized values,
+    * average-rank tie handling, and reports arm A's rank sum and U. All
+    * outputs are DOUBLED ranks (2·avg-rank is always integral under
+    * average-rank ties), so the whole statistic is BIGINT-exact and the
+    * oracle comparison is immune to fp: `r2_sum_a` = 2·R_A and
+    * `u2_a` = 2·U_A = 2·R_A − n_a(n_a+1).
+    *
+    * Plan: collapse to per-(type, value) tie-group counts first (the
+    * aggregate is map-side combined; the fact table never reaches a
+    * window), then ONE partitioned cumulative window over the distinct
+    * value rows — avg rank of a tie group = (rows before it) + (nv+1)/2,
+    * i.e. doubled: 2c + nv + 1 — then a final per-type fold. Scale: the
+    * window input is bounded by distinct (type, cents) pairs, not events;
+    * everything after the first aggregate is aggregate-sized.
+    */
+  def mannWhitney(ev: DataFrame): DataFrame = {
+    val cells = ev.select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        when(abArm === "A", 1L).otherwise(0L).as("isa"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(col("isa")).as("na"), count(lit(1)).as("nv"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells.withColumn("c", coalesce(sum(col("nv")).over(w), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(sum(col("na")).as("n_a"), sum(col("nv") - col("na")).as("n_b"),
+           sum(col("na") * (lit(2L) * col("c") + col("nv") + 1L)).as("r2_sum_a"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("r2_sum_a"),
+        (col("r2_sum_a") - col("n_a") * (col("n_a") + 1L)).as("u2_a"))
+  }
+
+  /** Contract instance over the events table. */
+  def mannWhitneyQuery(s: SparkSession, d: String): DataFrame =
+    mannWhitney(events(s, d))
+
+  /** Incremental view maintenance of an aggregate — the relational face of
+    * the Lara ⊕-mergeability law (SURVEY §2.1: MergeAgg partials combine
+    * associatively; `/root/reference/src/main/kotlin/.../api/TupleOp.kt`
+    * MergeUnion0's ⊕): the fact table is split into a BASE segment
+    * (shipped before 1997) and a DELTA segment, each aggregated
+    * INDEPENDENTLY to (sum, count) partials, and the published view is the
+    * ⊕-merge of the two partial frames — never a rescan of base+delta
+    * together. The DuckDB oracle recomputes the view from scratch; equality
+    * IS the maintenance-correctness proof.
+    *
+    * Scale: this is the 100 TB shape for slowly-growing facts — the base
+    * partial is aggregate-sized (persist it; here it is recomputed because
+    * the contract must be self-contained), each refresh touches only the
+    * delta, and the merge is a union of two aggregate-sized frames
+    * re-aggregated with the same ⊕ (sum/sum/sum — all BIGINT-exact cents).
+    * `n_base`/`n_delta` expose the partial provenance so the oracle also
+    * verifies WHERE each row came from, not just the merged totals.
+    */
+  def ivmMergeAgg(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1997-01-01").cast("timestamp")
+    def partial(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+             sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"),
+             count(lit(1)).as("n"))
+        .withColumn("seg", lit(tag))
+    val li = lineitem(s, d)
+    val base = partial(li.filter(col("l_shipdate") < cut), "base")
+    val delta = partial(li.filter(col("l_shipdate") >= cut), "delta")
+    base.unionByName(delta)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("sum_qty")).as("sum_qty"),
+           (sum(col("sum_cents")) / 100.0).as("sum_price"),
+           sum(col("n")).as("n"),
+           sum(when(col("seg") === "base", col("n")).otherwise(0L)).as("n_base"),
+           sum(when(col("seg") === "delta", col("n")).otherwise(0L)).as("n_delta"))
+  }
+
+  /** Item-item collaborative filtering: for each brand, its top-5 most
+    * similar brands by binary-cosine over order baskets —
+    * cos(a,b) = |A∩B| / √(|A||B|), ranked by the integer-scaled square
+    * `score2 = ⌊10⁶·num²/(n_a·n_b)⌋` so the ordering (and the oracle
+    * comparison) never touches a double or a √. Ties break by (num desc,
+    * brand_b) — fully deterministic.
+    *
+    * Plan: reuses the cached [[orderBrands]] basket frame (pre-partitioned
+    * on the order key: the co-occurrence self-join plans zero additional
+    * exchanges), co-occurrence kept in BOTH orientations (each item needs
+    * its own neighbor list), per-brand basket sizes are an aggregate-sized
+    * frame AQE broadcasts back. The ranking window runs over at most
+    * |brands|² aggregate rows. Scale: per-order brand fan-out is bounded
+    * by basket size (single digits); num² ≤ |orders|² keeps the scaled
+    * score inside BIGINT through ~10⁹ baskets — beyond that, move the
+    * scale factor into DECIMAL(38,0) (same plan).
+    */
+  def itemCf(s: SparkSession, d: String): DataFrame = {
+    val ob = orderBrands(s, d)
+    val sizes = ob.groupBy(col("b")).agg(count(lit(1)).as("n"))
+    val pairs = ob.select(col("o"), col("b").as("brand_a"))
+      .join(ob.select(col("o"), col("b").as("brand_b")), Seq("o"))
+      .filter(col("brand_a") =!= col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("num"))
+    val scored = pairs
+      .join(sizes.select(col("b").as("brand_a"), col("n").as("na")), Seq("brand_a"))
+      .join(sizes.select(col("b").as("brand_b"), col("n").as("nb")), Seq("brand_b"))
+      .withColumn("score2", expr("(num * num * 1000000) div (na * nb)"))
+    val w = Window.partitionBy(col("brand_a"))
+      .orderBy(col("score2").desc, col("num").desc, col("brand_b"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("brand_a"), col("brand_b"), col("num"), col("score2"), col("rk"))
+  }
+
+  /** Declarative data-quality rules, evaluated as data: each rule is a SQL
+    * predicate string compiled at plan time (`expr`) into a conditional
+    * counter — N rules cost ONE scan with N codegen'd counters fused into
+    * a single map-side-combined aggregate, not N scans (the naive
+    * rule-engine shape). The same strings drive the DuckDB oracle
+    * ([[dqRulesOracle]] is generated from this Seq — the anti-drift
+    * pattern), so the dialect-shared subset is enforced by the gate
+    * itself.
+    */
+  val dqRuleDefs: Seq[(String, String)] = Seq(
+    "qty_range"      -> "l_quantity >= 1 AND l_quantity <= 50",
+    "qty_typical"    -> "l_quantity <= 30",
+    "discount_range" -> "l_discount >= 0.0 AND l_discount <= 0.10",
+    "tax_range"      -> "l_tax >= 0.0 AND l_tax <= 0.08",
+    "price_positive" -> "l_extendedprice > 0",
+    "flag_domain"    -> "l_returnflag IN ('A', 'N', 'R')",
+    "ship_window"    ->
+      "l_shipdate >= TIMESTAMP '1992-01-01' AND l_shipdate < TIMESTAMP '1998-06-01'")
+
+  /** Rule-audit summary: one row per rule with its violation count and the
+    * audited total. Scale: single pruned scan of the fact table; the
+    * one-row aggregate is exploded driver-free into |rules| rows.
+    */
+  def dqRules(s: SparkSession, d: String): DataFrame = {
+    val aggs = dqRuleDefs.map { case (id, pred) =>
+      sum(when(!expr(pred), 1L).otherwise(0L)).as(s"v_$id")
+    } :+ count(lit(1)).as("n_total")
+    lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(dqRuleDefs.map { case (id, _) =>
+          struct(lit(id).as("rule_id"), col(s"v_$id").as("n_violations"))
+        }: _*)).as("r"), col("n_total"))
+      .select(col("r.rule_id").as("rule_id"),
+        col("r.n_violations").as("n_violations"), col("n_total"))
+  }
+
+  /** DuckDB oracle for [[dqRules]], generated from the SAME rule Seq. */
+  def dqRulesOracle: String =
+    dqRuleDefs.map { case (id, pred) =>
+      s"""SELECT '$id' AS rule_id,
+                 count(*) FILTER (WHERE NOT ($pred))::BIGINT AS n_violations,
+                 count(*)::BIGINT AS n_total FROM lineitem"""
+    }.mkString("\nUNION ALL\n")
 }

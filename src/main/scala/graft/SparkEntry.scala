@@ -196,6 +196,19 @@ object SparkEntry {
     "minmax_normalize" -> RelationalQueries.minmaxQuery _,
     // --- hash-armed A/B readout as exact integer moment components ---
     "ab_split_stats" -> RelationalQueries.abSplitQuery _,
+    // --- χ² independence test (2×2 closed form over exact cell counts) ---
+    "chi2_independence" -> RelationalQueries.chi2Query _,
+    // --- Mann–Whitney rank-sum per type: doubled average ranks keep the
+    // whole statistic BIGINT-exact; window runs over tie groups only ---
+    "mann_whitney" -> RelationalQueries.mannWhitneyQuery _,
+    // --- incremental view maintenance: base ⊕ delta partial merge,
+    // oracle-proved equal to the full recompute (⊕-mergeability law) ---
+    "ivm_agg" -> RelationalQueries.ivmMergeAgg _,
+    // --- item-item CF: binary-cosine brand neighbors over order baskets,
+    // integer-scaled score, top-5 per item ---
+    "item_cf" -> RelationalQueries.itemCf _,
+    // --- declarative rule audit: N predicate rules fused into ONE scan ---
+    "dq_rules" -> RelationalQueries.dqRules _,
     // --- exact AUC (Mann–Whitney): rank-free integer pair counting via
     // the hierarchical prefix sum over distinct score values ---
     "auc_score" -> ((s, d) => RelationalQueries.aucScore(s, d)),
@@ -245,6 +258,10 @@ object SparkEntry {
     // engine path; cents sums are order-independent so the streamed rows
     // are bit-equal to events_bin's oracle ---
     "streaming_bin_replay" -> streaming.EventStreams.streamingBinReplay _,
+    // --- CHAINED stateful streaming (dedup store → windowed-agg store in
+    // one query), replayed the same way: daily distinct users per type,
+    // certified by a batch count(DISTINCT) oracle ---
+    "streaming_dedup_replay" -> streaming.EventStreams.streamingDedupReplay _,
     // --- LOCF gap-fill over the per-type hourly axis ---
     "gap_fill" -> RelationalQueries.gapFillQuery _,
     // --- winsorization: clip to per-type discrete-percentile bands ---
@@ -1483,6 +1500,87 @@ object SparkEntry {
                 sum(round(value * 100)::BIGINT * round(value * 100)::BIGINT)::BIGINT
                   AS sumsq_cents
          FROM events GROUP BY 1, 2""",
+    // χ²: exact BIGINT cell counts; the statistic is the same scalar
+    // expression tree as the Spark side (same op order → same IEEE double).
+    "chi2_independence" ->
+      """WITH armed AS (
+           SELECT event_type,
+                  CASE WHEN ('0x' || substring(md5('ab_' || user_id::VARCHAR), 1, 15))::BIGINT
+                            % 2 = 0
+                       THEN 'A' ELSE 'B' END AS arm,
+                  round(value * 100)::BIGINT >= 5000 AS conv
+           FROM events),
+         cells AS (
+           SELECT event_type,
+                  sum(CASE WHEN arm = 'A' AND conv THEN 1 ELSE 0 END)::BIGINT AS a,
+                  sum(CASE WHEN arm = 'A' AND NOT conv THEN 1 ELSE 0 END)::BIGINT AS b,
+                  sum(CASE WHEN arm = 'B' AND conv THEN 1 ELSE 0 END)::BIGINT AS c,
+                  sum(CASE WHEN arm = 'B' AND NOT conv THEN 1 ELSE 0 END)::BIGINT AS d
+           FROM armed GROUP BY 1)
+         SELECT event_type, a, b, c, d,
+                CASE WHEN ((a + b) * (c + d))::DOUBLE * ((a + c) * (b + d))::DOUBLE = 0
+                     THEN 0.0
+                     ELSE round((a + b + c + d)::DOUBLE
+                                * (a * d - b * c)::DOUBLE * (a * d - b * c)::DOUBLE
+                                / (((a + b) * (c + d))::DOUBLE * ((a + c) * (b + d))::DOUBLE), 6)
+                END AS chi2
+         FROM cells""",
+    // Mann–Whitney: doubled average ranks (2·avg-rank is integral under
+    // ties) keep every output BIGINT-exact; window over tie groups only.
+    "mann_whitney" ->
+      """WITH armed AS (
+           SELECT event_type, round(value * 100)::BIGINT AS cents,
+                  CASE WHEN ('0x' || substring(md5('ab_' || user_id::VARCHAR), 1, 15))::BIGINT
+                            % 2 = 0
+                       THEN 1 ELSE 0 END AS isa
+           FROM events),
+         cells AS (
+           SELECT event_type, cents, sum(isa)::BIGINT AS na, count(*)::BIGINT AS nv
+           FROM armed GROUP BY 1, 2),
+         ranked AS (
+           SELECT event_type, na, nv,
+                  coalesce(sum(nv) OVER (PARTITION BY event_type ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS c
+           FROM cells)
+         SELECT event_type, sum(na)::BIGINT AS n_a, sum(nv - na)::BIGINT AS n_b,
+                sum(na * (2 * c + nv + 1))::BIGINT AS r2_sum_a,
+                (sum(na * (2 * c + nv + 1)) - sum(na) * (sum(na) + 1))::BIGINT AS u2_a
+         FROM ranked GROUP BY 1""",
+    // IVM: the oracle recomputes the maintained view from scratch —
+    // equality proves the base ⊕ delta partial merge.
+    "ivm_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty,
+                sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS sum_price,
+                count(*)::BIGINT AS n,
+                count(*) FILTER (WHERE l_shipdate < TIMESTAMP '1997-01-01')::BIGINT AS n_base,
+                count(*) FILTER (WHERE l_shipdate >= TIMESTAMP '1997-01-01')::BIGINT AS n_delta
+         FROM lineitem GROUP BY 1, 2""",
+    // Item-item CF: integer-scaled binary cosine — `//` is DuckDB's
+    // integer floor division, matching Spark's `div` on positives.
+    "item_cf" ->
+      """WITH ob AS (
+           SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         sizes AS (SELECT b, count(*)::BIGINT AS n FROM ob GROUP BY 1),
+         pairs AS (
+           SELECT x.b AS brand_a, y.b AS brand_b, count(*)::BIGINT AS num
+           FROM ob x JOIN ob y ON x.o = y.o AND x.b <> y.b GROUP BY 1, 2),
+         scored AS (
+           SELECT brand_a, brand_b, num,
+                  (num * num * 1000000) // (sa.n * sb.n) AS score2
+           FROM pairs
+           JOIN sizes sa ON sa.b = brand_a
+           JOIN sizes sb ON sb.b = brand_b),
+         ranked AS (
+           SELECT brand_a, brand_b, num, score2,
+                  row_number() OVER (PARTITION BY brand_a
+                    ORDER BY score2 DESC, num DESC, brand_b) AS rk
+           FROM scored)
+         SELECT brand_a, brand_b, num, score2, rk::BIGINT AS rk
+         FROM ranked WHERE rk <= 5""",
+    // Rule audit: generated from the SAME rule Seq as the Spark plan.
+    "dq_rules" -> RelationalQueries.dqRulesOracle,
     "q5_multijoin" ->
       """SELECT n.n_name,
                 sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT) / 10000.0 AS revenue,
@@ -2332,6 +2430,12 @@ object SparkEntry {
     "streaming_bin_replay" ->
       """SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS bin, event_type,
                 sum(round(value * 100)::BIGINT) / 100.0 AS sum_value, count(*)::BIGINT AS n
+         FROM events GROUP BY 1, 2""",
+    // Chained dedup→agg streaming replay: the batch truth is a plain
+    // count(DISTINCT user) per (UTC day, type).
+    "streaming_dedup_replay" ->
+      """SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS day, event_type,
+                count(DISTINCT user_id)::BIGINT AS n_users
          FROM events GROUP BY 1, 2""",
     // The streaming session replay must land on EXACTLY the batch
     // answer — same oracle text as session_window_agg.

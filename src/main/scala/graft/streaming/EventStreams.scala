@@ -710,6 +710,33 @@ object EventStreams {
     }.filter(col("event_type") =!= "__wm")
       .select(col("bin"), col("event_type"), col("sum_value"), col("n"))
 
+  /** Batch-replay certification of CHAINED stateful streaming operators —
+    * the streaming-dedup state store feeding the windowed-aggregation
+    * store in ONE query (the multi-stateful-operator engine path none of
+    * the other replays exercise): daily distinct active users per event
+    * type, as watermark → per-(user, type, day-window) duplicate drop →
+    * per-(day-window, type) count. The dedup key includes the time window
+    * (the documented chained-stateful pattern), so dedup state expires
+    * with the watermark — bounded by users active per open window, never
+    * |all users ever|. Whichever duplicate row wins the dedup race is
+    * irrelevant to the downstream count (the key IS the unit counted), so
+    * the streamed result is deterministic and certified by a batch
+    * `count(DISTINCT user_id)` DuckDB oracle. Sentinel rows live in their
+    * own far-future windows and are filtered by type.
+    */
+  def streamingDedupReplay(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    replayEvents(s, dir, "dedup_replay") { in =>
+      in.toDF()
+        .withWatermark("ts", "1 hour")
+        .withColumn("w", window(col("ts"), "1 day"))
+        .dropDuplicates("user_id", "event_type", "w")
+        .groupBy(col("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(unix_timestamp(col("w.start")).as("day"), col("event_type"),
+          col("n_users"))
+    }.filter(col("event_type") =!= "__wm")
+      .select(col("day"), col("event_type"), col("n_users"))
+
   /** Shared machinery of the streaming-replay contract queries: stage the
     * normalized events to a temp parquet dir, run `build`'s streaming plan
     * over a file stream of it into a memory sink, then append two

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Oracle-independent semantic checks for the r7 analytics additions:
+  * χ² independence, Mann–Whitney, incremental view maintenance, item-item
+  * CF, and the declarative rule audit. Each is proved against a
+  * brute-force Scala recomputation on sf0.001 (no DuckDB involved — the
+  * driver gate is the cross-engine check; these pin the SEMANTICS).
+  */
+class AnalyticsExtSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** (event_type, cents, isA) for every event, arms resolved by the engine
+    * (the portable hash is engine-side; the test replays its OUTPUT, not
+    * its definition — so a hash change cannot silently desync the arms).
+    */
+  private lazy val armedEvents: Seq[(String, Long, Boolean)] =
+    Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100).cast("long"),
+        pmod(graft.functions.PortableHash.hash60(
+          concat(lit("ab_"), col("user_id"))), lit(2L)) === 0L)
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+
+  test("chi2_independence matches the closed form recomputed from its own cells") {
+    val rows = RelationalQueries.chi2Query(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (a, b, c, d) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val n = (a + b + c + d).toDouble
+      val dd = (a * d - b * c).toDouble
+      val den = ((a + b) * (c + d)).toDouble * ((a + c) * (b + d)).toDouble
+      val expect = if (den == 0) 0.0
+        else BigDecimal(n * dd * dd / den).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(5) - expect) < 1e-9, s"row $r expected chi2=$expect")
+      // cells must partition the type's events exactly
+      val total = armedEvents.count(_._1 == r.getString(0))
+      assert(a + b + c + d == total, s"cells of $r don't sum to $total")
+    }
+  }
+
+  test("mann_whitney equals the brute-force doubled rank-sum") {
+    val got = RelationalQueries.mannWhitneyQuery(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val byType = armedEvents.groupBy(_._1)
+    assert(got.keySet == byType.keySet)
+    for ((t, evs) <- byType) {
+      val sorted = evs.map(e => (e._2, e._3)).sortBy(_._1)
+      // doubled average rank per tie group: 2*(start..end avg) = 2s + k + 1
+      var i = 0; var r2a = 0L
+      while (i < sorted.size) {
+        var j = i
+        while (j < sorted.size && sorted(j)._1 == sorted(i)._1) j += 1
+        val r2 = 2L * i + (j - i) + 1 // 2*(rows before) + tiecount + 1
+        r2a += r2 * sorted.slice(i, j).count(_._2)
+        i = j
+      }
+      val na = evs.count(_._3).toLong
+      val nb = evs.size - na
+      val u2 = r2a - na * (na + 1)
+      assert(got(t) == ((na, nb, r2a, u2)), s"$t: got ${got(t)} want ${(na, nb, r2a, u2)}")
+      assert(u2 >= 0 && u2 <= 2 * na * nb, s"$t: U out of range")
+    }
+  }
+
+  test("ivm_agg partial merge equals the single-pass recompute") {
+    val li = Tables.lineitem(spark, sf)
+    val full = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("sum_price"),
+        count(lit(1)).as("n"))
+    val merged = RelationalQueries.ivmMergeAgg(spark, sf)
+    assert(rowSet(merged.select(col("l_returnflag"), col("l_linestatus"),
+      col("sum_qty"), col("sum_price"), col("n"))) == rowSet(full))
+    // provenance columns must partition n
+    assert(merged.filter(col("n_base") + col("n_delta") =!= col("n")).isEmpty)
+    // both segments are genuinely populated in this fixture
+    assert(merged.agg(sum("n_base"), sum("n_delta")).collect().head.toSeq
+      .forall(_.asInstanceOf[Long] > 0))
+  }
+
+  test("item_cf equals the brute-force basket cosine top-5") {
+    val got = RelationalQueries.itemCf(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    pipeline.InternalCaches.release()
+    val baskets = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.part(spark, sf).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val sizes = baskets.groupBy(_._2).map { case (b, s) => b -> s.size.toLong }
+    val byOrder = baskets.groupBy(_._1).values.map(_.map(_._2).toSeq.sorted)
+    val num = scala.collection.mutable.Map[(String, String), Long]()
+    for (bs <- byOrder; a <- bs; b <- bs if a != b)
+      num((a, b)) = num.getOrElse((a, b), 0L) + 1
+    val expect = num.toSeq.map { case ((a, b), nm) =>
+      (a, b, nm, nm * nm * 1000000L / (sizes(a) * sizes(b)))
+    }.groupBy(_._1).toSeq.flatMap { case (_, cands) =>
+      cands.sortBy(c => (-c._4, -c._3, c._2)).take(5).zipWithIndex
+        .map { case ((a, b, nm, s2), i) => (a, b, nm, s2, i + 1L) }
+    }
+    assert(got.toSet == expect.toSet)
+  }
+
+  test("dq_rules counts violations of each predicate in one scan") {
+    val got = RelationalQueries.dqRules(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == RelationalQueries.dqRuleDefs.map(_._1).toSet)
+    val li = Tables.lineitem(spark, sf)
+    val total = li.count()
+    for ((id, pred) <- RelationalQueries.dqRuleDefs) {
+      val direct = li.filter(!expr(pred)).count()
+      assert(got(id) == ((direct, total)), s"$id: got ${got(id)} want ($direct, $total)")
+    }
+    // the audit is one job over one scan: a single aggregate row exploded
+    val plan = RelationalQueries.dqRules(spark, sf).queryExecution.optimizedPlan.toString
+    assert("(?i)relation".r.findAllIn(plan).size == 1, s"rule audit must scan once:\n$plan")
+  }
+
+  test("streaming dedup replay equals batch count(DISTINCT) per day/type") {
+    val streamed = streaming.EventStreams.streamingDedupReplay(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy((floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long").as("day"),
+        col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    assert(rowSet(streamed) == rowSet(batch))
+  }
+}
