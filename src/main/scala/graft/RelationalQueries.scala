@@ -2803,4 +2803,161 @@ object RelationalQueries {
                  count(*) FILTER (WHERE NOT ($pred))::BIGINT AS n_violations,
                  count(*)::BIGINT AS n_total FROM lineitem"""
     }.mkString("\nUNION ALL\n")
+
+  /** The lineitem measures of [[corrMatrix]] with their integer
+    * quantizations (name → quantized-long SQL expression, valid in both
+    * dialects): quantity is integral, the monetary/rate columns are
+    * 2-decimal → ×100. Alphabetical, so pair enumeration is canonical.
+    */
+  val corrMeasures: Seq[(String, String)] = Seq(
+    "l_discount"      -> "round(l_discount * 100)",
+    "l_extendedprice" -> "round(l_extendedprice * 100)",
+    "l_quantity"      -> "round(l_quantity)",
+    "l_tax"           -> "round(l_tax * 100)")
+
+  /** Pairwise Pearson correlation matrix over the quantized lineitem
+    * measures, from EXACT integer moments in ONE scan: every Σx, Σx², Σxy
+    * is a DECIMAL(38,0) sum of products of quantized longs (no double ever
+    * enters an aggregate), and the textbook
+    * (nΣxy−ΣxΣy)/√(nΣx²−(Σx)²)√(nΣy²−(Σy)²) is evaluated once per pair on
+    * aggregate-sized rows with the identical operation order in the DuckDB
+    * oracle (HUGEINT there) — decimal→double casts and IEEE √ are
+    * correctly rounded in both engines, so the rounded correlation is
+    * bit-equal. This is also the NUMERICALLY HONEST single-pass shape at
+    * 100 TB: the naive double-moment formula loses catastrophically to
+    * cancellation at n ~ 10¹², while exact integer moments cannot.
+    *
+    * Plan: one pruned scan, one grouping-key-free aggregate (k + k + k(k−1)/2
+    * moment counters, map-side combined to a single row), the k(k−1)/2 pair
+    * rows exploded driver-free.
+    */
+  def corrMatrix(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val qs = corrMeasures.map { case (name, q) => name -> expr(q).cast("long") }
+    val moments =
+      qs.map { case (n, q) => sum(q.cast(dec)).as(s"s_$n") } ++
+      qs.map { case (n, q) => sum((q.cast(dec) * q.cast(dec))).as(s"ss_$n") } ++
+      (for (i <- qs.indices; j <- qs.indices if i < j) yield {
+        val (nx, qx) = qs(i); val (ny, qy) = qs(j)
+        sum((qx.cast(dec) * qy.cast(dec))).as(s"sp_${nx}_$ny")
+      }) :+ count(lit(1)).as("n")
+    val m = lineitem(s, d).agg(moments.head, moments.tail: _*)
+    val pairs = for (i <- qs.indices; j <- qs.indices if i < j) yield {
+      val nx = qs(i)._1; val ny = qs(j)._1
+      val num = (col("n").cast(dec) * col(s"sp_${nx}_$ny") -
+        col(s"s_$nx") * col(s"s_$ny")).cast("double")
+      val vx = (col("n").cast(dec) * col(s"ss_$nx") - col(s"s_$nx") * col(s"s_$nx")).cast("double")
+      val vy = (col("n").cast(dec) * col(s"ss_$ny") - col(s"s_$ny") * col(s"s_$ny")).cast("double")
+      struct(lit(nx).as("m_x"), lit(ny).as("m_y"),
+        round(num / (sqrt(vx) * sqrt(vy)), 6).as("corr"))
+    }
+    m.select(explode(array(pairs: _*)).as("p"), col("n"))
+      .select(col("p.m_x").as("m_x"), col("p.m_y").as("m_y"), col("n"),
+        col("p.corr").as("corr"))
+  }
+
+  /** DuckDB oracle for [[corrMatrix]], generated from the SAME measure Seq
+    * (HUGEINT plays DECIMAL(38,0); both are exact through these magnitudes).
+    */
+  def corrMatrixOracle: String = {
+    val ms = corrMeasures
+    val momentCols =
+      ms.map { case (n, q) => s"sum(($q)::HUGEINT)::HUGEINT AS s_$n" } ++
+      ms.map { case (n, q) => s"sum(($q)::HUGEINT * ($q)::HUGEINT)::HUGEINT AS ss_$n" } ++
+      (for (i <- ms.indices; j <- ms.indices if i < j) yield
+        s"sum((${ms(i)._2})::HUGEINT * (${ms(j)._2})::HUGEINT)::HUGEINT AS sp_${ms(i)._1}_${ms(j)._1}") :+
+      "count(*)::BIGINT AS n"
+    val pairSelects = for (i <- ms.indices; j <- ms.indices if i < j) yield {
+      val nx = ms(i)._1; val ny = ms(j)._1
+      s"""SELECT '$nx' AS m_x, '$ny' AS m_y, n,
+             round((n::HUGEINT * sp_${nx}_$ny - s_$nx * s_$ny)::DOUBLE
+                   / (sqrt((n::HUGEINT * ss_$nx - s_$nx * s_$nx)::DOUBLE)
+                      * sqrt((n::HUGEINT * ss_$ny - s_$ny * s_$ny)::DOUBLE)), 6) AS corr
+          FROM m"""
+    }
+    s"WITH m AS (SELECT ${momentCols.mkString(", ")} FROM lineitem)\n" +
+      pairSelects.mkString("\nUNION ALL\n")
+  }
+
+  /** Corpus drift between document sources: total-variation distance
+    * between add-one-smoothed unigram distributions, for EVERY unordered
+    * source pair — and every output is BIGINT-exact, because TV under
+    * add-one smoothing clears to integers on the common denominator:
+    * 2·TV·D₁·D₂ = Σ_w |(c₁+1)·D₂ − (c₂+1)·D₁| with Dᵢ = nᵢ + V (tokens +
+    * global vocab). An ln-based KL would put a SUM of doubles in the
+    * contract (the skill-documented cross-engine trap); TV measures the
+    * same drift rationally.
+    *
+    * The vocab sum is SPARSE: words absent from both sources of a pair
+    * contribute the constant |D₂ − D₁| each, so only actual postings are
+    * joined and the absent-word mass is the closed-form correction
+    * (V − V_pair)·|n₂ − n₁|. Plan: per-(source, word) counts (map-side
+    * combined), each posting exploded to its S−1 pairs (S = #sources, a
+    * config dimension, not data-proportional), re-grouped per (pair, word)
+    * so present-one-side and present-both are handled uniformly; scalar
+    * side-channels carry only V and the S-row token totals. At production
+    * vocab sizes the word key would be a 64-bit hash; strings are kept
+    * here because the oracle reads them.
+    */
+  def corpusDivergence(docs: DataFrame): DataFrame = {
+    val counts = pipeline.InternalCaches.register(docs
+      .select(col("source").as("s"), explode(pipeline.Dedup.tokens(col("text"))).as("w"))
+      .groupBy(col("s"), col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val totals = counts.groupBy(col("s")).agg(sum(col("c")).as("n_tok"),
+      count(lit(1)).as("n_vocab"))
+    val vocabV = counts.select(col("w")).distinct().count() // scalar side-channel: V
+    val srcs = totals.select(col("s").as("t")) // S rows — broadcast dim
+    val pairRows = counts.join(broadcast(srcs), col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("s1"), greatest(col("s"), col("t")).as("s2"),
+        when(col("s") < col("t"), col("c")).otherwise(0L).as("c1"),
+        when(col("s") > col("t"), col("c")).otherwise(0L).as("c2"), col("w"))
+      .groupBy(col("s1"), col("s2"), col("w"))
+      .agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
+    val t1 = totals.select(col("s").as("s1"), col("n_tok").as("n1"))
+    val t2 = totals.select(col("s").as("s2"), col("n_tok").as("n2"))
+    val tvNum = col("tv_present") +
+      (lit(vocabV) - col("v_pair")) * abs(col("n2") - col("n1"))
+    pairRows
+      .join(broadcast(t1), Seq("s1")).join(broadcast(t2), Seq("s2"))
+      .groupBy(col("s1"), col("s2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("v_pair"),
+        sum(abs((col("c1") + 1L) * (col("n2") + lit(vocabV)) -
+                (col("c2") + 1L) * (col("n1") + lit(vocabV)))).as("tv_present"))
+      .select(col("s1"), col("s2"), col("v_pair"), col("n1"), col("n2"),
+        tvNum.as("tv_num"),
+        round(tvNum.cast("double") /
+          (lit(2.0) * (col("n1") + lit(vocabV)).cast("double")
+                    * (col("n2") + lit(vocabV)).cast("double")), 6).as("tv"))
+  }
+
+  /** Contract instance over the documents table. */
+  def corpusDivergenceQuery(s: SparkSession, d: String): DataFrame =
+    corpusDivergence(documents(s, d))
+
+  /** The ranking-window family over orders-per-customer: rank / dense_rank
+    * / percent_rank / cume_dist on the tie-PRONE priority key (tie-stable
+    * by definition: equal keys get equal values), and ntile(4) on its own
+    * fully-tiebroken window (ntile is positional, NOT tie-stable — giving
+    * it the untiebroken sort would be nondeterministic; the distinct
+    * window is the correctness point, not a style choice). percent_rank's
+    * n=1 edge (0/0) is guarded to 0.0 on both engines. Scale: one shuffle
+    * on the partition key; both windows sort within the same partitioning
+    * (one exchange, two local sorts).
+    */
+  def windowRankFamily(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))
+    val wt = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    val n = count(lit(1)).over(Window.partitionBy(col("o_custkey")))
+    orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      // pr/cd are exact small-integer quotients — identical IEEE doubles on
+      // both engines UNROUNDED; rounding would ADD decimal-tie risk (1/128
+      // lands exactly on a 7th-decimal 5, where the engines' round() split)
+      when(n > 1, percent_rank().over(w)).otherwise(0.0).as("pr"),
+      cume_dist().over(w).as("cd"),
+      ntile(4).over(wt).cast("long").as("nt"))
+  }
 }

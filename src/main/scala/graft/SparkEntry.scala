@@ -209,6 +209,13 @@ object SparkEntry {
     "item_cf" -> RelationalQueries.itemCf _,
     // --- declarative rule audit: N predicate rules fused into ONE scan ---
     "dq_rules" -> RelationalQueries.dqRules _,
+    // --- Pearson matrix from exact DECIMAL(38,0) moments, one scan ---
+    "corr_matrix" -> RelationalQueries.corrMatrix _,
+    // --- corpus drift: BIGINT-exact total-variation distance between
+    // per-source smoothed unigram distributions, sparse over postings ---
+    "corpus_divergence" -> RelationalQueries.corpusDivergenceQuery _,
+    // --- rank/dense_rank/percent_rank/cume_dist + deterministic ntile ---
+    "window_rank_family" -> RelationalQueries.windowRankFamily _,
     // --- exact AUC (Mann–Whitney): rank-free integer pair counting via
     // the hierarchical prefix sum over distinct score values ---
     "auc_score" -> ((s, d) => RelationalQueries.aucScore(s, d)),
@@ -1581,6 +1588,54 @@ object SparkEntry {
          FROM ranked WHERE rk <= 5""",
     // Rule audit: generated from the SAME rule Seq as the Spark plan.
     "dq_rules" -> RelationalQueries.dqRulesOracle,
+    // Correlation matrix: generated from the SAME measure Seq.
+    "corr_matrix" -> RelationalQueries.corrMatrixOracle,
+    // Corpus TV-distance: sparse postings-pair sum + closed-form
+    // absent-word correction, all BIGINT until the final division.
+    "corpus_divergence" ->
+      """WITH toks AS (
+           SELECT source AS s, x AS w
+           FROM (SELECT source,
+                        list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+                 FROM documents), unnest(t) AS u(x)),
+         counts AS (SELECT s, w, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+         totals AS (SELECT s, sum(c)::BIGINT AS n_tok FROM counts GROUP BY 1),
+         v AS (SELECT count(DISTINCT w)::BIGINT AS vv FROM counts),
+         pair_rows AS (
+           SELECT least(c.s, t.s) AS s1, greatest(c.s, t.s) AS s2, w,
+                  sum(CASE WHEN c.s < t.s THEN c.c ELSE 0 END)::BIGINT AS c1,
+                  sum(CASE WHEN c.s > t.s THEN c.c ELSE 0 END)::BIGINT AS c2
+           FROM counts c JOIN totals t ON c.s <> t.s
+           GROUP BY 1, 2, 3),
+         agg AS (
+           SELECT s1, s2, count(*)::BIGINT AS v_pair,
+                  sum(abs((c1 + 1) * (t2.n_tok + vv) - (c2 + 1) * (t1.n_tok + vv)))::BIGINT
+                    AS tv_present,
+                  any_value(t1.n_tok)::BIGINT AS n1, any_value(t2.n_tok)::BIGINT AS n2,
+                  any_value(vv)::BIGINT AS vv
+           FROM pair_rows
+           JOIN totals t1 ON t1.s = s1
+           JOIN totals t2 ON t2.s = s2
+           CROSS JOIN v
+           GROUP BY 1, 2)
+         SELECT s1, s2, v_pair, n1, n2,
+                (tv_present + (vv - v_pair) * abs(n2 - n1))::BIGINT AS tv_num,
+                round((tv_present + (vv - v_pair) * abs(n2 - n1))::DOUBLE
+                      / (2.0 * (n1 + vv)::DOUBLE * (n2 + vv)::DOUBLE), 6) AS tv
+         FROM agg""",
+    // Rank-window family: pr/cd are exact quotients left UNROUNDED (see
+    // the Scala scaladoc — rounding would add decimal-tie risk).
+    "window_rank_family" ->
+      """SELECT o_custkey, o_orderkey, o_orderpriority,
+                rank() OVER w1::BIGINT AS rnk,
+                dense_rank() OVER w1::BIGINT AS drnk,
+                CASE WHEN count(*) OVER (PARTITION BY o_custkey) > 1
+                     THEN percent_rank() OVER w1 ELSE 0.0 END AS pr,
+                cume_dist() OVER w1 AS cd,
+                ntile(4) OVER w2::BIGINT AS nt
+         FROM orders
+         WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderpriority),
+                w2 AS (PARTITION BY o_custkey ORDER BY o_orderpriority, o_orderkey)""",
     "q5_multijoin" ->
       """SELECT n.n_name,
                 sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT) / 10000.0 AS revenue,

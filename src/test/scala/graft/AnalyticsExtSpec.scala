@@ -121,6 +121,103 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert("(?i)relation".r.findAllIn(plan).size == 1, s"rule audit must scan once:\n$plan")
   }
 
+  test("corr_matrix equals BigInt-exact brute-force Pearson") {
+    val quant = Tables.lineitem(spark, sf)
+      .select(RelationalQueries.corrMeasures.map { case (n, q) =>
+        expr(q).cast("long").as(n) }: _*)
+      .collect().map(_.toSeq.map(v => BigInt(v.asInstanceOf[Long])))
+    val names = RelationalQueries.corrMeasures.map(_._1)
+    val n = BigInt(quant.size)
+    def corr(i: Int, j: Int): Double = {
+      val (sx, sy) = (quant.map(_(i)).sum, quant.map(_(j)).sum)
+      val sxx = quant.map(r => r(i) * r(i)).sum
+      val syy = quant.map(r => r(j) * r(j)).sum
+      val sxy = quant.map(r => r(i) * r(j)).sum
+      val num = (n * sxy - sx * sy).toDouble
+      num / (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble))
+    }
+    val got = RelationalQueries.corrMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size == 6)
+    for (i <- names.indices; j <- names.indices if i < j) {
+      val (gn, gc) = got((names(i), names(j)))
+      assert(gn == quant.size)
+      val expect = BigDecimal(corr(i, j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(gc - expect) < 1e-9, s"${names(i)}/${names(j)}: $gc vs $expect")
+      assert(math.abs(gc) <= 1.0)
+    }
+    // one scan: the whole matrix must not re-read lineitem per pair
+    val plan = RelationalQueries.corrMatrix(spark, sf).queryExecution.optimizedPlan.toString
+    assert("(?i)relation".r.findAllIn(plan).size == 1, s"corr_matrix must scan once:\n$plan")
+  }
+
+  test("corpus_divergence equals BigInt-exact brute-force smoothed TV") {
+    val got = RelationalQueries.corpusDivergenceQuery(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    pipeline.InternalCaches.release()
+    val counts = Tables.documents(spark, sf)
+      .select(col("source"), explode(pipeline.Dedup.tokens(col("text"))).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val srcs = counts.keys.map(_._1).toSeq.distinct.sorted
+    val vocab = counts.keys.map(_._2).toSet
+    val vv = vocab.size.toLong
+    val nTok = srcs.map(s => s -> counts.collect { case ((x, _), c) if x == s => c }.sum).toMap
+    assert(got.size == srcs.size * (srcs.size - 1) / 2)
+    for (i <- srcs.indices; j <- srcs.indices if i < j) {
+      val (s1, s2) = (srcs(i), srcs(j))
+      val (n1, n2) = (nTok(s1), nTok(s2))
+      val (d1, d2) = (BigInt(n1 + vv), BigInt(n2 + vv))
+      val tvNum = vocab.toSeq.map { w =>
+        val c1 = BigInt(counts.getOrElse((s1, w), 0L))
+        val c2 = BigInt(counts.getOrElse((s2, w), 0L))
+        ((c1 + 1) * d2 - (c2 + 1) * d1).abs
+      }.sum
+      val (gv, gn1, gn2, gnum, gtv) = got((s1, s2))
+      assert(BigInt(gnum) == tvNum, s"($s1,$s2): tv_num $gnum vs $tvNum")
+      assert((gn1, gn2) == ((n1, n2)))
+      assert(gv <= vv && gv > 0)
+      val expect = BigDecimal(tvNum.toDouble / (2.0 * d1.toDouble * d2.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(gtv - expect) < 1e-9)
+      assert(gtv >= 0.0 && gtv <= 1.0) // TV is a [0,1] metric
+    }
+  }
+
+  test("window_rank_family matches per-partition recomputation") {
+    val rows = RelationalQueries.windowRankFamily(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6), r.getLong(7)))
+    for ((_, part) <- rows.groupBy(_._1)) {
+      val n = part.length
+      val sorted = part.sortBy(p => (p._3, p._2)) // (priority, orderkey)
+      // tie-stable family from priority groups
+      val groups = sorted.groupBy(_._3).toSeq.sortBy(_._1)
+      var before = 0L
+      for (((_, g), di) <- groups.zipWithIndex) {
+        val rnk = before + 1
+        for (p <- g) {
+          assert(p._4 == rnk, s"rank: $p")
+          assert(p._5 == di + 1, s"dense_rank: $p")
+          val pr = if (n > 1) (rnk - 1).toDouble / (n - 1) else 0.0
+          assert(p._6 == pr, s"percent_rank: $p")
+          assert(p._7 == (before + g.length).toDouble / n, s"cume_dist: $p")
+        }
+        before += g.length
+      }
+      // ntile(4): positional quartiles over the fully tiebroken order
+      val base = n / 4; val rem = n % 4
+      sorted.zipWithIndex.foreach { case (p, idx) =>
+        val nt = (0 until 4).find { t =>
+          val start = t * base + math.min(t, rem)
+          idx < start + base + (if (t < rem) 1 else 0)
+        }.get + 1
+        assert(p._8 == nt, s"ntile: $p at $idx")
+      }
+    }
+  }
+
   test("streaming dedup replay equals batch count(DISTINCT) per day/type") {
     val streamed = streaming.EventStreams.streamingDedupReplay(spark, sf)
     val batch = Tables.events(spark, sf)
