@@ -2935,6 +2935,68 @@ object RelationalQueries {
   def corpusDivergenceQuery(s: SparkSession, d: String): DataFrame =
     corpusDivergence(documents(s, d))
 
+  /** Point-in-time (temporal) join: each event joined to the SCD2
+    * dimension version valid AT its timestamp — the versioned-dimension
+    * lookup every warehouse needs next to [[scd2Build]] (which makes the
+    * dimension) and `asof_join` (nearest-past EVENT; this is containment
+    * in a VALIDITY INTERVAL). Join = equi on the entity key + interval
+    * predicate; each event lands in exactly one version (intervals
+    * partition the timeline per user; an event at a version boundary
+    * belongs to the NEW version — the [from, to) convention, shared with
+    * the oracle down to the zero-length-interval edge when a type change
+    * lands on a duplicated timestamp).
+    *
+    * Scale: the equi key carries the join (hash/sort-merge on user); the
+    * interval predicate is a post-join filter on same-user pairs, bounded
+    * by versions-per-user (run count), never a cross. At warehouse scale
+    * the dimension side is the small one — AQE broadcasts it.
+    */
+  def temporalJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = scd2Build(s, d).select(col("user_id").as("d_user"),
+      col("event_type").as("dim_type"), col("valid_from"), col("valid_to"), col("version"))
+    events(s, d).select(col("user_id"), col("event_id"), col("ts"))
+      .join(dim, col("user_id") === col("d_user") &&
+        col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
+      .select(col("user_id"), col("event_id"), col("version"), col("dim_type"))
+  }
+
+  /** Recursive hierarchy rollup WITHOUT recursion: subtree aggregates
+    * over the synthetic supplier tree parent(k) = k div 5 (keys < 5 are
+    * roots). The ancestor closure is a bounded EXPRESSION — each node
+    * explodes its own div-5 chain (12 levels cover 5¹² ≈ 244M keys; zeros
+    * filtered), so what a recursive CTE computes row-by-row becomes one
+    * explode + one re-aggregation, fully codegen'd, no driver loop and no
+    * iteration at all. The DuckDB oracle IS the recursive CTE — proving
+    * the unrolled closure equal to the fixpoint. Outputs per node: its
+    * depth, subtree size, and subtree shipped-quantity rollup.
+    *
+    * Scale: closure fan-out = tree height (log₅ of the key space — 12 at
+    * 244M nodes), linear in nodes; the rollup is one map-side-combined
+    * aggregate on the ancestor key. The measure join stays on the
+    * supplier grain (fact pre-aggregated to |suppliers| first).
+    */
+  def hierarchyRollup(s: SparkSession, d: String): DataFrame = {
+    val qty = lineitem(s, d).groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+    val m = supplier(s, d).select(col("s_suppkey").as("node"))
+      .join(qty, col("node") === col("l_suppkey"), "left")
+      .select(col("node"), coalesce(col("q"), lit(0L)).as("qty"))
+    // chain values strictly decrease to 0 then repeat; distinct+filter
+    // keeps the positive prefix — and node 0 (the fixture's key space
+    // starts at 0) keeps its own singleton chain, matching the recursive
+    // oracle's anchor row
+    val chain = (0 to 11).map(i => expr(s"node div ${math.pow(5, i).toLong}L"))
+    val anc = m.select(col("node"), col("qty"),
+        explode(filter(array_distinct(array(chain: _*)),
+          a => a > 0L || col("node") === 0L)).as("anc"))
+    val depth = anc.groupBy(col("node")).agg(count(lit(1)).as("depth"))
+      .withColumnRenamed("node", "d_node")
+    anc.groupBy(col("anc"))
+      .agg(count(lit(1)).as("subtree_n"), sum(col("qty")).as("subtree_qty"))
+      .join(depth, col("anc") === col("d_node"))
+      .select(col("anc").as("node"), col("depth"), col("subtree_n"), col("subtree_qty"))
+  }
+
   /** The ranking-window family over orders-per-customer: rank / dense_rank
     * / percent_rank / cume_dist on the tie-PRONE priority key (tie-stable
     * by definition: equal keys get equal values), and ntile(4) on its own

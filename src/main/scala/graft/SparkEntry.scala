@@ -216,6 +216,10 @@ object SparkEntry {
     "corpus_divergence" -> RelationalQueries.corpusDivergenceQuery _,
     // --- rank/dense_rank/percent_rank/cume_dist + deterministic ntile ---
     "window_rank_family" -> RelationalQueries.windowRankFamily _,
+    // --- point-in-time join against the SCD2 versioned dimension ---
+    "temporal_join" -> RelationalQueries.temporalJoin _,
+    // --- recursive-CTE semantics as a bounded unrolled closure ---
+    "hierarchy_rollup" -> RelationalQueries.hierarchyRollup _,
     // --- exact AUC (Mann–Whitney): rank-free integer pair counting via
     // the hierarchical prefix sum over distinct score values ---
     "auc_score" -> ((s, d) => RelationalQueries.aucScore(s, d)),
@@ -1623,6 +1627,42 @@ object SparkEntry {
                 round((tv_present + (vv - v_pair) * abs(n2 - n1))::DOUBLE
                       / (2.0 * (n1 + vv)::DOUBLE * (n2 + vv)::DOUBLE), 6) AS tv
          FROM agg""",
+    // Point-in-time join: the scd2_build dimension CTEs + interval
+    // containment ([from, to) — boundary events belong to the NEW version).
+    "temporal_join" ->
+      """WITH ordered AS (
+           SELECT user_id, ts, event_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         chg AS (SELECT * FROM ordered
+                 WHERE prev_type IS NULL OR prev_type <> event_type),
+         dim AS (
+           SELECT user_id, event_type AS dim_type, ts AS valid_from,
+                  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                           TIMESTAMP '2100-01-01') AS valid_to,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS version
+           FROM chg)
+         SELECT e.user_id, e.event_id, d.version, d.dim_type
+         FROM events e JOIN dim d ON e.user_id = d.user_id
+           AND e.ts >= d.valid_from AND e.ts < d.valid_to""",
+    // Hierarchy rollup: the oracle IS the recursive CTE the Spark side
+    // unrolls — equality proves the bounded closure equals the fixpoint.
+    "hierarchy_rollup" ->
+      """WITH RECURSIVE q AS (
+           SELECT l_suppkey, sum(round(l_quantity)::BIGINT)::BIGINT AS q
+           FROM lineitem GROUP BY 1),
+         m AS (
+           SELECT s_suppkey AS node, coalesce(q.q, 0)::BIGINT AS qty
+           FROM supplier LEFT JOIN q ON l_suppkey = s_suppkey),
+         anc AS (
+           SELECT node, qty, node AS anc FROM m
+           UNION ALL
+           SELECT node, qty, anc // 5 FROM anc WHERE anc // 5 > 0),
+         d AS (SELECT node, count(*)::BIGINT AS depth FROM anc GROUP BY 1)
+         SELECT a.anc AS node, min(d.depth)::BIGINT AS depth,
+                count(*)::BIGINT AS subtree_n, sum(a.qty)::BIGINT AS subtree_qty
+         FROM anc a JOIN d ON d.node = a.anc
+         GROUP BY 1""",
     // Rank-window family: pr/cd are exact quotients left UNROUNDED (see
     // the Scala scaladoc — rounding would add decimal-tie risk).
     "window_rank_family" ->

@@ -218,6 +218,44 @@ class AnalyticsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("temporal_join assigns every event to exactly one dimension version") {
+    val ev = Tables.events(spark, sf)
+    val out = RelationalQueries.temporalJoin(spark, sf)
+    assert(out.count() == ev.count()) // intervals partition each user's timeline
+    assert(out.select(col("event_id")).distinct().count() == ev.count())
+    // versions come from the same stream: the version's type matches the
+    // event's own type whenever the event is not on a zero-length boundary
+    val typed = out.join(ev.select(col("event_id"), col("event_type")), Seq("event_id"))
+    val mismatch = typed.filter(col("dim_type") =!= col("event_type")).count()
+    // zero-length versions require a type change on a duplicated (user, ts)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("ts"))
+    val dupTs = ev.withColumn("k", count(lit(1)).over(w)).filter(col("k") > 1).count()
+    assert(mismatch <= dupTs, s"$mismatch boundary mismatches vs $dupTs duplicate-ts events")
+  }
+
+  test("hierarchy_rollup equals brute-force subtree aggregation") {
+    val qty = Tables.lineitem(spark, sf).groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nodes = Tables.supplier(spark, sf).select(col("s_suppkey"))
+      .collect().map(_.getLong(0))
+    def chainOf(k: Long): Seq[Long] =
+      if (k == 0) Seq(0L)
+      else Iterator.iterate(k)(_ / 5).takeWhile(_ > 0).toSeq
+    val expect = nodes.flatMap(k => chainOf(k).map(a => (a, qty.getOrElse(k, 0L))))
+      .groupBy(_._1).map { case (a, xs) =>
+        a -> ((chainOf(a).size.toLong, xs.size.toLong, xs.map(_._2).sum))
+      }
+    val got = RelationalQueries.hierarchyRollup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect)
+    // conservation: root subtrees partition the forest
+    val roots = got.filter(_._2._1 == 1L)
+    assert(roots.values.map(_._3).sum == nodes.map(k => qty.getOrElse(k, 0L)).sum)
+    assert(roots.values.map(_._2).sum == nodes.length)
+  }
+
   test("streaming dedup replay equals batch count(DISTINCT) per day/type") {
     val streamed = streaming.EventStreams.streamingDedupReplay(spark, sf)
     val batch = Tables.events(spark, sf)
