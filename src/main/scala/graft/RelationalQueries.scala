@@ -2997,6 +2997,96 @@ object RelationalQueries {
       .select(col("anc").as("node"), col("depth"), col("subtree_n"), col("subtree_qty"))
   }
 
+  /** Poisson(1) inverse-CDF thresholds (cumulative pmf, 6-dp literals —
+    * the SAME constants appear in the generated oracle, so the replica
+    * weights are identical by construction). k caps at 7 (P ≈ 8·10⁻⁵).
+    */
+  val poissonCum: Seq[Double] =
+    Seq(0.367879, 0.735759, 0.919699, 0.981012, 0.996340, 0.999406, 0.999917)
+
+  private val bootstrapB = 50
+
+  /** Bootstrap confidence interval for the mean event value, per type —
+    * via the POISSON BOOTSTRAP, the resampling scheme that actually scales:
+    * classical bootstrap resamples n rows WITH replacement (requires
+    * global coordination per replica); Poisson bootstrap gives each row an
+    * independent Poisson(1) replica weight, which is embarrassingly
+    * parallel, one pass for ALL B replicas, and converges to the same CI
+    * (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+    * Google 2012). Weights are DETERMINISTIC here: the portable row hash
+    * mapped through the Poisson inverse CDF — so the DuckDB oracle replays
+    * the exact replicas, and every aggregate is BIGINT-exact (weighted
+    * cents sums); only the final per-replica mean divides.
+    *
+    * Plan: events × B(=50) weighted rows (the only fan-out, bounded by the
+    * replica count, not data), map-side-combined to |types|·B cells, order
+    * statistics over B rows per type via a partitioned window. At 100 TB
+    * the fan-out stays B× one scan and the cell frame is tiny — this is
+    * exactly how production systems bootstrap petabyte metrics.
+    */
+  def bootstrapCi(ev: DataFrame): DataFrame = {
+    val b = explode(sequence(lit(0), lit(bootstrapB - 1))).as("b")
+    val u = pmod(graft.functions.PortableHash.hash60(
+      concat(lit("boot_"), col("event_id"), lit("_"), col("b"))), lit(1L << 60))
+      .cast("double") / lit((1L << 60).toDouble)
+    val k = poissonCum.zipWithIndex.foldRight(lit(poissonCum.size.toLong)) {
+      case ((thr, i), rest) => when(u < thr, i.toLong).otherwise(rest)
+    }
+    val cells = ev.select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"), b)
+      .withColumn("k", k)
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("k") * col("cents")).as("wsum"), sum(col("k")).as("wn"))
+      .withColumn("mean", when(col("wn") > 0, col("wsum").cast("double") / col("wn"))
+        .otherwise(0.0))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("mean"), col("b"))
+    val ranked = cells.withColumn("r", row_number().over(w))
+    val lo = (0.025 * bootstrapB).ceil.toInt.max(1)       // 2nd of 50
+    val hi = (0.975 * bootstrapB).ceil.toInt.min(bootstrapB) // 49th of 50
+    ranked.filter(col("r") === lo || col("r") === hi)
+      .groupBy(col("event_type"))
+      .agg(max(when(col("r") === lo, col("mean"))).as("ci_lo"),
+           max(when(col("r") === hi, col("mean"))).as("ci_hi"),
+           count(lit(1)).as("n_picked"))
+  }
+
+  /** Contract instance over the events table. */
+  def bootstrapCiQuery(s: SparkSession, d: String): DataFrame =
+    bootstrapCi(events(s, d))
+
+  /** DuckDB oracle for [[bootstrapCi]], generated with the SAME Poisson
+    * thresholds and hash construction.
+    */
+  def bootstrapCiOracle: String = {
+    val kCase = poissonCum.zipWithIndex.reverse
+      .foldLeft(s"${poissonCum.size}::BIGINT") { case (rest, (thr, i)) =>
+        s"CASE WHEN u < $thr THEN ${i}::BIGINT ELSE $rest END"
+      }
+    val lo = (0.025 * bootstrapB).ceil.toInt.max(1)
+    val hi = (0.975 * bootstrapB).ceil.toInt.min(bootstrapB)
+    s"""WITH fan AS (
+          SELECT event_type, round(value * 100)::BIGINT AS cents,
+                 (('0x' || substring(md5('boot_' || event_id::VARCHAR || '_' || b::VARCHAR),
+                    1, 15))::BIGINT % ${1L << 60})::DOUBLE / ${(1L << 60).toDouble} AS u,
+                 b
+          FROM events, (SELECT unnest(range(0, $bootstrapB)) AS b)),
+        cells AS (
+          SELECT event_type, b,
+                 sum(($kCase) * cents)::BIGINT AS wsum, sum($kCase)::BIGINT AS wn
+          FROM fan GROUP BY 1, 2),
+        ranked AS (
+          SELECT event_type, b,
+                 CASE WHEN wn > 0 THEN wsum::DOUBLE / wn ELSE 0.0 END AS mean,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY CASE WHEN wn > 0 THEN wsum::DOUBLE / wn ELSE 0.0 END, b) AS r
+          FROM cells)
+        SELECT event_type,
+               max(CASE WHEN r = $lo THEN mean END) AS ci_lo,
+               max(CASE WHEN r = $hi THEN mean END) AS ci_hi,
+               count(*)::BIGINT AS n_picked
+        FROM ranked WHERE r = $lo OR r = $hi GROUP BY 1"""
+  }
+
   /** The ranking-window family over orders-per-customer: rank / dense_rank
     * / percent_rank / cume_dist on the tie-PRONE priority key (tie-stable
     * by definition: equal keys get equal values), and ntile(4) on its own

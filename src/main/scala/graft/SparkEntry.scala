@@ -218,6 +218,9 @@ object SparkEntry {
     "window_rank_family" -> RelationalQueries.windowRankFamily _,
     // --- point-in-time join against the SCD2 versioned dimension ---
     "temporal_join" -> RelationalQueries.temporalJoin _,
+    // --- Poisson bootstrap CI: hash-deterministic replica weights, one
+    // pass for all 50 replicas, BIGINT-exact until the final mean ---
+    "bootstrap_ci" -> RelationalQueries.bootstrapCiQuery _,
     // --- recursive-CTE semantics as a bounded unrolled closure ---
     "hierarchy_rollup" -> RelationalQueries.hierarchyRollup _,
     // --- exact AUC (Mann–Whitney): rank-free integer pair counting via
@@ -1594,6 +1597,8 @@ object SparkEntry {
     "dq_rules" -> RelationalQueries.dqRulesOracle,
     // Correlation matrix: generated from the SAME measure Seq.
     "corr_matrix" -> RelationalQueries.corrMatrixOracle,
+    // Poisson bootstrap: generated with the SAME thresholds + hash.
+    "bootstrap_ci" -> RelationalQueries.bootstrapCiOracle,
     // Corpus TV-distance: sparse postings-pair sum + closed-form
     // absent-word correction, all BIGINT until the final division.
     "corpus_divergence" ->

@@ -256,6 +256,26 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(roots.values.map(_._2).sum == nodes.length)
   }
 
+  test("bootstrap_ci brackets the sample mean with ordered finite bounds") {
+    val got = RelationalQueries.bootstrapCiQuery(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    val means = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg((sum(round(col("value") * 100).cast("long")).cast("double") / count(lit(1)))
+        .as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == means.keySet)
+    for ((t, (lo, hi, n)) <- got) {
+      assert(n == 2, s"$t: expected exactly the two order statistics")
+      assert(lo < hi, s"$t: degenerate interval [$lo, $hi]")
+      // the 95% CI of the mean must bracket the sample mean itself
+      assert(lo <= means(t) && means(t) <= hi, s"$t: ${means(t)} outside [$lo, $hi]")
+      // and plausibly scaled: ~200 events/type at sf0.001 with value
+      // SD ≈ mean gives ≈ 2·1.96/√200 ≈ 28% relative width
+      assert((hi - lo) / means(t) < 0.6, s"$t: implausibly wide CI")
+    }
+  }
+
   test("streaming dedup replay equals batch count(DISTINCT) per day/type") {
     val streamed = streaming.EventStreams.streamingDedupReplay(spark, sf)
     val batch = Tables.events(spark, sf)
