@@ -276,6 +276,9 @@ object SparkEntry {
     // one query), replayed the same way: daily distinct users per type,
     // certified by a batch count(DISTINCT) oracle ---
     "streaming_dedup_replay" -> streaming.EventStreams.streamingDedupReplay _,
+    // --- stream-stream interval join state store, replayed — certified
+    // by the batch click_purchase_join oracle ---
+    "streaming_join_replay" -> streaming.EventStreams.streamingJoinReplay _,
     // --- LOCF gap-fill over the per-type hourly axis ---
     "gap_fill" -> RelationalQueries.gapFillQuery _,
     // --- winsorization: clip to per-type discrete-percentile bands ---
@@ -2531,6 +2534,14 @@ object SparkEntry {
       """SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS bin, event_type,
                 sum(round(value * 100)::BIGINT) / 100.0 AS sum_value, count(*)::BIGINT AS n
          FROM events GROUP BY 1, 2""",
+    // Stream-stream join replay: same truth as the batch interval join.
+    "streaming_join_replay" ->
+      """SELECT b.event_id AS purchase_id, c.event_id AS click_id,
+                (epoch_us(b.ts) - epoch_us(c.ts))::BIGINT AS gap_us
+         FROM events b JOIN events c
+           ON c.user_id = b.user_id
+          AND c.ts >= b.ts - INTERVAL 1 HOUR AND c.ts <= b.ts
+         WHERE b.event_type = 'purchase' AND c.event_type = 'click'""",
     // Chained dedup→agg streaming replay: the batch truth is a plain
     // count(DISTINCT user) per (UTC day, type).
     "streaming_dedup_replay" ->

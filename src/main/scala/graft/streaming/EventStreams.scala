@@ -737,6 +737,20 @@ object EventStreams {
     }.filter(col("event_type") =!= "__wm")
       .select(col("day"), col("event_type"), col("n_users"))
 
+  /** Batch-replay certification of the STREAM-STREAM join state store —
+    * the fifth distinct streaming engine path in the driver's gate (after
+    * flatMapGroupsWithState, merging session windows, windowed
+    * aggregation, and chained dedup→agg): [[streamingIntervalJoin]] run
+    * through the real streaming engine and certified by the SAME DuckDB
+    * oracle as the batch `click_purchase_join`. Inner interval-join
+    * matches emit as both sides arrive (no watermark gating on output —
+    * the watermark only bounds the two join buffers), and the sentinel
+    * rows are neither clicks nor purchases, so they cannot match.
+    */
+  def streamingJoinReplay(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    replayEvents(s, dir, "join_replay")(in => streamingIntervalJoin(in))
+      .select(col("purchase_id"), col("click_id"), col("gap_us"))
+
   /** Shared machinery of the streaming-replay contract queries: stage the
     * normalized events to a temp parquet dir, run `build`'s streaming plan
     * over a file stream of it into a memory sink, then append two
