@@ -3087,6 +3087,138 @@ object RelationalQueries {
         FROM ranked WHERE r = $lo OR r = $hi GROUP BY 1"""
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic per event type, between the
+    * A/B arms — EXACT: D = max_v |F_A(v) − F_B(v)| is compared on the
+    * common denominator n_A·n_B, so the contract carries the integer
+    * numerator max_v |cumA(v)·n_B − cumB(v)·n_A| and the arm sizes; the
+    * fp quotient is one client-side division. Same tie-group window shape
+    * as [[mannWhitney]]: collapse to per-(type, value) counts first, one
+    * partitioned cumulative window over distinct values, one max.
+    *
+    * Scale: window input is distinct (type, cents) pairs, not events;
+    * everything after the first map-side-combined aggregate is
+    * aggregate-sized. Numerator ≤ n_A·n_B — BIGINT through ~3·10⁹ rows
+    * per side, DECIMAL beyond.
+    */
+  def ksTest(ev: DataFrame): DataFrame = {
+    val cells = ev.select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        when(abArm === "A", 1L).otherwise(0L).as("ca"),
+        when(abArm === "A", 0L).otherwise(1L).as("cb"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(col("ca")).as("na_v"), sum(col("cb")).as("nb_v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wt = Window.partitionBy(col("event_type"))
+    cells
+      .withColumn("cum_a", sum(col("na_v")).over(w))
+      .withColumn("cum_b", sum(col("nb_v")).over(w))
+      .withColumn("n_a", sum(col("na_v")).over(wt))
+      .withColumn("n_b", sum(col("nb_v")).over(wt))
+      .groupBy(col("event_type"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))).as("d_num"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("d_num"),
+        round(col("d_num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("d"))
+  }
+
+  /** Contract instance over the events table. */
+  def ksTestQuery(s: SparkSession, d: String): DataFrame =
+    ksTest(events(s, d))
+
+  /** Weighted median: per return flag, the quantity-weighted median of the
+    * cents unit price — the smallest value whose cumulative weight reaches
+    * half the total (2·cum ≥ tot on integers: no fp, no interpolation).
+    * Same two-step shape as the KS/rank family: collapse to per-(group,
+    * value) weight cells, one cumulative window over distinct values, one
+    * argmin. Scale: window input is distinct (flag, cents) pairs.
+    */
+  def weightedMedian(s: SparkSession, d: String): DataFrame = {
+    val cells = lineitem(s, d)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_quantity")).cast("long").as("wt"))
+      .groupBy(col("l_returnflag"), col("cents"))
+      .agg(sum(col("wt")).as("w"))
+    val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wt = Window.partitionBy(col("l_returnflag"))
+    cells
+      .withColumn("cum", sum(col("w")).over(wc))
+      .withColumn("tot", sum(col("w")).over(wt))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"), col("tot"))
+      .agg(min(col("cents")).as("wmedian_cents"))
+      .select(col("l_returnflag"), col("tot").as("total_weight"), col("wmedian_cents"))
+  }
+
+  /** Gaps-and-islands as ACTIVITY STREAKS: per user, every maximal run of
+    * consecutive active days (island) with its bounds and length — the
+    * classic engagement metric, and the canonical gaps-and-islands
+    * pattern: island id = day − dense-position (constant within a
+    * consecutive run). The position window partitions by user, so the
+    * pattern distributes for free — no global sequence sort exists
+    * anywhere in the plan.
+    *
+    * Scale: distinct to (user, day) grain first (map-side combined), then
+    * a per-user window over active DAYS (≤ calendar span), then a
+    * map-side-combined re-aggregate. One shuffle on user.
+    */
+  def userStreaks(s: SparkSession, d: String): DataFrame = {
+    val days = events(s, d)
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days.withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("day")).as("streak_start"), max(col("day")).as("streak_end"),
+        count(lit(1)).as("streak_len"))
+      .select(col("user_id"), col("streak_start"), col("streak_end"), col("streak_len"))
+  }
+
+  /** Wald–Wolfowitz runs test ingredients, per event type: the value
+    * stream in (ts, event_id) order is signed against the type's median
+    * cents (ties at the median sit out — the standard treatment), and the
+    * contract reports the run count and the above/below sizes, all BIGINT
+    * (the z-score is one client-side formula). A run boundary is a sign
+    * change between consecutive kept events.
+    *
+    * Scale: the median comes from the [[weightedMedian]] cumulative-cell
+    * shape (distinct-value window, unweighted); the run count is a lag
+    * comparison per partition — one shuffle on the type key, aggregates
+    * throughout.
+    */
+  def runsTest(ev: DataFrame): DataFrame = {
+    val base = ev.select(col("event_type"), col("ts"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val cells = base.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("w"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wt = Window.partitionBy(col("event_type"))
+    val med = cells
+      .withColumn("cum", sum(col("w")).over(wc))
+      .withColumn("tot", sum(col("w")).over(wt))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("event_type")).agg(min(col("cents")).as("med"))
+    val signed = base.join(med, Seq("event_type"))
+      .filter(col("cents") =!= col("med"))
+      .select(col("event_type"), col("ts"), col("event_id"),
+        when(col("cents") > col("med"), 1L).otherwise(-1L).as("sgn"))
+    val wo = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    signed
+      .withColumn("chg", when(lag(col("sgn"), 1).over(wo).isNull ||
+        lag(col("sgn"), 1).over(wo) =!= col("sgn"), 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(sum(col("chg")).as("n_runs"),
+        sum(when(col("sgn") === 1L, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("sgn") === -1L, 1L).otherwise(0L)).as("n_below"))
+  }
+
+  /** Contract instance over the events table. */
+  def runsTestQuery(s: SparkSession, d: String): DataFrame =
+    runsTest(events(s, d))
+
   /** The ranking-window family over orders-per-customer: rank / dense_rank
     * / percent_rank / cume_dist on the tie-PRONE priority key (tie-stable
     * by definition: equal keys get equal values), and ntile(4) on its own

@@ -221,6 +221,14 @@ object SparkEntry {
     // --- Poisson bootstrap CI: hash-deterministic replica weights, one
     // pass for all 50 replicas, BIGINT-exact until the final mean ---
     "bootstrap_ci" -> RelationalQueries.bootstrapCiQuery _,
+    // --- two-sample Kolmogorov–Smirnov, integer numerator on n_a·n_b ---
+    "ks_test" -> RelationalQueries.ksTestQuery _,
+    // --- quantity-weighted median unit price, integer cumulative cells ---
+    "weighted_median" -> RelationalQueries.weightedMedian _,
+    // --- gaps-and-islands: per-user consecutive-active-day streaks ---
+    "user_streaks" -> RelationalQueries.userStreaks _,
+    // --- Wald–Wolfowitz runs-test ingredients, BIGINT-exact ---
+    "runs_test" -> RelationalQueries.runsTestQuery _,
     // --- recursive-CTE semantics as a bounded unrolled closure ---
     "hierarchy_rollup" -> RelationalQueries.hierarchyRollup _,
     // --- exact AUC (Mann–Whitney): rank-free integer pair counting via
@@ -1602,6 +1610,88 @@ object SparkEntry {
     "corr_matrix" -> RelationalQueries.corrMatrixOracle,
     // Poisson bootstrap: generated with the SAME thresholds + hash.
     "bootstrap_ci" -> RelationalQueries.bootstrapCiOracle,
+    // KS: D's integer numerator on the common denominator n_a·n_b.
+    "ks_test" ->
+      """WITH armed AS (
+           SELECT event_type, round(value * 100)::BIGINT AS cents,
+                  CASE WHEN ('0x' || substring(md5('ab_' || user_id::VARCHAR), 1, 15))::BIGINT
+                            % 2 = 0
+                       THEN 1 ELSE 0 END AS isa
+           FROM events),
+         cells AS (
+           SELECT event_type, cents, sum(isa)::BIGINT AS na_v,
+                  sum(1 - isa)::BIGINT AS nb_v
+           FROM armed GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, cents, na_v, nb_v,
+                  sum(na_v) OVER (PARTITION BY event_type ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_a,
+                  sum(nb_v) OVER (PARTITION BY event_type ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_b,
+                  sum(na_v) OVER (PARTITION BY event_type)::BIGINT AS n_a,
+                  sum(nb_v) OVER (PARTITION BY event_type)::BIGINT AS n_b
+           FROM cells)
+         SELECT event_type, n_a, n_b,
+                max(abs(cum_a * n_b - cum_b * n_a))::BIGINT AS d_num,
+                round(max(abs(cum_a * n_b - cum_b * n_a))::DOUBLE
+                      / (n_a::DOUBLE * n_b::DOUBLE), 6) AS d
+         FROM cum GROUP BY 1, 2, 3""",
+    // Weighted median: smallest value with 2·cum ≥ tot on integers.
+    "weighted_median" ->
+      """WITH cells AS (
+           SELECT l_returnflag, round(l_extendedprice * 100)::BIGINT AS cents,
+                  sum(round(l_quantity)::BIGINT)::BIGINT AS w
+           FROM lineitem GROUP BY 1, 2),
+         c2 AS (
+           SELECT l_returnflag, cents,
+                  sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+                  sum(w) OVER (PARTITION BY l_returnflag)::BIGINT AS tot
+           FROM cells)
+         SELECT l_returnflag, tot AS total_weight, min(cents)::BIGINT AS wmedian_cents
+         FROM c2 WHERE cum * 2 >= tot GROUP BY 1, 2""",
+    // Streaks: island id = day − per-user dense position.
+    "user_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, (epoch(ts)::BIGINT // 86400)::BIGINT AS day
+           FROM events),
+         r AS (
+           SELECT user_id, day,
+                  day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+           FROM days)
+         SELECT user_id, min(day)::BIGINT AS streak_start, max(day)::BIGINT AS streak_end,
+                count(*)::BIGINT AS streak_len
+         FROM r GROUP BY user_id, island""",
+    // Runs test: median from cumulative cells, sign changes per stream.
+    "runs_test" ->
+      """WITH base AS (
+           SELECT event_type, ts, event_id, round(value * 100)::BIGINT AS cents
+           FROM events),
+         cells AS (SELECT event_type, cents, count(*)::BIGINT AS w
+                   FROM base GROUP BY 1, 2),
+         c2 AS (
+           SELECT event_type, cents,
+                  sum(w) OVER (PARTITION BY event_type ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+                  sum(w) OVER (PARTITION BY event_type)::BIGINT AS tot
+           FROM cells),
+         med AS (SELECT event_type, min(cents)::BIGINT AS med
+                 FROM c2 WHERE cum * 2 >= tot GROUP BY 1),
+         signed AS (
+           SELECT b.event_type AS et, b.ts, b.event_id,
+                  CASE WHEN b.cents > m.med THEN 1 ELSE -1 END AS sgn
+           FROM base b JOIN med m ON b.event_type = m.event_type
+           WHERE b.cents <> m.med),
+         runs AS (
+           SELECT et, sgn,
+                  CASE WHEN lag(sgn) OVER (PARTITION BY et ORDER BY ts, event_id) IS NULL
+                         OR lag(sgn) OVER (PARTITION BY et ORDER BY ts, event_id) <> sgn
+                       THEN 1 ELSE 0 END AS chg
+           FROM signed)
+         SELECT et AS event_type, sum(chg)::BIGINT AS n_runs,
+                sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_above,
+                sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)::BIGINT AS n_below
+         FROM runs GROUP BY 1""",
     // Corpus TV-distance: sparse postings-pair sum + closed-form
     // absent-word correction, all BIGINT until the final division.
     "corpus_divergence" ->

@@ -276,6 +276,73 @@ class AnalyticsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("ks_test equals the brute-force integer KS numerator") {
+    val got = RelationalQueries.ksTestQuery(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for ((t, evs) <- armedEvents.groupBy(_._1)) {
+      val na = evs.count(_._3).toLong; val nb = evs.size - na
+      var (cumA, cumB, best) = (0L, 0L, 0L)
+      for ((c, grp) <- evs.groupBy(_._2).toSeq.sortBy(_._1)) {
+        cumA += grp.count(_._3); cumB += grp.count(!_._3)
+        best = best.max(math.abs(cumA * nb - cumB * na))
+      }
+      assert(got(t) == ((na, nb, best)), s"$t: ${got(t)} vs ${(na, nb, best)}")
+    }
+  }
+
+  test("weighted_median is the smallest value reaching half the weight") {
+    val cells = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_quantity")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = RelationalQueries.weightedMedian(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for ((flag, rows) <- cells.groupBy(_._1)) {
+      val byVal = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val tot = byVal.map(_._2).sum
+      var cum = 0L
+      val med = byVal.find { case (_, w) => cum += w; 2 * cum >= tot }.get._1
+      assert(got(flag) == ((tot, med)), s"$flag: ${got(flag)} vs ${(tot, med)}")
+    }
+  }
+
+  test("user_streaks partitions each user's active days into maximal runs") {
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = days.groupBy(_._1).flatMap { case (u, ds) =>
+      val sorted = ds.map(_._2).sorted
+      val runs = sorted.foldLeft(List.empty[(Long, Long)]) {
+        case ((s0, e0) :: tail, d) if d == e0 + 1 => (s0, d) :: tail
+        case (acc, d) => (d, d) :: acc
+      }
+      runs.map { case (s0, e0) => (u, s0, e0, e0 - s0 + 1) }
+    }.toSet
+    val got = RelationalQueries.userStreaks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+  }
+
+  test("runs_test counts sign runs around the per-type median") {
+    val base = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")), col("event_id"),
+        round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = RelationalQueries.runsTestQuery(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for ((t, evs) <- base.groupBy(_._1)) {
+      val sortedVals = evs.map(_._4).sorted
+      var cum = 0L
+      val med = sortedVals.groupBy(identity).toSeq.sortBy(_._1)
+        .find { case (_, g) => cum += g.size; 2 * cum >= sortedVals.size }.get._1
+      val signs = evs.sortBy(e => (e._2, e._3)).map(_._4).filter(_ != med)
+        .map(c => if (c > med) 1 else -1)
+      val nRuns = signs.zip(-99 +: signs.init).count { case (a, b) => a != b }.toLong
+      val expect = (nRuns, signs.count(_ == 1).toLong, signs.count(_ == -1).toLong)
+      assert(got(t) == expect, s"$t: ${got(t)} vs $expect")
+    }
+  }
+
   test("streaming dedup replay equals batch count(DISTINCT) per day/type") {
     val streamed = streaming.EventStreams.streamingDedupReplay(spark, sf)
     val batch = Tables.events(spark, sf)
