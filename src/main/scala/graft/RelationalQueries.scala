@@ -3219,6 +3219,113 @@ object RelationalQueries {
   def runsTestQuery(s: SparkSession, d: String): DataFrame =
     runsTest(events(s, d))
 
+  /** Kaplan–Meier survival-curve ingredients over user activity spans:
+    * lifetime t = last active day − first active day; a user still active
+    * within `censorDays` of the corpus end is right-CENSORED (their true
+    * lifetime is only known to be ≥ t). Per distinct lifetime the contract
+    * reports the risk set (users with lifetime ≥ t — the suffix sum),
+    * observed churn events, and censored exits — the exact integer table
+    * the KM product-limit estimator is computed from; the fp survival
+    * product is a client-side fold over ~|distinct lifetimes| rows.
+    *
+    * Scale: one map-side-combined per-user aggregate (the corpus is
+    * scanned once), one 1-row max broadcast, then everything is
+    * |distinct lifetimes|-sized; the suffix-sum window runs over those
+    * cells under the constant-key convention (deliberate single SMALL
+    * partition, see [[graft.pipeline.TrainingData.exclusivePrefixSum]]).
+    */
+  def survivalCurve(ev: DataFrame, censorDays: Long = 7L): DataFrame = {
+    val day = floor(unix_timestamp(col("ts")) / 86400).cast("long")
+    val spans = ev.select(col("user_id"), day.as("d"))
+      .groupBy(col("user_id"))
+      .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+    val mx = spans.agg(max(col("last_d")).as("max_d"))
+    val cells = spans.crossJoin(broadcast(mx))
+      .select((col("last_d") - col("first_d")).as("t"),
+        when(col("max_d") - col("last_d") < censorDays, 1L).otherwise(0L).as("cen"))
+      .groupBy(col("t"))
+      .agg(sum(lit(1L) - col("cen")).as("n_event"), sum(col("cen")).as("n_censored"))
+    val wSuffix = Window.partitionBy(pmod(col("t"), lit(1L))).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("n_risk", sum(col("n_event") + col("n_censored")).over(wSuffix))
+      .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"))
+  }
+
+  /** Contract instance over the events table. */
+  def survivalCurveQuery(s: SparkSession, d: String): DataFrame =
+    survivalCurve(events(s, d))
+
+  /** l-diversity audit — the companion to [[kAnonymity]]: k-anonymity
+    * bounds re-identification, l-diversity bounds ATTRIBUTE disclosure (a
+    * k-anonymous class whose members all share one sensitive value still
+    * leaks it). Quasi-identifiers (nation, market segment) group the
+    * corpus; the sensitive attribute is the coarse balance bucket; each
+    * equivalence class reports its size, its count of DISTINCT sensitive
+    * values, and whether that count reaches l.
+    *
+    * Scale: one map-side-combined aggregate to |nations|·|segments| rows
+    * (count-distinct expands to the two-level aggregate Spark plans
+    * natively — partials combine map-side on (QI, sensitive)).
+    */
+  def lDiversity(s: SparkSession, d: String, l: Long = 3L): DataFrame =
+    customer(s, d)
+      .groupBy(col("c_nationkey").cast("long").as("nat"), col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(floor(col("c_acctbal") / 1000).cast("long")).as("n_sensitive"))
+      .select(col("nat"), col("seg"), col("n"), col("n_sensitive"),
+        (col("n_sensitive") >= l).as("l_diverse"))
+
+  /** RFM segmentation over orders: per customer, Recency (days from last
+    * order to the corpus max), Frequency (order count), Monetary (total
+    * cents); each metric scored 1–4 against its own EXACT weighted
+    * quartile thresholds (smallest value with 4·cum ≥ p·tot over distinct
+    * metric values — the [[weightedMedian]] cell shape, no interpolation,
+    * no tie ambiguity), score = 1 + #(thresholds ≤ value). The contract
+    * reports segment cell sizes — the marketing cube.
+    *
+    * Scale: orders collapse map-side to one row per customer; each
+    * threshold frame is a 1-row aggregate over distinct metric values
+    * (constant-key window cells) broadcast back — three 1×N combines, no
+    * data-proportional joins anywhere.
+    */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val day = floor(unix_timestamp(col("o_orderdate")) / 86400).cast("long")
+    val perCust = orders(s, d)
+      .select(col("o_custkey"), day.as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("d")).as("last_d"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("mon"))
+    val mx = perCust.agg(max(col("last_d")).as("max_d"))
+    val rfm = perCust.crossJoin(broadcast(mx))
+      .select(col("o_custkey"), (col("max_d") - col("last_d")).as("rec"),
+        col("freq"), col("mon"))
+    def thresholds(c: String): DataFrame = {
+      val cells = rfm.groupBy(col(c)).agg(count(lit(1)).as("w"))
+      val wc = Window.partitionBy(pmod(col(c), lit(1L))).orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wt = Window.partitionBy(pmod(col(c), lit(1L)))
+      cells
+        .withColumn("cum", sum(col("w")).over(wc))
+        .withColumn("tot", sum(col("w")).over(wt))
+        .agg(min(when(col("cum") * 4 >= col("tot"), col(c))).as(s"${c}_q1"),
+          min(when(col("cum") * 2 >= col("tot"), col(c))).as(s"${c}_q2"),
+          min(when(col("cum") * 4 >= col("tot") * 3, col(c))).as(s"${c}_q3"))
+    }
+    def score(c: String): org.apache.spark.sql.Column =
+      lit(1L) + (col(c) >= col(s"${c}_q1")).cast("long") +
+        (col(c) >= col(s"${c}_q2")).cast("long") +
+        (col(c) >= col(s"${c}_q3")).cast("long")
+    rfm.crossJoin(broadcast(thresholds("rec")))
+      .crossJoin(broadcast(thresholds("freq")))
+      .crossJoin(broadcast(thresholds("mon")))
+      .select(score("rec").as("r_score"), score("freq").as("f_score"),
+        score("mon").as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
   /** The ranking-window family over orders-per-customer: rank / dense_rank
     * / percent_rank / cume_dist on the tie-PRONE priority key (tie-stable
     * by definition: equal keys get equal values), and ntile(4) on its own

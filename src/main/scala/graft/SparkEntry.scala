@@ -229,6 +229,12 @@ object SparkEntry {
     "user_streaks" -> RelationalQueries.userStreaks _,
     // --- Wald–Wolfowitz runs-test ingredients, BIGINT-exact ---
     "runs_test" -> RelationalQueries.runsTestQuery _,
+    // --- Kaplan–Meier ingredients: risk set / events / censored per t ---
+    "survival_curve" -> RelationalQueries.survivalCurveQuery _,
+    // --- l-diversity audit: distinct-sensitive-value floor per QI class ---
+    "l_diversity" -> ((s, d) => RelationalQueries.lDiversity(s, d)),
+    // --- RFM segmentation on exact weighted-quartile thresholds ---
+    "rfm_segments" -> RelationalQueries.rfmSegments _,
     // --- recursive-CTE semantics as a bounded unrolled closure ---
     "hierarchy_rollup" -> RelationalQueries.hierarchyRollup _,
     // --- exact AUC (Mann–Whitney): rank-free integer pair counting via
@@ -1692,6 +1698,74 @@ object SparkEntry {
                 sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_above,
                 sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)::BIGINT AS n_below
          FROM runs GROUP BY 1""",
+    // Kaplan–Meier: suffix-sum risk set over distinct lifetimes;
+    // censored = still active within 7 days of the corpus max day.
+    "survival_curve" ->
+      """WITH spans AS (
+           SELECT user_id, min(epoch(ts)::BIGINT // 86400)::BIGINT AS first_d,
+                  max(epoch(ts)::BIGINT // 86400)::BIGINT AS last_d
+           FROM events GROUP BY 1),
+         mx AS (SELECT max(last_d) AS max_d FROM spans),
+         cells AS (
+           SELECT (last_d - first_d)::BIGINT AS t,
+                  sum(CASE WHEN max_d - last_d < 7 THEN 0 ELSE 1 END)::BIGINT AS n_event,
+                  sum(CASE WHEN max_d - last_d < 7 THEN 1 ELSE 0 END)::BIGINT AS n_censored
+           FROM spans, mx GROUP BY 1)
+         SELECT t,
+                sum(n_event + n_censored) OVER (ORDER BY t DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS n_risk,
+                n_event, n_censored
+         FROM cells""",
+    // l-diversity: distinct sensitive (coarse balance bucket) per QI class.
+    "l_diversity" ->
+      """SELECT c_nationkey::BIGINT AS nat, c_mktsegment AS seg,
+                count(*)::BIGINT AS n,
+                count(DISTINCT floor(c_acctbal / 1000)::BIGINT)::BIGINT AS n_sensitive,
+                count(DISTINCT floor(c_acctbal / 1000)::BIGINT) >= 3 AS l_diverse
+         FROM customer GROUP BY 1, 2""",
+    // RFM: exact weighted-quartile thresholds (smallest v with 4·cum ≥
+    // p·tot over distinct metric values), score = 1 + #(thresholds ≤ v).
+    "rfm_segments" ->
+      """WITH per_cust AS (
+           SELECT o_custkey, max(epoch(o_orderdate)::BIGINT // 86400)::BIGINT AS last_d,
+                  count(*)::BIGINT AS freq,
+                  sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS mon
+           FROM orders GROUP BY 1),
+         mx AS (SELECT max(last_d) AS max_d FROM per_cust),
+         rfm AS (SELECT o_custkey, (max_d - last_d)::BIGINT AS rec, freq, mon
+                 FROM per_cust, mx),
+         tr AS (
+           SELECT min(CASE WHEN cum * 4 >= tot THEN rec END) AS q1,
+                  min(CASE WHEN cum * 2 >= tot THEN rec END) AS q2,
+                  min(CASE WHEN cum * 4 >= tot * 3 THEN rec END) AS q3
+           FROM (SELECT rec, sum(w) OVER (ORDER BY rec
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(w) OVER () AS tot
+                 FROM (SELECT rec, count(*)::BIGINT AS w FROM rfm GROUP BY 1))),
+         tf AS (
+           SELECT min(CASE WHEN cum * 4 >= tot THEN freq END) AS q1,
+                  min(CASE WHEN cum * 2 >= tot THEN freq END) AS q2,
+                  min(CASE WHEN cum * 4 >= tot * 3 THEN freq END) AS q3
+           FROM (SELECT freq, sum(w) OVER (ORDER BY freq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(w) OVER () AS tot
+                 FROM (SELECT freq, count(*)::BIGINT AS w FROM rfm GROUP BY 1))),
+         tm AS (
+           SELECT min(CASE WHEN cum * 4 >= tot THEN mon END) AS q1,
+                  min(CASE WHEN cum * 2 >= tot THEN mon END) AS q2,
+                  min(CASE WHEN cum * 4 >= tot * 3 THEN mon END) AS q3
+           FROM (SELECT mon, sum(w) OVER (ORDER BY mon
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(w) OVER () AS tot
+                 FROM (SELECT mon, count(*)::BIGINT AS w FROM rfm GROUP BY 1)))
+         SELECT (1 + (rec >= tr.q1)::BIGINT + (rec >= tr.q2)::BIGINT
+                   + (rec >= tr.q3)::BIGINT)::BIGINT AS r_score,
+                (1 + (freq >= tf.q1)::BIGINT + (freq >= tf.q2)::BIGINT
+                   + (freq >= tf.q3)::BIGINT)::BIGINT AS f_score,
+                (1 + (mon >= tm.q1)::BIGINT + (mon >= tm.q2)::BIGINT
+                   + (mon >= tm.q3)::BIGINT)::BIGINT AS m_score,
+                count(*)::BIGINT AS n_customers
+         FROM rfm, tr, tf, tm GROUP BY 1, 2, 3""",
     // Corpus TV-distance: sparse postings-pair sum + closed-form
     // absent-word correction, all BIGINT until the final division.
     "corpus_divergence" ->

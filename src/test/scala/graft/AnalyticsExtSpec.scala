@@ -343,6 +343,72 @@ class AnalyticsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("survival_curve: risk set is the suffix sum, events+censored partition users") {
+    val spans = Tables.events(spark, sf)
+      .select(col("user_id"), floor(unix_timestamp(col("ts")) / 86400).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, ds) => (u, ds.map(_._2).min, ds.map(_._2).max) }.toSeq
+    val maxD = spans.map(_._3).max
+    val perT = spans.map { case (_, f, l) => (l - f, maxD - l < 7) }
+      .groupBy(_._1).map { case (t, us) =>
+        (t, us.count(!_._2).toLong, us.count(_._2).toLong)
+      }.toSeq.sortBy(_._1)
+    val expect = perT.map { case (t, ev, cen) =>
+      val risk = perT.filter(_._1 >= t).map(p => p._2 + p._3).sum
+      (t, risk, ev, cen)
+    }.toSet
+    val got = RelationalQueries.survivalCurveQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+    // total events + censored across all t = total users
+    assert(perT.map(p => p._2 + p._3).sum == spans.size)
+  }
+
+  test("l_diversity counts distinct sensitive buckets per QI class") {
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = cust.groupBy(c => (c._1, c._2)).map { case ((nat, seg), rows) =>
+      val d = rows.map(_._3).distinct.size.toLong
+      (nat, seg, rows.size.toLong, d, d >= 3)
+    }.toSet
+    val got = RelationalQueries.lDiversity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(got == expect)
+  }
+
+  test("rfm_segments scores against exact weighted quartiles and counts every customer") {
+    val perCust = Tables.orders(spark, sf)
+      .select(col("o_custkey"), floor(unix_timestamp(col("o_orderdate")) / 86400).cast("long"),
+        round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (c, os) =>
+        (c, os.map(_._2).max, os.size.toLong, os.map(_._3).sum)
+      }.toSeq
+    val maxD = perCust.map(_._2).max
+    val rfm = perCust.map { case (_, last, f, m) => (maxD - last, f, m) }
+    def quartiles(vs: Seq[Long]): (Long, Long, Long) = {
+      val cells = vs.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val tot = cells.map(_._2).sum
+      def q(p: Long): Long = {
+        var cum = 0L
+        cells.find { case (_, w) => cum += w; 4 * cum >= p * tot }.get._1
+      }
+      (q(1), q(2), q(3))
+    }
+    val (rq, fq, mq) = (quartiles(rfm.map(_._1)), quartiles(rfm.map(_._2)), quartiles(rfm.map(_._3)))
+    def sc(v: Long, q: (Long, Long, Long)): Long =
+      1L + (if (v >= q._1) 1 else 0) + (if (v >= q._2) 1 else 0) + (if (v >= q._3) 1 else 0)
+    val expect = rfm.map { case (r0, f0, m0) => (sc(r0, rq), sc(f0, fq), sc(m0, mq)) }
+      .groupBy(identity).map { case (k, g) => (k._1, k._2, k._3, g.size.toLong) }.toSet
+    val got = RelationalQueries.rfmSegments(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+    assert(got.toSeq.map(_._4).sum == perCust.size)
+  }
+
   test("streaming dedup replay equals batch count(DISTINCT) per day/type") {
     val streamed = streaming.EventStreams.streamingDedupReplay(spark, sf)
     val batch = Tables.events(spark, sf)
