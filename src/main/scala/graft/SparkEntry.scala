@@ -293,6 +293,8 @@ object SparkEntry {
     // --- stream-stream interval join state store, replayed — certified
     // by the batch click_purchase_join oracle ---
     "streaming_join_replay" -> streaming.EventStreams.streamingJoinReplay _,
+    // --- update-mode unwindowed keyed aggregation, final-state argmax ---
+    "streaming_counts_replay" -> streaming.EventStreams.streamingCountsReplay _,
     // --- LOCF gap-fill over the per-type hourly axis ---
     "gap_fill" -> RelationalQueries.gapFillQuery _,
     // --- winsorization: clip to per-type discrete-percentile bands ---
@@ -374,6 +376,18 @@ object SparkEntry {
           pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
             lit(20011L)).as("dst"))
       sources.GraphLoader.hopPlot(e, rounds = 4)
+    }),
+    // --- per-vertex seed-distance histogram (sampled-landmark harmonic
+    // centrality ingredients) over the same hash-derived graph ---
+    "seed_distances" -> ((s, d) => {
+      val e = pipeline.Dedup.rebalance(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
+        .select(
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tv_"), col("l_orderkey"))),
+            lit(20011L)).as("src"),
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
+            lit(20011L)).as("dst"))
+      sources.GraphLoader.seedDistances(e, rounds = 4)
     }),
     // --- per-edge common-neighbor / degree counts (neighborhood Jaccard
     // components) via the degree-oriented wedge join ---
@@ -2706,6 +2720,12 @@ object SparkEntry {
            ON c.user_id = b.user_id
           AND c.ts >= b.ts - INTERVAL 1 HOUR AND c.ts <= b.ts
          WHERE b.event_type = 'purchase' AND c.event_type = 'click'""",
+    // Update-mode replay: the final state per type is the batch count
+    // and exact cents sum.
+    "streaming_counts_replay" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+                sum(round(value * 100)::BIGINT) / 100.0 AS sum_cents
+         FROM events GROUP BY 1""",
     // Chained dedup→agg streaming replay: the batch truth is a plain
     // count(DISTINCT user) per (UTC day, type).
     "streaming_dedup_replay" ->
@@ -3303,6 +3323,17 @@ object SparkEntry {
            WHERE s <> t),
          ${sources.GraphLoader.hopPlotOracleCtes(rounds = 4)}
          SELECT dist AS hop, count(*)::BIGINT AS n_pairs FROM h4 GROUP BY 1""",
+    // Seed-distance histogram: the same generated multi-seed BFS chain,
+    // pivoted per vertex on exact first-reach distance.
+    "seed_distances" ->
+      s"""WITH und AS MATERIALIZED (
+           SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+             SELECT ('0x' || substring(md5('tv_' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 20011 AS s,
+                    ('0x' || substring(md5('tw_' || l_partkey::VARCHAR), 1, 15))::BIGINT % 20011 AS t
+             FROM lineitem)
+           WHERE s <> t),
+         ${sources.GraphLoader.hopPlotOracleCtes(rounds = 4)}
+         ${sources.GraphLoader.seedDistancesOracleSelect(rounds = 4)}""",
     // Neighborhood Jaccard components: the oracle is the definitional
     // common-neighbor join over the full adjacency.
     "neighbor_jaccard" ->

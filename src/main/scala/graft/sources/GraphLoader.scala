@@ -744,6 +744,71 @@ object GraphLoader {
     counts.toSeq.filter(_._2 > 0).toDF("hop", "n_pairs")
   }
 
+  /** Per-vertex seed-distance histogram — the harmonic/closeness-centrality
+    * ingredient table: for the same hash-picked seed set as [[hopPlot]],
+    * EXACTLY how many seeds each vertex first reaches at hop 1, 2, …,
+    * `rounds` (fixed columns h1…h<rounds>, so the contract schema stays
+    * scalar). Unlike the hop plot's global pair counts this is per-vertex
+    * and exact for the seed subset — harmonic centrality restricted to the
+    * seeds is the client's Σ h_i/i fold, the standard sampled-landmark
+    * estimator. Vertices reaching no seed within `rounds` hops (other than
+    * themselves) do not emit, matching the generated oracle's reach set.
+    *
+    * Scale: identical round shape to [[hopPlot]] — state is one long mask
+    * plus `rounds` counters per vertex; each round is one |E|-row join on
+    * the pre-partitioned adjacency + a bit_or aggregate. The per-round
+    * histogram column is popcount(new bits) — no extra shuffle.
+    */
+  def seedDistances(edges: DataFrame, rounds: Int, seedMod: Long = 2003L): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .distinct().filter(col("a") =!= col("b"))
+    val adj = bothDirections(und)
+      .repartition(col("v"))
+      .localCheckpoint(true)
+    var state = adj.select(col("v")).distinct()
+      .select(col("v"), when(pmod(col("v"), lit(seedMod)) === 0L,
+        expr(s"""if(v div $seedMod >= 64,
+                    raise_error(concat('seedDistances: seed index v div $seedMod >= 64 for v=',
+                                       cast(v as string))),
+                    shiftleft(1L, cast(v div $seedMod as int)))"""))
+        .otherwise(0L).as("mask"))
+      .repartition(col("v"))
+      .localCheckpoint(true)
+    val histCols = scala.collection.mutable.ArrayBuffer[String]()
+    for (i <- 1 to rounds) {
+      val prop = adj.join(state, Seq("v"))
+        .groupBy(col("w").as("v")).agg(expr("bit_or(mask)").as("nbrmask"))
+      val prev = state
+      val kept = histCols.map(col).toSeq
+      state = state.join(prop, Seq("v"), "left")
+        .select(Seq(col("v"),
+          col("mask").bitwiseOR(coalesce(col("nbrmask"), lit(0L))).as("mask"),
+          bit_count(coalesce(col("nbrmask"), lit(0L)).bitwiseAND(expr("~mask")))
+            .cast("long").as(s"h$i")) ++ kept: _*)
+        .localCheckpoint(true)
+      histCols += s"h$i"
+      prev.unpersist()
+    }
+    adj.unpersist()
+    val total = histCols.map(col).reduce(_ + _)
+    state.filter(total > 0L)
+      .select((col("v").as("vertex") +: histCols.map(col)).toSeq: _*)
+  }
+
+  /** DuckDB twin of [[seedDistances]]: reuses [[hopPlotOracleCtes]]'
+    * (seed, v, min-dist) chain; the histogram is one conditional pivot
+    * over exact first-reach distances (dist ≥ 1 — a seed's own dist-0 row
+    * is the self term harmonic centrality excludes).
+    */
+  def seedDistancesOracleSelect(rounds: Int): String = {
+    val cols = (1 to rounds)
+      .map(i => s"sum(CASE WHEN dist = $i THEN 1 ELSE 0 END)::BIGINT AS h$i")
+      .mkString(", ")
+    s"SELECT v AS vertex, $cols FROM h$rounds WHERE dist >= 1 GROUP BY v"
+  }
+
   /** DuckDB twin of [[hopPlot]]'s loop over a caller-supplied `und(a, b)`.
     * The caller appends `SELECT hop, count(*) FROM h<rounds> GROUP BY 1`.
     */

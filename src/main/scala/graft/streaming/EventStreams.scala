@@ -751,6 +751,27 @@ object EventStreams {
     replayEvents(s, dir, "join_replay")(in => streamingIntervalJoin(in))
       .select(col("purchase_id"), col("click_id"), col("gap_us"))
 
+  /** Batch-replay certification of UPDATE-mode unwindowed keyed
+    * aggregation — the sixth distinct streaming engine path, and the one
+    * append mode cannot express (an unwindowed aggregate never "closes",
+    * so the engine re-emits a key's row on every micro-batch that touches
+    * it). The memory sink therefore accumulates one row per (key, update);
+    * the FINAL state per key is selected by the strictly-increasing count
+    * (argmax via struct-max — each update of a key adds rows, so n is a
+    * valid version stamp), and must equal the batch per-type count and
+    * exact cents sum. State is |event_types| rows — no watermark needed,
+    * nothing ever expires.
+    */
+  def streamingCountsReplay(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    replayEvents(s, dir, "counts_replay", mode = "update") { in =>
+      in.toDF()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), graft.Num.centsSumExact(col("value")).as("sum_cents"))
+    }.filter(col("event_type") =!= "__wm")
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("n"), col("sum_cents"))).as("fin"))
+      .select(col("event_type"), col("fin.n").as("n"), col("fin.sum_cents").as("sum_cents"))
+
   /** Shared machinery of the streaming-replay contract queries: stage the
     * normalized events to a temp parquet dir, run `build`'s streaming plan
     * over a file stream of it into a memory sink, then append two
@@ -763,7 +784,8 @@ object EventStreams {
     * aggregate-sized.
     */
   private def replayEvents(s: org.apache.spark.sql.SparkSession, dir: String,
-                           tag: String)(build: Dataset[Event] => DataFrame): DataFrame = {
+                           tag: String, mode: String = "append")
+                          (build: Dataset[Event] => DataFrame): DataFrame = {
     import s.implicits._
     val ev = graft.Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -775,7 +797,7 @@ object EventStreams {
     val in = s.readStream.schema(ev.schema).parquet(src).as[Event]
     val qname = tag + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = build(in).writeStream.format("memory").queryName(qname)
-      .outputMode("append").option("checkpointLocation", s"$tmp/ckpt").start()
+      .outputMode(mode).option("checkpointLocation", s"$tmp/ckpt").start()
     try {
       q.processAllAvailable() // the real events
       Seq(Event(-1L, new Timestamp(maxMs + 100L * 3600000L), -7L, "__wm", 0.0)).toDS()

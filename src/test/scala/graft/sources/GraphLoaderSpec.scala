@@ -188,6 +188,32 @@ class GraphLoaderSpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want")
   }
 
+  test("seedDistances: per-vertex histogram equals all-pairs BFS first-reach counts") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // same fixture as hopPlot: path 1-2-3-4 + shortcut 1-3; component {7,8}
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (7L, 8L))
+    val st = new StructType().add("src", LongType).add("dst", LongType)
+    val d = df(st, es.map(e => Row(e._1, e._2)))
+    val got = GraphLoader.seedDistances(d, rounds = 3, seedMod = 1L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val adj = es.flatMap(e => Seq(e, e.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    def bfs(s: Long): Map[Long, Long] = {
+      var dist = Map(s -> 0L); var frontier = Set(s)
+      for (h <- 1L to 3L) {
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty)).filterNot(dist.contains)
+        dist ++= frontier.map(_ -> h)
+      }
+      dist
+    }
+    val verts = Seq(1L, 2L, 3L, 4L, 7L, 8L)
+    val expect = verts.map { v =>
+      val ds = verts.filter(_ != v).flatMap(s => bfs(s).get(v))
+      v -> ((ds.count(_ == 1L).toLong, ds.count(_ == 2L).toLong, ds.count(_ == 3L).toLong))
+    }.filter(p => p._2._1 + p._2._2 + p._2._3 > 0).toMap
+    assert(got == expect, s"got $got want $expect")
+  }
+
   test("sssp: weighted relaxation prefers the lighter multi-hop path") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
