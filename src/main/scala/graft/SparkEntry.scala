@@ -157,6 +157,15 @@ object SparkEntry {
       pipeline.TextAnalysis.dedupLines(
         Tables.documents(s, d).select(col("doc_id"), synth.as("text")))
     }),
+    // --- CROSS-document boilerplate line removal (corpus-df rule): nav/
+    // footer lines synthesized from source/lang so docs genuinely share
+    // them; the md5 proves the rebuilt text on both engines ---
+    "boilerplate_lines" -> ((s, d) => {
+      val synth = concat(lit("NAV "), col("source"), lit("\n"), col("text"),
+        lit("\n"), lit("(c) "), col("lang"))
+      pipeline.TextAnalysis.dropBoilerplateLines(
+        Tables.documents(s, d).select(col("doc_id"), synth.as("text")))
+    }),
     // --- reliability diagram of the quality score vs the lang label ---
     "calibration_bins" -> ((s, d) =>
       pipeline.TextAnalysis.calibrationBins(Tables.documents(s, d))),
@@ -1370,6 +1379,24 @@ object SparkEntry {
                   [lines[i] for i in range(1, len(lines) + 1)
                    if list_position(lines, lines[i]) = i] AS kept
            FROM l)
+         SELECT doc_id, len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept,
+                md5(array_to_string(kept, chr(10))) AS fp_clean
+         FROM k""",
+    // Cross-doc boilerplate removal: corpus line-df rule replayed over
+    // the same synthesized nav/footer lines; coalesce guards the empty
+    // boilerplate set (list() over zero rows is NULL in DuckDB).
+    "boilerplate_lines" ->
+      """WITH syn AS (
+           SELECT doc_id,
+                  'NAV ' || source || chr(10) || text || chr(10) || '(c) ' || lang AS t
+           FROM documents),
+         l AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM syn),
+         e AS (SELECT doc_id, unnest(lines) AS line FROM l),
+         dfs AS (SELECT line, count(DISTINCT doc_id) AS dfc FROM e GROUP BY 1),
+         bp AS (SELECT coalesce(list(line), []) AS bad FROM dfs WHERE dfc > 2),
+         k AS (SELECT doc_id, lines,
+                      [x for x in lines if NOT list_contains(bad, x)] AS kept
+               FROM l, bp)
          SELECT doc_id, len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept,
                 md5(array_to_string(kept, chr(10))) AS fp_clean
          FROM k""",

@@ -126,6 +126,39 @@ object TextAnalysis {
         size(col("kept")).cast("long").as("n_kept"),
         md5(array_join(col("kept"), "\n")).as("fp_clean"))
 
+  /** CROSS-document boilerplate line removal — the corpus-frequency
+    * complement of [[dedupLines]] (which only sees one document at a
+    * time): a line appearing in more than `maxDf` DISTINCT documents is
+    * boilerplate (nav bars, cookie banners, copyright footers — the
+    * CCNet/RefinedWeb cleaning rule) and is dropped from every document;
+    * within-doc repeats of a kept line survive. Returns the same
+    * fingerprint-proved shape as [[dedupLines]]: (doc_id, n_lines,
+    * n_kept, fp_clean) — the md5 certifies the rebuilt text byte-exactly.
+    *
+    * Scale: lines explode once; the document-frequency aggregate and the
+    * stats join both shuffle on the line value (map-side combined — a
+    * line's duplicates collapse before the wire), and the rebuild
+    * re-aggregates on doc_id carrying (pos, kept-line) pairs. Nothing is
+    * ever corpus × corpus; hot boilerplate lines are exactly the rows the
+    * combiner collapses hardest.
+    */
+  def dropBoilerplateLines(docs: DataFrame, textCol: String = "text",
+                           maxDf: Long = 2L): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val dfStats = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("dfc"))
+    lines.join(dfStats, Seq("line"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("dfc") <= maxDf, 1L).otherwise(0L)).as("n_kept"),
+        sort_array(collect_list(when(col("dfc") <= maxDf,
+          struct(col("pos"), col("line"))))).as("ks"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        md5(array_join(transform(col("ks"), k => k.getField("line")), "\n"))
+          .as("fp_clean"))
+  }
+
   /** Hashing-trick featurizer (feature hashing): every token folds into a
     * `dims`-wide sparse vector bucket via the portable hash, with a second
     * hash bit choosing ±1 so collisions cancel in expectation — the

@@ -244,6 +244,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) == ((1L, 1L, fp("unique"))))
   }
 
+  test("dropBoilerplateLines: corpus-df rule drops shared lines, keeps within-doc repeats") {
+    val d = df(docSchema, Seq(
+      Row(1L, "NAV\nstory one\nNAV\nfooter"),   // NAV repeats inside doc 1
+      Row(2L, "NAV\nstory two\nfooter"),
+      Row(3L, "NAV\nstory three\nfooter"),
+      Row(4L, "solo line")))
+    // df: NAV → 3 docs, footer → 3 docs (> maxDf=2 → boilerplate); stories unique
+    val got = TextAnalysis.dropBoilerplateLines(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def fp(s: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(got(1L) == ((4L, 1L, fp("story one"))))
+    assert(got(2L) == ((3L, 1L, fp("story two"))))
+    assert(got(3L) == ((3L, 1L, fp("story three"))))
+    assert(got(4L) == ((1L, 1L, fp("solo line"))))
+    // at maxDf = 3 everything survives, within-doc repeat included in order
+    val lax = TextAnalysis.dropBoilerplateLines(d, maxDf = 3L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(lax(1L) == ((4L, 4L, fp("NAV\nstory one\nNAV\nfooter"))))
+  }
+
   test("featureHash: signed bucket sums equal a scalar replay; cancelled buckets dropped") {
     val d = df(docSchema, Seq(
       Row(1L, "cat dog cat fish bird"),
