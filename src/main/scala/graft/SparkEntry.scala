@@ -836,6 +836,11 @@ object SparkEntry {
     }),
     "embed_neardup" -> ((s, d) =>
       pipeline.Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.4)),
+    // --- product-quantization codes: 4 subspaces × 8 spherical codewords,
+    // one portable integer-Lloyd round each; the oracle replays training
+    // and assignment bit-for-bit ---
+    "pq_codes" -> ((s, d) =>
+      pipeline.Ivf.pqCodesPortable(Tables.embeddings(s, d))),
     // --- SemDedup-style semantic dedup: portable k-means cells, within-cell
     // near-dup, keep the lowest id per group — the oracle replays the
     // quantizer AND the keep/drop decision exactly ---
@@ -4191,6 +4196,9 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY cos_sim DESC, vec_id) AS rk FROM sc)
          WHERE rk <= 5""",
+    // PQ codes: the per-subspace integer-Lloyd chain generated from the
+    // same parameters as the Spark plan.
+    "pq_codes" -> pipeline.Ivf.pqOracleSql(),
     // SemDedup replay: same integer-Lloyd CTE chain as ann_ivf up to the
     // final assignment `af`, then within-cell lower-id pairs at cosine ≥ τ
     // resolved to min dup_of — the keep/drop decision bit-matches.

@@ -219,6 +219,96 @@ object Ivf {
     Similarity.topKTail(scored, k)
   }
 
+  /** Product-quantization codes, PORTABLE: the embedding splits into `m`
+    * contiguous `subDim`-wide subspaces; each subspace trains its own
+    * `k`-codeword book with ONE integer-Lloyd round (same three
+    * portability tricks as the IVF block header — quantized longs,
+    * integer-SUM centroids under scale-invariant cosine ["spherical" PQ],
+    * sequential-fold similarity) and every vector gets its per-subspace
+    * nearest-codeword index. Output (vec_id, c0…c{m−1}) IS the compressed
+    * corpus: m·log₂(k) bits per vector instead of dim floats — the memory
+    * layout IVF-PQ systems scan at 100 TB. The DuckDB oracle
+    * ([[pqOracleSql]], generated from the same parameters) replays
+    * training and assignment bit-for-bit.
+    *
+    * Scale: seeds are k·dim longs to the driver; each subspace round is a
+    * map-side-combined (code, pos) sum — m·k·subDim longs total driver
+    * transfer, never the corpus. The final tag pass is pure per-row map
+    * work against broadcast codebooks; one corpus scan per phase off the
+    * shared cached quantized frame.
+    */
+  def pqCodesPortable(corpus: DataFrame, m: Int = 4, subDim: Int = 16,
+                      k: Int = 8): DataFrame = {
+    val cached = InternalCaches.register(
+      corpus.select(col("vec_id"), quantized(col("embedding")).as("qv")).cache())
+    val seedRows = cached.orderBy(col("vec_id")).limit(k).select(col("qv")).collect()
+      .map(_.getSeq[Long](0).map(_.toDouble).toArray)
+    require(seedRows.nonEmpty, "pq: empty corpus")
+    require(seedRows.head.length >= m * subDim,
+      s"pq: dim ${seedRows.head.length} < m*subDim ${m * subDim}")
+    val codeCols = (0 until m).map { j =>
+      val sub = slice(col("qv"), j * subDim + 1, subDim)
+      val seeds = seedRows.map(_.slice(j * subDim, j * subDim + subDim))
+      val sums = cached
+        .select(assignCellPortable(sub, seeds).as("code"), posexplode(sub))
+        .groupBy(col("code"), col("pos")).agg(sum(col("col")).as("s"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          val v = new Array[Double](subDim)
+          rows.foreach(r => v(r.getInt(1)) = r.getLong(2).toDouble)
+          c -> v
+        }
+      val cents = seeds.indices.map(c => sums.getOrElse(c, seeds(c))).toArray
+      assignCellPortable(sub, cents).cast("long").as(s"c$j")
+    }
+    cached.select(col("vec_id") +: codeCols: _*)
+  }
+
+  /** DuckDB twin of [[pqCodesPortable]], generated from the same
+    * parameters (the anti-drift pattern): per subspace, the seed book,
+    * one assignment round, integer-sum re-estimation, final assignment;
+    * the last SELECT joins the m per-subspace code columns on vec_id.
+    */
+  def pqOracleSql(m: Int = 4, subDim: Int = 16, k: Int = 8): String = {
+    def cos(a: String, b: String): String =
+      s"""CASE WHEN list_dot_product($a, $a) = 0 OR list_dot_product($b, $b) = 0 THEN 0.0
+               ELSE list_dot_product($a, $b)
+                    / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END"""
+    val sb = new StringBuilder(
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1000 + 0.5)) AS qv
+           FROM embeddings)""")
+    for (j <- 0 until m) {
+      val lo = j * subDim + 1; val hi = (j + 1) * subDim
+      sb.append(s""",
+         s$j AS (SELECT vec_id, qv[$lo:$hi] AS sv FROM e),
+         c0_$j AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, sv AS cent
+                   FROM (SELECT vec_id, sv FROM s$j ORDER BY vec_id LIMIT $k)),
+         a1_$j AS (SELECT vec_id, code FROM (
+             SELECT s.vec_id, c.code,
+                    row_number() OVER (PARTITION BY s.vec_id
+                      ORDER BY ${cos("s.sv", "c.cent")} DESC, c.code) AS rn
+             FROM s$j s CROSS JOIN c0_$j c) WHERE rn = 1),
+         su_$j AS (SELECT a.code, p.pos, sum(s.sv[p.pos + 1])::BIGINT AS s
+                   FROM a1_$j a JOIN s$j s USING (vec_id),
+                        LATERAL (SELECT unnest(range($subDim)) AS pos) p
+                   GROUP BY a.code, p.pos),
+         cl_$j AS (SELECT code, list(s::DOUBLE ORDER BY pos) AS cent FROM su_$j GROUP BY code),
+         c1_$j AS (SELECT c0.code, coalesce(cl.cent, c0.cent) AS cent
+                   FROM c0_$j c0 LEFT JOIN cl_$j cl USING (code)),
+         af_$j AS (SELECT vec_id, code AS c$j FROM (
+             SELECT s.vec_id, c.code,
+                    row_number() OVER (PARTITION BY s.vec_id
+                      ORDER BY ${cos("s.sv", "c.cent")} DESC, c.code) AS rn
+             FROM s$j s CROSS JOIN c1_$j c) WHERE rn = 1)""")
+    }
+    sb.append(s"""
+         SELECT e.vec_id, ${(0 until m).map(j => s"c$j::BIGINT AS c$j").mkString(", ")}
+         FROM e ${(0 until m).map(j => s"JOIN af_$j USING (vec_id)").mkString(" ")}""")
+    sb.toString
+  }
+
   private def nearest(centroids: Array[Array[Float]], v: Array[Float]): Int = {
     var best = 0; var bestSim = Double.MinValue
     for (c <- centroids.indices) {

@@ -40,6 +40,44 @@ class IvfSpec extends AnyFunSuite {
       "portable centroids must be exact integer sums")
   }
 
+  test("pq codes: in-memory single-round spherical Lloyd replay matches per subspace") {
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val (m, subDim, k) = (4, 16, 8)
+    def q(v: Array[Float]): Array[Double] =
+      v.map(x => math.floor(x.toDouble * 1000.0 + 0.5))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def assign(sv: Array[Double], cents: Array[Array[Double]]): Int = {
+      val sims = cents.map(c => cos(sv, c))
+      sims.indexOf(sims.max) // first max = lowest code on ties
+    }
+    val expect = (0 until m).map { j =>
+      val subs = vecs.map { case (id, v) => id -> q(v).slice(j * subDim, (j + 1) * subDim) }
+      val seeds = subs.take(k).map(_._2)
+      val byCode = subs.groupBy { case (_, sv) => assign(sv, seeds) }
+      val cents = seeds.indices.map { c =>
+        byCode.get(c) match {
+          case Some(members) =>
+            val s = new Array[Double](subDim)
+            members.foreach { case (_, sv) => for (i <- 0 until subDim) s(i) += sv(i) }
+            s
+          case None => seeds(c)
+        }
+      }.toArray
+      subs.map { case (id, sv) => id -> assign(sv, cents).toLong }.toMap
+    }
+    val got = Ivf.pqCodesPortable(emb, m, subDim, k).collect()
+      .map(r => r.getLong(0) -> (1 to m).map(r.getLong).toSeq).toMap
+    graft.pipeline.InternalCaches.release()
+    assert(got.size == vecs.length)
+    for ((id, codes) <- got; j <- 0 until m)
+      assert(codes(j) == expect(j)(id), s"vec $id subspace $j: ${codes(j)} vs ${expect(j)(id)}")
+  }
+
   test("ivf top-k scores are exact for returned pairs; recall reasonable") {
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
