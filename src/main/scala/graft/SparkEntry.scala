@@ -841,6 +841,12 @@ object SparkEntry {
     // and assignment bit-for-bit ---
     "pq_codes" -> ((s, d) =>
       pipeline.Ivf.pqCodesPortable(Tables.embeddings(s, d))),
+    // --- compressed-domain ADC top-k: queries scored against codeword
+    // reconstructions (the IVF-PQ scan shape) ---
+    "pq_adc" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      pipeline.Ivf.pqAdcTopK(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
     // --- SemDedup-style semantic dedup: portable k-means cells, within-cell
     // near-dup, keep the lowest id per group — the oracle replays the
     // quantizer AND the keep/drop decision exactly ---
@@ -4199,6 +4205,8 @@ object SparkEntry {
     // PQ codes: the per-subspace integer-Lloyd chain generated from the
     // same parameters as the Spark plan.
     "pq_codes" -> pipeline.Ivf.pqOracleSql(),
+    // PQ ADC top-k: same chain, cosine vs codeword concatenation.
+    "pq_adc" -> pipeline.Ivf.pqAdcOracleSql(),
     // SemDedup replay: same integer-Lloyd CTE chain as ann_ivf up to the
     // final assignment `af`, then within-cell lower-id pairs at cosine ≥ τ
     // resolved to min dup_of — the keep/drop decision bit-matches.

@@ -237,16 +237,26 @@ object Ivf {
     * work against broadcast codebooks; one corpus scan per phase off the
     * shared cached quantized frame.
     */
-  def pqCodesPortable(corpus: DataFrame, m: Int = 4, subDim: Int = 16,
+  def pqCodesPortable(corpus: DataFrame, m: Int = 8, subDim: Int = 8,
                       k: Int = 8): DataFrame = {
     val cached = InternalCaches.register(
       corpus.select(col("vec_id"), quantized(col("embedding")).as("qv")).cache())
+    val books = pqBooks(cached, m, subDim, k)
+    cached.select(col("vec_id") +: pqCodeCols(books, subDim): _*)
+  }
+
+  /** One-round spherical codebook per subspace over a cached quantized
+    * frame (columns `vec_id`, `qv`); see [[pqCodesPortable]]. Driver
+    * transfer is m·k·subDim longs — never the corpus.
+    */
+  private def pqBooks(cached: DataFrame, m: Int, subDim: Int,
+                      k: Int): Array[Array[Array[Double]]] = {
     val seedRows = cached.orderBy(col("vec_id")).limit(k).select(col("qv")).collect()
       .map(_.getSeq[Long](0).map(_.toDouble).toArray)
     require(seedRows.nonEmpty, "pq: empty corpus")
     require(seedRows.head.length >= m * subDim,
       s"pq: dim ${seedRows.head.length} < m*subDim ${m * subDim}")
-    val codeCols = (0 until m).map { j =>
+    (0 until m).map { j =>
       val sub = slice(col("qv"), j * subDim + 1, subDim)
       val seeds = seedRows.map(_.slice(j * subDim, j * subDim + subDim))
       val sums = cached
@@ -259,10 +269,48 @@ object Ivf {
           rows.foreach(r => v(r.getInt(1)) = r.getLong(2).toDouble)
           c -> v
         }
-      val cents = seeds.indices.map(c => sums.getOrElse(c, seeds(c))).toArray
-      assignCellPortable(sub, cents).cast("long").as(s"c$j")
+      seeds.indices.map(c => sums.getOrElse(c, seeds(c))).toArray
+    }.toArray
+  }
+
+  /** Per-subspace nearest-codeword assignment columns c0…c{m−1} over `qv`. */
+  private def pqCodeCols(books: Array[Array[Array[Double]]], subDim: Int): Seq[Column] =
+    books.toIndexedSeq.zipWithIndex.map { case (book, j) =>
+      assignCellPortable(slice(col("qv"), j * subDim + 1, subDim), book)
+        .cast("long").as(s"c$j")
     }
-    cached.select(col("vec_id") +: codeCols: _*)
+
+  /** Asymmetric-distance top-k over PQ codes: the query's EXACT quantized
+    * vector scored against each corpus vector's RECONSTRUCTION (its m
+    * codewords concatenated) — cos(q̂, v̂) = Σ_j dot(q̂_j, v̂_j)/(‖q̂‖‖v̂‖),
+    * i.e. exactly the per-subspace ADC lookup sum under the cosine norm.
+    * This is the compressed-domain scan of an IVF-PQ system: the corpus
+    * side touches only m small ints per vector; codewords decode from
+    * broadcast literals inside the fused cosine kernel. Deterministic end
+    * to end — the oracle replays codebooks, codes and scores.
+    *
+    * Scale: the scored frame is corpus × |queries| with queries broadcast
+    * (same contract as [[Similarity.bruteForceTopK]] — queries must be
+    * small); the heap top-k puts k rows per query on the wire.
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5, m: Int = 8,
+                subDim: Int = 8, kCodes: Int = 8): DataFrame = {
+    val cached = InternalCaches.register(
+      Dedup.rebalance(corpus.select(col("vec_id"), col("embedding")))
+        .select(col("vec_id"), quantized(col("embedding")).as("qv")).cache())
+    val books = pqBooks(cached, m, subDim, kCodes)
+    val codes = cached.select(col("vec_id") +: pqCodeCols(books, subDim): _*)
+    val vhat = concat((0 until m).map { j =>
+      val mat = typedlit(books(j).map(_.toSeq).toSeq)
+      element_at(mat, col(s"c$j").cast("int") + 1)
+    }: _*)
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), quantized(col("embedding")).as("q_qv")))
+    val scored = codes.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(CosineSimilarity.applyD(col("q_qv"), vhat), 6).as("cos_sim"))
+    Similarity.topKTail(scored, k)
   }
 
   /** DuckDB twin of [[pqCodesPortable]], generated from the same
@@ -270,11 +318,43 @@ object Ivf {
     * one assignment round, integer-sum re-estimation, final assignment;
     * the last SELECT joins the m per-subspace code columns on vec_id.
     */
-  def pqOracleSql(m: Int = 4, subDim: Int = 16, k: Int = 8): String = {
-    def cos(a: String, b: String): String =
-      s"""CASE WHEN list_dot_product($a, $a) = 0 OR list_dot_product($b, $b) = 0 THEN 0.0
-               ELSE list_dot_product($a, $b)
-                    / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END"""
+  def pqOracleSql(m: Int = 8, subDim: Int = 8, k: Int = 8): String =
+    s"""${pqChainCtes(m, subDim, k)}
+         SELECT e.vec_id, ${(0 until m).map(j => s"c$j::BIGINT AS c$j").mkString(", ")}
+         FROM e ${(0 until m).map(j => s"JOIN af_$j USING (vec_id)").mkString(" ")}"""
+
+  /** DuckDB twin of [[pqAdcTopK]] (same generated chain): scores are the
+    * cosine of the quantized query against the codeword concatenation.
+    */
+  def pqAdcOracleSql(k: Int = 5, m: Int = 8, subDim: Int = 8,
+                     kCodes: Int = 8): String = {
+    val recon = (0 until m).map(j => s"b$j.cent").mkString(" || ")
+    val joins = (0 until m).map(j => s"JOIN c1_$j b$j ON b$j.code = v.c$j").mkString(" ")
+    s"""${pqChainCtes(m, subDim, kCodes)},
+         codes AS (SELECT e.vec_id, ${(0 until m).map(j => s"c$j").mkString(", ")}
+                   FROM e ${(0 until m).map(j => s"JOIN af_$j USING (vec_id)").mkString(" ")}),
+         qs AS (SELECT vec_id AS query_id, qv FROM e WHERE vec_id < 10),
+         sc AS (SELECT qs.query_id, v.vec_id,
+                       round(${oracleCos("qs.qv", s"($recon)")}, 6) AS cos_sim
+                FROM qs, codes v $joins
+                WHERE v.vec_id <> qs.query_id)
+         SELECT query_id, vec_id, cos_sim, rk FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, vec_id) AS rk FROM sc)
+         WHERE rk <= $k"""
+  }
+
+  private def oracleCos(a: String, b: String): String =
+    s"""CASE WHEN list_dot_product($a, $a) = 0 OR list_dot_product($b, $b) = 0 THEN 0.0
+             ELSE list_dot_product($a, $b)
+                  / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END"""
+
+  /** Shared CTE chain of the PQ oracles: quantize, per-subspace seed book
+    * `c0_j`, one-round assignment `a1_j`, integer-sum re-estimation
+    * `c1_j`, final assignment `af_j`.
+    */
+  private def pqChainCtes(m: Int, subDim: Int, k: Int): String = {
+    def cos(a: String, b: String): String = oracleCos(a, b)
     val sb = new StringBuilder(
       """WITH e AS (
            SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1000 + 0.5)) AS qv
@@ -303,9 +383,6 @@ object Ivf {
                       ORDER BY ${cos("s.sv", "c.cent")} DESC, c.code) AS rn
              FROM s$j s CROSS JOIN c1_$j c) WHERE rn = 1)""")
     }
-    sb.append(s"""
-         SELECT e.vec_id, ${(0 until m).map(j => s"c$j::BIGINT AS c$j").mkString(", ")}
-         FROM e ${(0 until m).map(j => s"JOIN af_$j USING (vec_id)").mkString(" ")}""")
     sb.toString
   }
 
