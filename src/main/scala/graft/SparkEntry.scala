@@ -386,6 +386,18 @@ object SparkEntry {
             lit(20011L)).as("dst"))
       sources.GraphLoader.hopPlot(e, rounds = 4)
     }),
+    // --- multi-source shortest-path counting (Brandes forward pass,
+    // integer-exact σ) over the same hash-derived graph ---
+    "path_counts" -> ((s, d) => {
+      val e = pipeline.Dedup.rebalance(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
+        .select(
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tv_"), col("l_orderkey"))),
+            lit(20011L)).as("src"),
+          pmod(graft.functions.PortableHash.hash60(concat(lit("tw_"), col("l_partkey"))),
+            lit(20011L)).as("dst"))
+      sources.GraphLoader.pathCounts(e, rounds = 3)
+    }),
     // --- per-vertex seed-distance histogram (sampled-landmark harmonic
     // centrality ingredients) over the same hash-derived graph ---
     "seed_distances" -> ((s, d) => {
@@ -3361,6 +3373,18 @@ object SparkEntry {
            WHERE s <> t),
          ${sources.GraphLoader.hopPlotOracleCtes(rounds = 4)}
          SELECT dist AS hop, count(*)::BIGINT AS n_pairs FROM h4 GROUP BY 1""",
+    // Path counting: the generated frontier/σ chain; per-vertex aggregate.
+    "path_counts" ->
+      s"""WITH und AS MATERIALIZED (
+           SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+             SELECT ('0x' || substring(md5('tv_' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 20011 AS s,
+                    ('0x' || substring(md5('tw_' || l_partkey::VARCHAR), 1, 15))::BIGINT % 20011 AS t
+             FROM lineitem)
+           WHERE s <> t),
+         ${sources.GraphLoader.pathCountsOracleCtes(rounds = 3)}
+         SELECT v AS vertex, count(*)::BIGINT AS n_seeds, min(dist)::BIGINT AS min_dist,
+                sum(sigma)::BIGINT AS total_paths
+         FROM p3 GROUP BY 1""",
     // Seed-distance histogram: the same generated multi-seed BFS chain,
     // pivoted per vertex on exact first-reach distance.
     "seed_distances" ->

@@ -797,6 +797,85 @@ object GraphLoader {
       .select((col("v").as("vertex") +: histCols.map(col)).toSeq: _*)
   }
 
+  /** Multi-source shortest-path COUNTING (σ) — the exact integer core of
+    * betweenness centrality (Brandes' forward pass, seed-sampled): for the
+    * same hash-picked seed set as [[hopPlot]]/[[seedDistances]], every
+    * vertex's number of distinct shortest paths from each seed, summed
+    * over seeds. BFS property: all shortest paths to a round-i vertex
+    * arrive through round-(i−1) frontier neighbours, so
+    * σ_i(w) = Σ_{u ∈ N(w), dist(u)=i−1} σ(u) — pure integer sums, exact
+    * on both engines. Contract output is the per-vertex aggregate
+    * (vertex, n_seeds, min_dist, total_paths).
+    *
+    * Scale: per-round state is (seed, v) pairs — bounded by |seeds|·|V|
+    * with |seeds| ≈ |V|/seedMod, the same sampling knob as the hop plot;
+    * each round joins only the FRONTIER (not all reached) against the
+    * pre-partitioned adjacency, and the anti-join against reached keeps
+    * σ first-reach-only. σ ≤ degreeᵈᶦˢᵗ per seed — BIGINT headroom to
+    * ~10¹⁸ paths.
+    */
+  def pathCounts(edges: DataFrame, rounds: Int, seedMod: Long = 2003L): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .distinct().filter(col("a") =!= col("b"))
+    val adj = bothDirections(und)
+      .repartition(col("v"))
+      .localCheckpoint(true)
+    var reached = adj.select(col("v")).distinct()
+      .filter(pmod(col("v"), lit(seedMod)) === 0L)
+      .select(col("v").as("seed"), col("v"), lit(0L).as("dist"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    var frontier = reached
+    for (i <- 1 to rounds) {
+      val proposals = adj
+        .join(frontier.select(col("seed"), col("v"), col("sigma")), Seq("v"))
+        .groupBy(col("seed"), col("w"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("seed"), col("w").as("v"), col("sigma"))
+      val newly = proposals
+        .join(reached.select(col("seed"), col("v")), Seq("seed", "v"), "left_anti")
+        .select(col("seed"), col("v"), lit(i.toLong).as("dist"), col("sigma"))
+        .localCheckpoint(true)
+      val prev = reached
+      reached = reached.unionByName(newly).localCheckpoint(true)
+      prev.unpersist()
+      frontier.unpersist()
+      frontier = newly
+    }
+    adj.unpersist()
+    val out = reached.groupBy(col("v").as("vertex"))
+      .agg(count(lit(1)).as("n_seeds"), min(col("dist")).as("min_dist"),
+        sum(col("sigma")).as("total_paths"))
+    frontier.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[pathCounts]]' loop over a caller-supplied
+    * `und(a, b)`. The caller appends the per-vertex aggregate over
+    * `p<rounds>`.
+    */
+  def pathCountsOracleCtes(rounds: Int, seedMod: Long = 2003L): String = {
+    val sb = new StringBuilder(
+      s"""badj AS MATERIALIZED (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
+         p0 AS MATERIALIZED (
+           SELECT v AS seed, v, 0::BIGINT AS dist, 1::BIGINT AS sigma
+           FROM (SELECT DISTINCT v FROM badj) WHERE v % $seedMod = 0)""")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+         p$i AS MATERIALIZED (
+           SELECT seed, v, dist, sigma FROM p${i - 1}
+           UNION ALL
+           SELECT n.seed, n.v, $i::BIGINT AS dist, n.sigma FROM (
+             SELECT f.seed, a.w AS v, sum(f.sigma)::BIGINT AS sigma
+             FROM badj a JOIN p${i - 1} f ON a.v = f.v AND f.dist = ${i - 1}
+             GROUP BY f.seed, a.w) n
+           WHERE NOT EXISTS (SELECT 1 FROM p${i - 1} r
+                             WHERE r.seed = n.seed AND r.v = n.v))""")
+    }
+    sb.toString
+  }
+
   /** DuckDB twin of [[seedDistances]]: reuses [[hopPlotOracleCtes]]'
     * (seed, v, min-dist) chain; the histogram is one conditional pivot
     * over exact first-reach distances (dist ≥ 1 — a seed's own dist-0 row

@@ -214,6 +214,41 @@ class GraphLoaderSpec extends AnyFunSuite {
     assert(got == expect, s"got $got want $expect")
   }
 
+  test("pathCounts: sigma equals hand-counted shortest paths (diamond + tail)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // diamond 1-{2,3}-4 plus tail 4-5: two shortest 1→4 paths, both reach 5
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val st = new StructType().add("src", LongType).add("dst", LongType)
+    val d = df(st, es.map(e => Row(e._1, e._2)))
+    // seedMod = 1 → every vertex is a seed
+    val got = GraphLoader.pathCounts(d, rounds = 3, seedMod = 1L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // brute force per seed: BFS with path counting
+    val adj = es.flatMap(e => Seq(e, e.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val verts = Seq(1L, 2L, 3L, 4L, 5L)
+    def sigma(s: Long): Map[Long, (Long, Long)] = { // v -> (dist, sigma)
+      var res = Map(s -> (0L, 1L))
+      var frontier = Map(s -> 1L)
+      for (h <- 1L to 3L) {
+        val props = frontier.toSeq.flatMap { case (u, sg) => adj(u).map(_ -> sg) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+          .filter { case (v, _) => !res.contains(v) }.toMap
+        res ++= props.map { case (v, sg) => v -> (h, sg) }
+        frontier = props
+      }
+      res
+    }
+    val all = verts.flatMap(s => sigma(s).map { case (v, (dd, sg)) => (s, v, dd, sg) })
+    val expect = all.groupBy(_._2).map { case (v, rows) =>
+      v -> ((rows.size.toLong, rows.map(_._3).min, rows.map(_._4).sum))
+    }
+    assert(got == expect, s"got $got want $expect")
+    // spot-check the diamond: 4 has two shortest paths from 1
+    assert(all.find(r => r._1 == 1L && r._2 == 4L).get._4 == 2L)
+    assert(all.find(r => r._1 == 1L && r._2 == 5L).get._4 == 2L)
+  }
+
   test("sssp: weighted relaxation prefers the lighter multi-hop path") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
