@@ -256,20 +256,29 @@ object Ivf {
     require(seedRows.nonEmpty, "pq: empty corpus")
     require(seedRows.head.length >= m * subDim,
       s"pq: dim ${seedRows.head.length} < m*subDim ${m * subDim}")
-    (0 until m).map { j =>
+    val seedsBySub = (0 until m).map(j =>
+      seedRows.map(_.slice(j * subDim, j * subDim + subDim))).toArray
+    // ALL m subspace assignments ride one corpus pass: per row, an array of
+    // (subspace, code, subvector) structs explodes into the single
+    // (j, code, pos)-sum shuffle — one job instead of m (measured 8 jobs →
+    // 1 at m=8; the round's driver transfer is still m·k·subDim longs)
+    val perSub = explode(array((0 until m).map { j =>
       val sub = slice(col("qv"), j * subDim + 1, subDim)
-      val seeds = seedRows.map(_.slice(j * subDim, j * subDim + subDim))
-      val sums = cached
-        .select(assignCellPortable(sub, seeds).as("code"), posexplode(sub))
-        .groupBy(col("code"), col("pos")).agg(sum(col("col")).as("s"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (c, rows) =>
-          val v = new Array[Double](subDim)
-          rows.foreach(r => v(r.getInt(1)) = r.getLong(2).toDouble)
-          c -> v
-        }
-      seeds.indices.map(c => sums.getOrElse(c, seeds(c))).toArray
+      struct(lit(j).as("j"),
+        assignCellPortable(sub, seedsBySub(j)).as("code"), sub.as("sv"))
+    }: _*))
+    val sums = cached.select(perSub.as("e"))
+      .select(col("e.j").as("j"), col("e.code").as("code"), posexplode(col("e.sv")))
+      .groupBy(col("j"), col("code"), col("pos")).agg(sum(col("col")).as("s"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case ((j, c), rows) =>
+        val v = new Array[Double](subDim)
+        rows.foreach(r => v(r.getInt(2)) = r.getLong(3).toDouble)
+        (j, c) -> v
+      }
+    (0 until m).map { j =>
+      seedsBySub(j).indices.map(c => sums.getOrElse((j, c), seedsBySub(j)(c))).toArray
     }.toArray
   }
 
