@@ -1819,6 +1819,63 @@ object RelationalQueries {
         col("sup_a"), col("sup_b"), col("n_baskets"))
   }
 
+  /** Frequent brand TRIPLES — the apriori level-3 step over the shared
+    * basket frame: level-2 pairs at 1% support generate prefix-joined
+    * candidate triples, each apriori-PRUNED (its (b, c) edge must itself
+    * be frequent — downward closure), and only per-order triples matching
+    * a surviving candidate enter the counting shuffle. The output is the
+    * definitional frequent-triple table (the oracle states the definition
+    * with no pruning — the pruning must be lossless or the hash differs);
+    * confidence/lift stay client-side divisions of the integers, the
+    * [[assocRules]] discipline.
+    *
+    * Scale: per-order triple fan-out is basket-width³ (single digits
+    * cubed), and the broadcast candidate semi-join cuts it BEFORE the
+    * count shuffle — the candidate set is bounded by frequent-pair²
+    * (hundreds), never corpus-sized. All support thresholds are exact
+    * integer cross-multiplications against the basket count.
+    */
+  def tripleItemsets(s: SparkSession, d: String): DataFrame = {
+    val ob = orderBrands(s, d)
+    val nB = ob.select(col("o")).distinct().agg(count(lit(1)).as("n_baskets"))
+    val sup = ob.groupBy(col("b")).agg(count(lit(1)).as("sup"))
+    // L2 at the 0.1% support floor — downward closure makes pruning on
+    // THIS floor provably lossless (lift alone has no closure property)
+    val pairs = ob.select(col("o"), col("b").as("x"))
+      .join(ob.select(col("o"), col("b").as("y")), Seq("o"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("sup"))
+      .crossJoin(broadcast(nB))
+      .filter(col("sup") * 1000 >= col("n_baskets"))
+      .select(col("x"), col("y"))
+    val cand = pairs.select(col("x").as("ca"), col("y").as("cb"))
+      .join(pairs.select(col("x").as("ca"), col("y").as("cc")), Seq("ca"))
+      .filter(col("cb") < col("cc"))
+      .join(pairs.select(col("x").as("cb"), col("y").as("cc")), Seq("cb", "cc"), "left_semi")
+    val triples = ob.select(col("o"), col("b").as("ca"))
+      .join(ob.select(col("o"), col("b").as("cb")), Seq("o"))
+      .filter(col("ca") < col("cb"))
+      .join(ob.select(col("o"), col("b").as("cc")), Seq("o"))
+      .filter(col("cb") < col("cc"))
+      .join(broadcast(cand), Seq("ca", "cb", "cc"), "left_semi")
+      .groupBy(col("ca"), col("cb"), col("cc"))
+      .agg(count(lit(1)).as("sup_abc"))
+    // scale-free keep rule: 0.1% floor AND positive 3-way lift
+    // (sup_abc·n² > sup_a·sup_b·sup_c, exact in DECIMAL(38) — three
+    // basket-count factors overflow BIGINT at extreme scale)
+    val dec = "decimal(38,0)"
+    triples.crossJoin(broadcast(nB))
+      .join(broadcast(sup.select(col("b").as("ca"), col("sup").as("sup_a"))), Seq("ca"))
+      .join(broadcast(sup.select(col("b").as("cb"), col("sup").as("sup_b"))), Seq("cb"))
+      .join(broadcast(sup.select(col("b").as("cc"), col("sup").as("sup_c"))), Seq("cc"))
+      .filter(col("sup_abc") * 1000 >= col("n_baskets") &&
+        col("sup_abc").cast(dec) * col("n_baskets") * col("n_baskets") >
+          col("sup_a").cast(dec) * col("sup_b") * col("sup_c"))
+      .select(col("ca").as("brand_a"), col("cb").as("brand_b"),
+        col("cc").as("brand_c"), col("sup_abc"),
+        col("sup_a"), col("sup_b"), col("sup_c"), col("n_baskets"))
+  }
+
   /** Per-nation least-squares revenue trend — the OLS slope over (day,
     * daily revenue) points in EXACT integer components. slope = (n·Σxy −
     * Σx·Σy) / (n·Σx² − (Σx)²) is a double; emitting the numerator and
@@ -3151,6 +3208,38 @@ object RelationalQueries {
       .agg(min(col("cents")).as("wmedian_cents"))
       .select(col("l_returnflag"), col("tot").as("total_weight"), col("wmedian_cents"))
   }
+
+  /** Audience overlap via BITMAP aggregation — the roaring-bitmap-index
+    * mechanism as a Spark plan: the distinct (event_type, user) audience
+    * folds into per-(type, 64-user bucket) long masks (`bit_or` of
+    * single-bit values — ⊕-mergeable, map-side combined), and every
+    * pairwise intersection size is Σ popcount(maskA & maskB) over the
+    * bucket equi-join. EXACT distinct-user intersection counts with
+    * |types|² · |users|/64 work instead of a |users|-row self-join per
+    * pair — the audience/segment-overlap query every ads/analytics stack
+    * runs, in its production data layout.
+    *
+    * Scale: the masks frame is |types| · |users|/64 rows (64× smaller
+    * than the audience, thousands of times smaller than events); the
+    * pair join is bucket-aligned, carrying (type, bucket, long) only.
+    * Adding a segment = one bit_or — no rescan of the others.
+    */
+  def audienceOverlap(ev: DataFrame): DataFrame = {
+    val masks = ev.select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"), expr("user_id div 64").as("bucket"),
+        expr("shiftleft(1L, cast(pmod(user_id, 64) as int))").as("bit"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(expr("bit_or(bit)").as("mask"))
+    val a = masks.select(col("event_type").as("type_a"), col("bucket"), col("mask").as("ma"))
+    val b = masks.select(col("event_type").as("type_b"), col("bucket"), col("mask").as("mb"))
+    a.join(b, Seq("bucket")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(bit_count(col("ma").bitwiseAND(col("mb")))).as("n_both"))
+  }
+
+  /** Contract instance over the events table. */
+  def audienceOverlapQuery(s: SparkSession, d: String): DataFrame =
+    audienceOverlap(events(s, d))
 
   /** Gaps-and-islands as ACTIVITY STREAKS: per user, every maximal run of
     * consecutive active days (island) with its bounds and length — the

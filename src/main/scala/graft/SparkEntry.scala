@@ -238,6 +238,11 @@ object SparkEntry {
     "user_streaks" -> RelationalQueries.userStreaks _,
     // --- Wald–Wolfowitz runs-test ingredients, BIGINT-exact ---
     "runs_test" -> RelationalQueries.runsTestQuery _,
+    // --- bitmap-index audience intersections: 64-user bucket masks,
+    // popcount over the bucket join — exact distinct-user overlaps ---
+    "audience_overlap" -> RelationalQueries.audienceOverlapQuery _,
+    // --- apriori level-3: candidate-pruned frequent brand triples ---
+    "triple_itemsets" -> RelationalQueries.tripleItemsets _,
     // --- Kaplan–Meier ingredients: risk set / events / censored per t ---
     "survival_curve" -> RelationalQueries.survivalCurveQuery _,
     // --- l-diversity audit: distinct-sensitive-value floor per QI class ---
@@ -1762,6 +1767,37 @@ object SparkEntry {
                 sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_above,
                 sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)::BIGINT AS n_below
          FROM runs GROUP BY 1""",
+    // Frequent triples: the definitional count with the same exact
+    // threshold — the plan's apriori pruning must be lossless.
+    "triple_itemsets" ->
+      """WITH ob AS MATERIALIZED (
+           SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         nb AS (SELECT count(DISTINCT o)::BIGINT AS n_baskets FROM ob),
+         sup AS (SELECT b, count(*)::BIGINT AS sup FROM ob GROUP BY 1),
+         t AS (SELECT a.b AS brand_a, b2.b AS brand_b, c.b AS brand_c,
+                      count(*)::BIGINT AS sup_abc
+               FROM ob a JOIN ob b2 ON a.o = b2.o AND a.b < b2.b
+                         JOIN ob c ON a.o = c.o AND b2.b < c.b
+               GROUP BY 1, 2, 3)
+         SELECT brand_a, brand_b, brand_c, sup_abc,
+                sa.sup AS sup_a, sb.sup AS sup_b, sc.sup AS sup_c, n_baskets
+         FROM t, nb
+         JOIN sup sa ON t.brand_a = sa.b
+         JOIN sup sb ON t.brand_b = sb.b
+         JOIN sup sc ON t.brand_c = sc.b
+         WHERE sup_abc * 1000 >= n_baskets
+           AND sup_abc::HUGEINT * n_baskets * n_baskets
+               > sa.sup::HUGEINT * sb.sup * sc.sup""",
+    // Audience overlap: the bitmap plan's answer IS the definitional
+    // distinct-user intersection — the oracle states the definition.
+    "audience_overlap" ->
+      """WITH au AS (SELECT DISTINCT event_type, user_id FROM events)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                count(*)::BIGINT AS n_both
+         FROM au a JOIN au b
+           ON a.user_id = b.user_id AND a.event_type < b.event_type
+         GROUP BY 1, 2""",
     // Kaplan–Meier: suffix-sum risk set over distinct lifetimes;
     // censored = still active within 7 days of the corpus max day.
     "survival_curve" ->

@@ -343,6 +343,19 @@ class AnalyticsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("audience_overlap: bitmap popcount sums equal brute-force distinct-user intersections") {
+    val au = Tables.events(spark, sf).select(col("event_type"), col("user_id"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = au.keys.toSeq.sorted
+    val expect = (for {
+      i <- types.indices; j <- (i + 1) until types.size
+    } yield (types(i), types(j), (au(types(i)) & au(types(j))).size.toLong)).toSet
+    val got = RelationalQueries.audienceOverlapQuery(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
   test("survival_curve: risk set is the suffix sum, events+censored partition users") {
     val spans = Tables.events(spark, sf)
       .select(col("user_id"), floor(unix_timestamp(col("ts")) / 86400).cast("long"))
