@@ -853,6 +853,11 @@ object SparkEntry {
     }),
     "embed_neardup" -> ((s, d) =>
       pipeline.Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.4)),
+    // --- Matryoshka truncation fidelity: full-dim vs 16-dim top-5 ---
+    "mrl_overlap" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      pipeline.Similarity.mrlOverlap(emb, emb.filter(col("vec_id") < 10), 5, 16)
+    }),
     // --- product-quantization codes: 4 subspaces × 8 spherical codewords,
     // one portable integer-Lloyd round each; the oracle replays training
     // and assignment bit-for-bit ---
@@ -4262,6 +4267,43 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY cos_sim DESC, vec_id) AS rk FROM sc)
          WHERE rk <= 5""",
+    // MRL truncation fidelity: two ranked retrievals (full / first-16
+    // dims), id-overlap per query.
+    "mrl_overlap" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         sf_ AS (
+           SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+           FROM (SELECT q.query_id, c.vec_id,
+                        round(CASE WHEN list_dot_product(q.qe, q.qe) = 0
+                                     OR list_dot_product(c.ce, c.ce) = 0 THEN 0.0
+                                   ELSE list_dot_product(q.qe, c.ce)
+                                        / (sqrt(list_dot_product(q.qe, q.qe))
+                                           * sqrt(list_dot_product(c.ce, c.ce))) END, 6) AS cos_sim
+                 FROM q CROSS JOIN c WHERE c.vec_id <> q.query_id)),
+         st AS (
+           SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+           FROM (SELECT q.query_id, c.vec_id,
+                        round(CASE WHEN list_dot_product(q.qe[1:16], q.qe[1:16]) = 0
+                                     OR list_dot_product(c.ce[1:16], c.ce[1:16]) = 0 THEN 0.0
+                                   ELSE list_dot_product(q.qe[1:16], c.ce[1:16])
+                                        / (sqrt(list_dot_product(q.qe[1:16], q.qe[1:16]))
+                                           * sqrt(list_dot_product(c.ce[1:16], c.ce[1:16]))) END, 6) AS cos_sim
+                 FROM q CROSS JOIN c WHERE c.vec_id <> q.query_id)),
+         ov AS (
+           SELECT a.query_id, count(*)::BIGINT AS n_common
+           FROM (SELECT query_id, vec_id FROM sf_ WHERE rk <= 5) a
+           JOIN (SELECT query_id, vec_id FROM st WHERE rk <= 5) b
+             USING (query_id, vec_id)
+           GROUP BY 1)
+         SELECT f1.query_id, coalesce(ov.n_common, 0)::BIGINT AS n_common,
+                f1.vec_id AS top1_full, t1.vec_id AS top1_trunc
+         FROM (SELECT query_id, vec_id FROM sf_ WHERE rk = 1) f1
+         JOIN (SELECT query_id, vec_id FROM st WHERE rk = 1) t1 USING (query_id)
+         LEFT JOIN ov USING (query_id)""",
     // PQ codes: the per-subspace integer-Lloyd chain generated from the
     // same parameters as the Spark plan.
     "pq_codes" -> pipeline.Ivf.pqOracleSql(),

@@ -204,6 +204,35 @@ object Similarity {
     * never all-pairs. Pair dedup shuffles (id_a, id_b, cos_sim) scalars;
     * embeddings stay on the map side of the bucket join.
     */
+  /** Matryoshka/dimension-truncation fidelity: per query, how much of the
+    * FULL-dimension exact top-k survives when retrieval runs on only the
+    * first `dims` components — the evaluation behind MRL-style embedding
+    * cost cuts (a 4× dimension cut that keeps 4/5 of top-5 is usually a
+    * good trade; this query measures it exactly instead of assuming it).
+    * Output per query: overlap size and the two top-1 ids.
+    *
+    * Scale: two [[bruteForceTopK]] passes (queries broadcast, corpus
+    * scanned twice — the truncated pass reads 4× fewer vector bytes,
+    * which is the point) and an id-only join of two k-row-per-query
+    * frames.
+    */
+  def mrlOverlap(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                 dims: Int = 16): DataFrame = {
+    val full = bruteForceTopK(corpus, queries, k)
+    def trunc(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding"))
+    val cut = bruteForceTopK(trunc(corpus), trunc(queries), k)
+    val common = full.select(col("query_id"), col("vec_id"))
+      .join(cut.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
+    full.filter(col("rk") === 1L).select(col("query_id"), col("vec_id").as("top1_full"))
+      .join(cut.filter(col("rk") === 1L)
+        .select(col("query_id"), col("vec_id").as("top1_trunc")), Seq("query_id"))
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_common"), lit(0L)).as("n_common"),
+        col("top1_full"), col("top1_trunc"))
+  }
+
   def embeddingNearDup(corpus: DataFrame, threshold: Double,
                        bands: Int = 4, planesPerBand: Int = 4, dim: Int = 64,
                        maxBucket: Int = 100000): DataFrame = {
