@@ -3175,8 +3175,11 @@ object RelationalQueries {
       .groupBy(col("event_type"), col("n_a"), col("n_b"))
       .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))).as("d_num"))
       .select(col("event_type"), col("n_a"), col("n_b"), col("d_num"),
-        round(col("d_num").cast("double") /
-          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("d"))
+        // empty arm → D undefined; report 0 (the numerator is 0 too).
+        // ANSI mode throws on /0 even for doubles, so the guard is load-bearing
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(0.0))
+          .otherwise(round(col("d_num").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 6)).as("d"))
   }
 
   /** Contract instance over the events table. */

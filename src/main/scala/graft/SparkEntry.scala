@@ -1713,8 +1713,9 @@ object SparkEntry {
            FROM cells)
          SELECT event_type, n_a, n_b,
                 max(abs(cum_a * n_b - cum_b * n_a))::BIGINT AS d_num,
-                round(max(abs(cum_a * n_b - cum_b * n_a))::DOUBLE
-                      / (n_a::DOUBLE * n_b::DOUBLE), 6) AS d
+                CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
+                     ELSE round(max(abs(cum_a * n_b - cum_b * n_a))::DOUBLE
+                                / (n_a::DOUBLE * n_b::DOUBLE), 6) END AS d
          FROM cum GROUP BY 1, 2, 3""",
     // Weighted median: smallest value with 2·cum ≥ tot on integers.
     "weighted_median" ->

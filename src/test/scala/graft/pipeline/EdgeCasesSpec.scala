@@ -139,4 +139,40 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(TrainingData.weightedSample(
       df(new StructType().add("doc_id", LongType).add("n_chars", IntegerType), Nil)).count() == 0)
   }
+
+  test("round-7 additions: empty and degenerate inputs") {
+    import graft.RelationalQueries
+    import graft.sources.GraphLoader
+    val evSchema = new StructType().add("event_id", LongType).add("ts", TimestampType)
+      .add("user_id", LongType).add("event_type", StringType).add("value", DoubleType)
+    val noEv = df(evSchema, Nil)
+    val oneEv = df(evSchema,
+      Seq(Row(1L, new java.sql.Timestamp(1000L), 1L, "a", 2.0)))
+    // KS: one event → one arm empty, numerator 0 (D undefined ≡ 0 by the contract)
+    assert(RelationalQueries.ksTest(noEv).count() == 0)
+    assert(RelationalQueries.ksTest(oneEv).collect().forall(_.getLong(3) == 0L))
+    // runs test: the single event IS the median → sits out → zero runs row
+    assert(RelationalQueries.runsTest(oneEv).collect().forall(_.getLong(1) == 0L))
+    // survival: one user, lifetime 0, censored (active at corpus end)
+    val sc = RelationalQueries.survivalCurve(oneEv).collect()
+    assert(sc.length == 1 && sc.head.getLong(0) == 0L &&
+      sc.head.getLong(1) == 1L && sc.head.getLong(3) == 1L)
+    // audience overlap needs ≥ 2 types for a pair
+    assert(RelationalQueries.audienceOverlap(oneEv).count() == 0)
+    assert(RelationalQueries.audienceOverlap(noEv).count() == 0)
+    // boilerplate removal: empty text is one (possibly shared) empty line
+    val d2 = docs(Row(1L, "", "en", "s"), Row(2L, "", "en", "s"))
+    val bp = TextAnalysis.dropBoilerplateLines(d2).collect()
+    assert(bp.forall(r => r.getLong(1) == 1L && r.getLong(2) == 1L)) // df=2 ≤ maxDf
+    // seed/path machinery on a seedless graph (no v ≡ 0 mod seedMod)
+    val eSchema = new StructType().add("src", LongType).add("dst", LongType)
+    val g = df(eSchema, Seq(Row(1L, 2L)))
+    assert(GraphLoader.seedDistances(g, rounds = 2, seedMod = 97L).count() == 0)
+    assert(GraphLoader.pathCounts(g, rounds = 2, seedMod = 97L).count() == 0)
+    // pathCounts with every vertex a seed on a single edge: each endpoint
+    // reaches the other once
+    val pc = GraphLoader.pathCounts(g, rounds = 2, seedMod = 1L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(pc(1L) == ((2L, 0L, 2L)) && pc(2L) == ((2L, 0L, 2L)))
+  }
 }
