@@ -2795,9 +2795,10 @@ object RelationalQueries {
     * its own neighbor list), per-brand basket sizes are an aggregate-sized
     * frame AQE broadcasts back. The ranking window runs over at most
     * |brands|² aggregate rows. Scale: per-order brand fan-out is bounded
-    * by basket size (single digits); num² ≤ |orders|² keeps the scaled
-    * score inside BIGINT through ~10⁹ baskets — beyond that, move the
-    * scale factor into DECIMAL(38,0) (same plan).
+    * by basket size (single digits); the num²·10⁶ intermediate runs in
+    * DECIMAL(38,0) (BIGINT clears at num ~3·10⁶ co-occurrences) and the
+    * quotient — at most 10⁶ since num ≤ min(na, nb) — lands back in
+    * BIGINT exactly.
     */
   def itemCf(s: SparkSession, d: String): DataFrame = {
     val ob = orderBrands(s, d)
@@ -2810,7 +2811,11 @@ object RelationalQueries {
     val scored = pairs
       .join(sizes.select(col("b").as("brand_a"), col("n").as("na")), Seq("brand_a"))
       .join(sizes.select(col("b").as("brand_b"), col("n").as("nb")), Seq("brand_b"))
-      .withColumn("score2", expr("(num * num * 1000000) div (na * nb)"))
+      .withColumn("score2",
+        // Intermediate num²·10⁶ would clear BIGINT once num ~3e6; the
+        // quotient itself is ≤ 10⁶ (num ≤ min(na, nb)), so run the product
+        // in DECIMAL(38,0) and land the exact result back in BIGINT.
+        expr("cast((cast(num as decimal(38,0)) * num * 1000000) div (cast(na as decimal(38,0)) * nb) as long)"))
     val w = Window.partitionBy(col("brand_a"))
       .orderBy(col("score2").desc, col("num").desc, col("brand_b"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
@@ -2905,8 +2910,11 @@ object RelationalQueries {
         col(s"s_$nx") * col(s"s_$ny")).cast("double")
       val vx = (col("n").cast(dec) * col(s"ss_$nx") - col(s"s_$nx") * col(s"s_$nx")).cast("double")
       val vy = (col("n").cast(dec) * col(s"ss_$ny") - col(s"s_$ny") * col(s"s_$ny")).cast("double")
+      // A zero-variance (constant) measure has no defined correlation;
+      // report 0.0 rather than let ANSI throw on 0/0.
       struct(lit(nx).as("m_x"), lit(ny).as("m_y"),
-        round(num / (sqrt(vx) * sqrt(vy)), 6).as("corr"))
+        when(vx === 0.0 || vy === 0.0, 0.0)
+          .otherwise(round(num / (sqrt(vx) * sqrt(vy)), 6)).as("corr"))
     }
     m.select(explode(array(pairs: _*)).as("p"), col("n"))
       .select(col("p.m_x").as("m_x"), col("p.m_y").as("m_y"), col("n"),
@@ -2927,9 +2935,13 @@ object RelationalQueries {
     val pairSelects = for (i <- ms.indices; j <- ms.indices if i < j) yield {
       val nx = ms(i)._1; val ny = ms(j)._1
       s"""SELECT '$nx' AS m_x, '$ny' AS m_y, n,
+             CASE WHEN (n::HUGEINT * ss_$nx - s_$nx * s_$nx) = 0
+                    OR (n::HUGEINT * ss_$ny - s_$ny * s_$ny) = 0 THEN 0.0
+             ELSE
              round((n::HUGEINT * sp_${nx}_$ny - s_$nx * s_$ny)::DOUBLE
                    / (sqrt((n::HUGEINT * ss_$nx - s_$nx * s_$nx)::DOUBLE)
-                      * sqrt((n::HUGEINT * ss_$ny - s_$ny * s_$ny)::DOUBLE)), 6) AS corr
+                      * sqrt((n::HUGEINT * ss_$ny - s_$ny * s_$ny)::DOUBLE)), 6)
+             END AS corr
           FROM m"""
     }
     s"WITH m AS (SELECT ${momentCols.mkString(", ")} FROM lineitem)\n" +
@@ -3238,6 +3250,9 @@ object RelationalQueries {
     a.join(b, Seq("bucket")).filter(col("type_a") < col("type_b"))
       .groupBy(col("type_a"), col("type_b"))
       .agg(sum(bit_count(col("ma").bitwiseAND(col("mb")))).as("n_both"))
+      // Pairs sharing a bucket but no users popcount to 0; the definitional
+      // inner join emits no row for them — drop to match on sparse data.
+      .filter(col("n_both") > 0L)
   }
 
   /** Contract instance over the events table. */

@@ -858,9 +858,9 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       pipeline.Similarity.mrlOverlap(emb, emb.filter(col("vec_id") < 10), 5, 16)
     }),
-    // --- product-quantization codes: 4 subspaces × 8 spherical codewords,
-    // one portable integer-Lloyd round each; the oracle replays training
-    // and assignment bit-for-bit ---
+    // --- product-quantization codes: 8 subspaces × 8 codewords (8-dim
+    // each), one portable integer-Lloyd round per subspace; the oracle
+    // replays training and assignment bit-for-bit ---
     "pq_codes" -> ((s, d) =>
       pipeline.Ivf.pqCodesPortable(Tables.embeddings(s, d))),
     // --- compressed-domain ADC top-k: queries scored against codeword
@@ -1673,7 +1673,7 @@ object SparkEntry {
            FROM ob x JOIN ob y ON x.o = y.o AND x.b <> y.b GROUP BY 1, 2),
          scored AS (
            SELECT brand_a, brand_b, num,
-                  (num * num * 1000000) // (sa.n * sb.n) AS score2
+                  ((num::HUGEINT * num * 1000000) // (sa.n::HUGEINT * sb.n))::BIGINT AS score2
            FROM pairs
            JOIN sizes sa ON sa.b = brand_a
            JOIN sizes sb ON sb.b = brand_b),
@@ -2743,10 +2743,14 @@ object SparkEntry {
                   sum((1 - a) * b)::BIGINT AS n01, sum((1 - a) * (1 - b))::BIGINT AS n00
            FROM l)
          SELECT n11, n10, n01, n00,
+           CASE WHEN ((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00) -
+                  ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))) = 0 THEN 0.0
+           ELSE
            round(((n11 + n00) * (n11 + n10 + n01 + n00) -
                   ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))::DOUBLE /
                  ((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00) -
-                  ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))::DOUBLE, 6) AS kappa
+                  ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))::DOUBLE, 6)
+           END AS kappa
          FROM c""",
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp

@@ -252,16 +252,21 @@ object TextAnalysis {
         sum(col("a") * (lit(1L) - col("b"))).as("n10"),
         sum((lit(1L) - col("a")) * col("b")).as("n01"),
         sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+    // κ denominator N² − Σ marginal products is 0 when both rules label
+    // every document identically (all mass in one cell) — chance agreement
+    // is total and κ is conventionally 0; guard it so ANSI never divides
+    // 0/0 on a degenerate corpus.
+    val kNum =
+      ((col("n11") + col("n00")) * (col("n11") + col("n10") + col("n01") + col("n00")) -
+        ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+         (col("n01") + col("n00")) * (col("n10") + col("n00")))).cast("double")
+    val kDen =
+      ((col("n11") + col("n10") + col("n01") + col("n00")) *
+       (col("n11") + col("n10") + col("n01") + col("n00")) -
+        ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+         (col("n01") + col("n00")) * (col("n10") + col("n00")))).cast("double")
     counts.select(col("n11"), col("n10"), col("n01"), col("n00"),
-      round(
-        ((col("n11") + col("n00")) * (col("n11") + col("n10") + col("n01") + col("n00")) -
-          ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
-           (col("n01") + col("n00")) * (col("n10") + col("n00")))).cast("double") /
-        ((col("n11") + col("n10") + col("n01") + col("n00")) *
-         (col("n11") + col("n10") + col("n01") + col("n00")) -
-          ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
-           (col("n01") + col("n00")) * (col("n10") + col("n00")))).cast("double"),
-        6).as("kappa"))
+      when(kDen === 0.0, 0.0).otherwise(round(kNum / kDen, 6)).as("kappa"))
   }
 
   /** Content fingerprint: digest of whitespace-normalized lowercased text —
