@@ -863,6 +863,12 @@ object SparkEntry {
     // replays training and assignment bit-for-bit ---
     "pq_codes" -> ((s, d) =>
       pipeline.Ivf.pqCodesPortable(Tables.embeddings(s, d))),
+    // --- the COMPOSED production scan: IVF cell pruning × PQ ADC within
+    // probed cells × exact shortlist re-rank (no corpus×queries pass) ---
+    "ivf_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      pipeline.Ivf.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
     // --- compressed-domain ADC top-k: queries scored against codeword
     // reconstructions (the IVF-PQ scan shape) ---
     "pq_adc" -> ((s, d) => {
@@ -4314,6 +4320,9 @@ object SparkEntry {
     "pq_codes" -> pipeline.Ivf.pqOracleSql(),
     // PQ ADC top-k: same chain, cosine vs codeword concatenation.
     "pq_adc" -> pipeline.Ivf.pqAdcOracleSql(),
+    // IVF×PQ composed scan: both generated chains joined — cell-pruned
+    // ADC shortlist, exact re-rank.
+    "ivf_pq" -> pipeline.Ivf.ivfPqOracleSql(),
     // SemDedup replay: same integer-Lloyd CTE chain as ann_ivf up to the
     // final assignment `af`, then within-cell lower-id pairs at cosine ≥ τ
     // resolved to min dup_of — the keep/drop decision bit-matches.

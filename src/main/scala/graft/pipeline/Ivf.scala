@@ -322,6 +322,66 @@ object Ivf {
     Similarity.topKTail(scored, k)
   }
 
+  /** IVF×PQ composed scan — the production compressed-vector ANN query
+    * (the FAISS `IVFPQ` shape): the coarse quantizer prunes the corpus to
+    * each query's `nProbe` nearest cells, the ADC compressed-domain score
+    * runs ONLY inside those cells (a bucket equi-join on `cell` — never a
+    * corpus × queries cross), the per-query top-`shortlist` candidates are
+    * re-ranked with the exact cosine on the original embeddings, and the
+    * top-`k` of the re-rank is the answer. Every ingredient is the
+    * portable integer-Lloyd machinery ([[ivfTopKPortable]] coarse cells,
+    * [[pqCodesPortable]] codebooks/codes), so the DuckDB oracle
+    * ([[ivfPqOracleSql]], generated from the same parameters) replays
+    * training, assignment, probing, ADC scoring, the shortlist cut and the
+    * re-rank bit-for-bit.
+    *
+    * Scale: ONE cached (vec_id, embedding, qv) frame feeds IVF seeding +
+    * training, PQ training, the tag pass and the re-rank side — the corpus
+    * is scanned and quantized once. Driver transfer is bounded (nCells·dim
+    * + m·kCodes·subDim longs — codebooks, never vectors). The ADC probe
+    * touches ~nProbe/nCells of the corpus per query and carries only the
+    * m small code ints per row; the exact re-rank reads full vectors for
+    * |queries|·shortlist ids only (AQE broadcasts the id list). This
+    * removes the corpus × |queries| scan [[pqAdcTopK]] deliberately keeps
+    * as the flat-ADC baseline.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                nCells: Int = 16, nProbe: Int = 4, shortlist: Int = 50,
+                m: Int = 8, subDim: Int = 8, kCodes: Int = 8): DataFrame = {
+    val cached = InternalCaches.register(
+      Dedup.rebalance(corpus.select(col("vec_id"), col("embedding")))
+        .withColumn("qv", quantized(col("embedding"))).cache())
+    val quant = cached.select(col("vec_id"), col("qv"))
+    val centroids = trainOnQuantized(quant, nCells, iters = 1)
+    val books = pqBooks(quant, m, subDim, kCodes)
+    val codes = cached.select(
+      col("vec_id") +: assignCellPortable(col("qv"), centroids).as("cell") +:
+        pqCodeCols(books, subDim): _*)
+    val vhat = concat((0 until m).map { j =>
+      val mat = typedlit(books(j).map(_.toSeq).toSeq)
+      element_at(mat, col(s"c$j").cast("int") + 1)
+    }: _*)
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), quantized(col("embedding")).as("q_qv"),
+      explode(probeCellsPortable(quantized(col("embedding")), centroids, nProbe)).as("cell")))
+    // ADC only within probed cells: equi-join on cell — the quantizer's
+    // prune IS the join predicate (plan-asserted in IvfSpec: no
+    // cartesian/nested-loop join anywhere in this query)
+    val adc = codes.join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(CosineSimilarity.applyD(col("q_qv"), vhat), 6).as("cos_sim"))
+    val short = Similarity.topKTail(adc, shortlist).select(col("query_id"), col("vec_id"))
+    val qe = broadcast(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val rer = short
+      .join(cached.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(qe, Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(CosineSimilarity(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    Similarity.topKTail(rer, k)
+  }
+
   /** DuckDB twin of [[pqCodesPortable]], generated from the same
     * parameters (the anti-drift pattern): per subspace, the seed book,
     * one assignment round, integer-sum re-estimation, final assignment;
@@ -364,9 +424,12 @@ object Ivf {
     */
   private def pqChainCtes(m: Int, subDim: Int, k: Int): String = {
     def cos(a: String, b: String): String = oracleCos(a, b)
+    // ce (the exact double cast) rides along unused by the PQ chains; the
+    // composed ivf_pq oracle re-ranks on it
     val sb = new StringBuilder(
       """WITH e AS (
-           SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1000 + 0.5)) AS qv
+           SELECT vec_id, embedding::DOUBLE[] AS ce,
+                  list_transform(embedding::DOUBLE[], x -> floor(x * 1000 + 0.5)) AS qv
            FROM embeddings)""")
     for (j <- 0 until m) {
       val lo = j * subDim + 1; val hi = (j + 1) * subDim
@@ -393,6 +456,86 @@ object Ivf {
              FROM s$j s CROSS JOIN c1_$j c) WHERE rn = 1)""")
     }
     sb.toString
+  }
+
+  /** Coarse-quantizer CTE chain (the ann_ivf oracle's training/assignment
+    * steps, generated): seed book `c0` = the `nCells` lowest vec_ids, one
+    * integer-sum Lloyd round (`a1`→`s1`→`c1`), final per-vector cell `af`.
+    * Assumes the quantize CTE `e(vec_id, ce, qv)` is already in scope.
+    */
+  private def ivfChainCtes(nCells: Int, dim: Int): String = s""",
+         iv_c0 AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cent
+           FROM (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT $nCells)),
+         iv_sim1 AS (
+           SELECT e.vec_id, c.cell, ${oracleCos("e.qv", "c.cent")} AS sim
+           FROM e CROSS JOIN iv_c0 c),
+         iv_a1 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+             FROM iv_sim1) WHERE rn = 1),
+         iv_s1 AS (
+           SELECT iv_a1.cell, p.pos, sum(e.qv[p.pos + 1])::BIGINT AS s
+           FROM iv_a1 JOIN e USING (vec_id), LATERAL (SELECT unnest(range($dim)) AS pos) p
+           GROUP BY iv_a1.cell, p.pos),
+         iv_c1l AS (SELECT cell, list(s::DOUBLE ORDER BY pos) AS cent FROM iv_s1 GROUP BY cell),
+         iv_c1 AS (SELECT iv_c0.cell, coalesce(iv_c1l.cent, iv_c0.cent) AS cent
+                FROM iv_c0 LEFT JOIN iv_c1l USING (cell)),
+         iv_simf AS (
+           SELECT e.vec_id, c.cell, ${oracleCos("e.qv", "c.cent")} AS sim
+           FROM e CROSS JOIN iv_c1 c),
+         iv_af AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+             FROM iv_simf) WHERE rn = 1)"""
+
+  /** DuckDB twin of [[ivfPqTopK]]: the PQ subspace chains and the coarse
+    * IVF chain share one quantize CTE; `qp` probes each query's top-nProbe
+    * cells (reverse-sort ties → higher cell, the [[probeCellsPortable]]
+    * convention), `adc` scores codeword reconstructions ONLY for vectors
+    * in probed cells, `short` cuts the per-query ADC shortlist, `rer`
+    * re-ranks it with the exact double cosine. Generated from the same
+    * parameters as the Spark plan — the anti-drift pattern.
+    */
+  def ivfPqOracleSql(k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
+                     shortlist: Int = 50, m: Int = 8, subDim: Int = 8,
+                     kCodes: Int = 8, dim: Int = 64): String = {
+    val recon = (0 until m).map(j => s"b$j.cent").mkString(" || ")
+    val bookJoins = (0 until m).map(j => s"JOIN c1_$j b$j ON b$j.code = v.c$j").mkString(" ")
+    s"""${pqChainCtes(m, subDim, kCodes)}${ivfChainCtes(nCells, dim)},
+         codes AS (
+           SELECT e.vec_id, iv_af.cell, ${(0 until m).map(j => s"c$j").mkString(", ")}
+           FROM e JOIN iv_af USING (vec_id)
+           ${(0 until m).map(j => s"JOIN af_$j USING (vec_id)").mkString(" ")}),
+         qp AS (
+           SELECT vec_id AS query_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+             FROM iv_simf WHERE vec_id < 10) WHERE rn <= $nProbe),
+         adc AS (
+           SELECT qp.query_id, v.vec_id,
+                  round(${oracleCos("q.qv", s"($recon)")}, 6) AS adc_sim
+           FROM qp JOIN codes v USING (cell)
+           JOIN e q ON q.vec_id = qp.query_id
+           $bookJoins
+           WHERE v.vec_id <> qp.query_id),
+         short AS (
+           SELECT query_id, vec_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc_sim DESC, vec_id) AS rn
+             FROM adc) WHERE rn <= $shortlist),
+         rer AS (
+           SELECT s.query_id, s.vec_id,
+                  round(${oracleCos("q.ce", "c.ce")}, 6) AS cos_sim
+           FROM short s
+           JOIN e q ON q.vec_id = s.query_id
+           JOIN e c ON c.vec_id = s.vec_id)
+         SELECT query_id, vec_id, cos_sim, rk FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, vec_id) AS rk FROM rer)
+         WHERE rk <= $k"""
   }
 
   private def nearest(centroids: Array[Array[Float]], v: Array[Float]): Int = {

@@ -73,6 +73,32 @@ class RecallGatesSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("IVF×PQ composed scan: recall@5 ≥ 0.4 vs brute force; plan never crosses corpus × queries (sf0.1)") {
+    // the production scan prunes TWICE (nProbe/nCells of the corpus, then
+    // 24-bit ADC within probed cells) — its recall floor sits below the
+    // single-prune paths by construction; the plan assertion is the other
+    // half of the claim: the ADC stage must reach the corpus ONLY through
+    // the cell equi-join (no cartesian / nested-loop anywhere).
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.1").cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val result = Ivf.ivfPqTopK(emb, queries, 5)
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = result.queryExecution.executedPlan
+    val crosses = plan.collect {
+      case j: CartesianProductExec => j
+      case j: BroadcastNestedLoopJoinExec => j
+    }
+    assert(crosses.isEmpty,
+      s"ivf_pq must route ADC through the cell equi-join, found ${crosses.size} cross(es):\n$plan")
+    val got = result.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF×PQ recall@5 = $recall below floor")
+    graft.pipeline.InternalCaches.release()
+    emb.unpersist()
+  }
+
   test("distributed Lloyd strictly refines the driver-sample quantizer's objective") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01").cache()
     def objective(cents: Array[Array[Float]]): Double =
