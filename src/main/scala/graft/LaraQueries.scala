@@ -140,4 +140,52 @@ object LaraQueries {
       .crossJoin(broadcast(nBins))
       .select(col("c"), col("c2"), round(col("sp") / (col("nb") - 1.0), 6).as("cov"))
   }
+
+  /** Driver-certified store/access-path contract — the reference's DAP/LAP
+    * semantic (`opt/Schema.kt:28-43`: distributed access path = cross-node
+    * range split, local access path = within-node key sort) as a checkable
+    * output: a lineitem-keyed LaraTable is stored with `store(path, 8)`
+    * (8 range partitions over the full key, sorted within each), read
+    * back, and the query emits ONE row proving the layout — exactly 8
+    * files, ZERO overlaps between per-file [min, max] full-key ranges
+    * (files sorted by their range; adjacent ranges must be strictly
+    * disjoint), and total rows / key bounds / value sum matching the
+    * source exactly (nothing lost or duplicated through the round trip).
+    * The companion spec (`BucketedStoreSpec`) additionally pins row order
+    * INSIDE each file.
+    *
+    * Scale: the store is one range-shuffle write (the partitioner samples
+    * keys — bounded driver transfer); the audit is one scan with
+    * `input_file_name` grouping (8 aggregate rows) and a constant-keyed
+    * window over those 8 rows. The disjointness audited here is what makes
+    * key-range reads at 100 TB open O(range/total · files) files instead
+    * of all of them.
+    */
+  def storeLayout(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = lineitem(s, d).select(col("l_orderkey").as("ok"),
+      col("l_linenumber").cast("long").as("ln"),
+      round(col("l_quantity")).cast("long").as("qty"))
+    val t = LaraTable(li, LaraSchema(Seq("ok", "ln"), Seq(ValSpec("qty", LongType, 0L))))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lstore").toString
+    t.store(s"$tmp/t", numFiles = 8)
+    val perFile = s.read.parquet(s"$tmp/t")
+      .select(input_file_name().as("f"), col("ok"), col("ln"), col("qty"))
+      .groupBy(col("f"))
+      .agg(min(struct(col("ok"), col("ln"))).as("lo"),
+        max(struct(col("ok"), col("ln"))).as("hi"),
+        count(lit(1)).as("n"), sum(col("qty")).as("sq"),
+        min(col("ok")).as("mok"), max(col("ok")).as("xok"))
+    // 8 bounded rows: constant-keyed window (the exclusivePrefixSum idiom —
+    // a deliberate single SMALL partition, not a data-proportional one)
+    val w = Window.partitionBy(pmod(col("n"), lit(1L))).orderBy(col("lo"))
+    perFile
+      .withColumn("prev_hi", lag(col("hi"), 1).over(w))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("prev_hi").isNull || col("prev_hi") < col("lo"), 0L)
+          .otherwise(1L)).as("n_overlaps"),
+        sum(col("n")).as("total_rows"),
+        min(col("mok")).as("min_ok"), max(col("xok")).as("max_ok"),
+        sum(col("sq")).as("sum_qty"))
+  }
 }

@@ -93,6 +93,9 @@ object SparkEntry {
     "lara_agg" -> LaraQueries.laraAgg _,
     "lara_join_times" -> LaraQueries.joinTimes _,
     "lara_covariance" -> LaraQueries.covariance _,
+    // --- DAP/LAP store contract: 8 range-partitioned sorted files, zero
+    // range overlaps, lossless round trip ---
+    "lara_store_layout" -> LaraQueries.storeLayout _,
     // --- relational surface (SURVEY §2.2-2.6) ---
     "q1_agg" -> RelationalQueries.q1Agg _,
     "filter_pushdown" -> RelationalQueries.filterPushdown _,
@@ -683,6 +686,10 @@ object SparkEntry {
     // the min/max pruning metadata a two-dimensional clustered scan uses ---
     "zorder_layout" -> ((s, d) =>
       pipeline.Layout.zorderStats(Tables.events(s, d))),
+    // --- CSV/JSONL ingest certification: stage → inject malformed lines →
+    // read back with bad-row accounting → aggregate good + count bad ---
+    "csv_roundtrip" -> sources.Sources.csvRoundtrip _,
+    "jsonl_roundtrip" -> sources.Sources.jsonlRoundtrip _,
     // --- exact data profiling: nulls/distincts/min/max per column in ONE
     // scan (Expand + two-stage agg) ---
     "profile_stats" -> RelationalQueries.profileStats _,
@@ -1045,6 +1052,16 @@ object SparkEntry {
                 round(sum(l.l_quantity) * p.p_retailprice * 100)::BIGINT / 100.0 AS demand_value
          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          GROUP BY p.p_partkey, p.p_retailprice""",
+    // Store-layout certificate: the layout claims (8 files, 0 overlaps)
+    // are literals; rows/bounds/sum replay from the source — a lost or
+    // duplicated row, a 7- or 9-file write, or overlapping file ranges
+    // all hash-mismatch.
+    "lara_store_layout" ->
+      """SELECT 8::BIGINT AS n_files, 0::BIGINT AS n_overlaps,
+                count(*)::BIGINT AS total_rows,
+                min(l_orderkey)::BIGINT AS min_ok, max(l_orderkey)::BIGINT AS max_ok,
+                sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty
+         FROM lineitem""",
     "lara_covariance" ->
       """WITH x AS (
            SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS t, event_type AS c,
@@ -2611,6 +2628,23 @@ object SparkEntry {
                 min(x) AS min_x, max(x) AS max_x,
                 min(y) AS min_y, max(y) AS max_y
          FROM z GROUP BY 1""",
+    // Round-trip certifications: the oracle aggregates the parquet
+    // originals (text-staging fidelity is the Spark side's claim) and
+    // appends the literal bad-line accounting row the injection fixes.
+    "csv_roundtrip" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n,
+                sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS price_cents,
+                sum(length(o_orderpriority || ',"' || o_orderstatus))::BIGINT AS note_chars
+         FROM orders GROUP BY 1
+         UNION ALL
+         SELECT '__bad', 7::BIGINT, 0::BIGINT, 0::BIGINT""",
+    "jsonl_roundtrip" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n,
+                sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS price_cents,
+                sum(length(o_orderpriority || ',"' || o_orderstatus))::BIGINT AS note_chars
+         FROM orders GROUP BY 1
+         UNION ALL
+         SELECT '__bad', 5::BIGINT, 0::BIGINT, 0::BIGINT""",
     // Data profiling: one UNION ALL branch per profiled column. Strings via
     // ::VARCHAR match Spark's cast-to-string for integers, chars and
     // zero-fraction timestamps (doubles deliberately not profiled).

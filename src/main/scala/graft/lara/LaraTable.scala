@@ -285,6 +285,18 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
   def store(path: String): Unit =
     sortedDf.write.mode("overwrite").parquet(path)
 
+  /** [[store]] with an explicit file count: `numFiles` range partitions
+    * over the full key list, sorted within each — the layout contract
+    * (disjoint per-file key ranges, sorted files) becomes checkable
+    * because the partition count no longer floats with the session's
+    * shuffle-partition setting. The `lara_store_layout` contract query
+    * certifies exactly this through the driver's oracle gate.
+    */
+  def store(path: String, numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, schema.keys.map(col): _*)
+      .sortWithinPartitions(schema.keys.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+
   /** Append variant of [[store]] for incremental writers (micro-batches,
     * backfills): each call adds access-path-sorted files; a reader sees the
     * union. Global order across appends is not maintained — per-file order

@@ -82,6 +82,87 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Driver-certified CSV round trip (contract query): stage the orders
+    * table to CSV (no header; a synthesized note column with embedded
+    * comma + quote exercises the quote path), inject malformed lines (wrong arity +
+    * non-numeric key — the reference's bad-row classes,
+    * `opt/Operators.kt:118-131`), read it back with PERMISSIVE bad-row
+    * accounting, and emit per-priority aggregates of the GOOD rows plus a
+    * `__bad` row carrying the dropped-line count. The DuckDB oracle
+    * aggregates the parquet originals directly and appends the literal
+    * `__bad` row — so value fidelity through the text round trip (longs,
+    * doubles, quoted strings), the drop decision AND the bad-row count are
+    * all inside the cross-engine hash gate.
+    *
+    * Scale: the staging write/read is the certification cost (one table
+    * pass each way, parallel file splits both directions); the aggregate
+    * is map-side combined; the bad side is counted, never collected.
+    */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ord = roundtripFrame(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csvrt").toString
+    writeCsv(ord, s"$tmp/data", header = false)
+    val badLines = (1 to 7).map(i => s"bad_key_$i,x").mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/data/zz_bad.csv"), badLines)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderpriority", StringType),
+      StructField("o_totalprice", DoubleType), StructField("o_note", StringType)))
+    val (good, bad) = csvWithBadRows(spark, s"$tmp/data", schema)
+    roundtripAgg(good, bad)
+  }
+
+  /** Driver-certified JSONL round trip: same contract as [[csvRoundtrip]]
+    * over the JSON-lines path — stage orders as JSONL, inject 5
+    * syntactically invalid lines, read back with bad-row accounting,
+    * aggregate the good side, count the bad side.
+    */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ord = roundtripFrame(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonrt").toString
+    writeJsonl(ord, s"$tmp/data")
+    val badLines = Seq("not json at all", "{\"o_orderkey\":", "[1,2", "{", "}")
+      .mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/data/zz_bad.json"), badLines)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderpriority", StringType),
+      StructField("o_totalprice", DoubleType), StructField("o_note", StringType)))
+    val (good, bad) = jsonl(spark, s"$tmp/data", schema)
+    roundtripAgg(good, bad)
+  }
+
+  /** Staging frame of the round-trip queries: orders keys/price plus a
+    * synthesized note embedding a comma AND a quote char — the worst-case
+    * text the CSV quoting / JSON escaping paths must carry losslessly
+    * (the synthetic orders table has no free-text column of its own).
+    */
+  private def roundtripFrame(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        concat(col("o_orderpriority"), lit(",\""), col("o_orderstatus"))
+          .as("o_note"))
+
+  /** Shared contract projection of the round-trip queries: per-priority
+    * (count, exact price cents, note chars) over good rows + the
+    * `__bad` accounting row.
+    */
+  private def roundtripAgg(good: DataFrame, bad: DataFrame): DataFrame = {
+    val goodAgg = good.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"),
+        sum(length(col("o_note")).cast("long")).as("note_chars"))
+    val badAgg = bad.agg(count(lit(1)).as("n"))
+      .select(lit("__bad").as("o_orderpriority"), col("n"),
+        lit(0L).as("price_cents"), lit(0L).as("note_chars"))
+    goodAgg.unionByName(badAgg)
+  }
+
   /** ORC scan — the other columnar interchange format (built into Spark;
     * predicate pushdown and column pruning work as with parquet).
     */

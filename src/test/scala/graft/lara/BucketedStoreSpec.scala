@@ -27,6 +27,38 @@ class BucketedStoreSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("range store(path, numFiles): per-file key ranges disjoint AND rows inside each file key-sorted") {
+    // the DAP/LAP layout contract behind the lara_store_layout gate row:
+    // the gate proves disjointness/coverage through the oracle; this spec
+    // additionally pins the LOCAL access path — physical row order inside
+    // every file — which no aggregate can observe.
+    val st = new StructType().add("k", LongType).add("j", LongType).add("v", LongType)
+    val rows = new scala.util.Random(42).shuffle(
+      (1 to 3000).map(i => Row((i % 500).toLong, (i / 500).toLong, i.toLong)).toVector)
+    val t = LaraTable(df(st, rows),
+      LaraSchema(Seq("k", "j"), Seq(ValSpec("v", LongType, 0L))))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lstore_spec").toString
+    t.store(s"$tmp/t", numFiles = 4)
+    val files = new java.io.File(s"$tmp/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length == 4, s"expected 4 data files, got ${files.length}")
+    val ranges = files.map { f =>
+      // one file read alone: collect() preserves the file's row order
+      val got = spark.read.parquet(f).select(col("k"), col("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.sameElements(got.sorted),
+        s"rows inside $f are not sorted by the access path")
+      (got.head, got.last)
+    }
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(implicitly[Ordering[(Long, Long)]].lt(hiA, loB),
+          s"file ranges overlap: hi=$hiA >= next lo=$loB")
+      case _ =>
+    }
+  }
+
   private def testJoin(): Unit = {
     val joined = spark.table("bucket_a").join(spark.table("bucket_b"), "k")
     joined.collect()
