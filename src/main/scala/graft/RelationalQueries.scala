@@ -3283,6 +3283,82 @@ object RelationalQueries {
       .select(col("user_id"), col("streak_start"), col("streak_end"), col("streak_len"))
   }
 
+  /** Strict-order conversion funnel view → click → purchase: per user,
+    * t₁ = first view, t₂ = first click AFTER t₁, t₃ = first purchase AFTER
+    * t₂ (the standard product-analytics funnel — later steps must follow
+    * the user's own earlier step, not merely exist). Output: one row per
+    * step with the distinct-user count still in the funnel.
+    *
+    * Scale: three per-user aggregates chained by equi-joins on user_id —
+    * each frame is ≤ |users| rows after its min-aggregate, every aggregate
+    * map-side combines, and nothing ever windows over the raw event
+    * stream. This segmented-aggregation shape (not a per-user sort) is
+    * what makes funnels tractable at 100 TB.
+    */
+  def funnelSteps(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tus"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("tus") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("tus") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t3"))
+    v.agg(count(lit(1)).as("n_users")).select(lit(1L).as("step"), lit("view").as("event_type"), col("n_users"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit(2L).as("step"), lit("click").as("event_type"), col("n_users")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit(3L).as("step"), lit("purchase").as("event_type"), col("n_users")))
+  }
+
+  /** Weekly retention-cohort matrix: users cohorted by their FIRST active
+    * week (relative to the corpus min day), counted distinct in every
+    * later week-offset they return — the triangle every growth team reads.
+    * All integer day/week arithmetic; the corpus min day is a 1-row
+    * broadcast combine, never a driver round trip.
+    *
+    * Scale: (user, day) distinct grain first (map-side combined), one
+    * groupBy(user) for the cohort anchor, an equi-join back on user_id,
+    * and a count-distinct per (cohort, offset) cell — |users|·|weeks|
+    * upper-bounds every frame after the first distinct. No windows.
+    */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val days = events(s, d)
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .distinct()
+    val base = days.agg(min(col("day")).as("d_base"))
+    val first = days.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+    days.join(first, Seq("user_id")).crossJoin(broadcast(base))
+      .select(col("user_id"),
+        expr("(d0 - d_base) div 7").as("cohort_week"),
+        expr("(day - d0) div 7").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** First-order Markov transition counts between event types: per user in
+    * (ts µs, event_id) order, every consecutive (from → to) pair counted,
+    * with the from-type's total alongside (the row-normalized transition
+    * probability is n/n_from — left as exact integers, the contract-safe
+    * form). The per-user window distributes on the user key; the 5×5
+    * transition matrix aggregates map-side.
+    */
+  def markovTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val pairs = events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    pairs.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"))
+  }
+
   /** Wald–Wolfowitz runs test ingredients, per event type: the value
     * stream in (ts, event_id) order is signed against the type's median
     * cents (ties at the median sit out — the standard treatment), and the

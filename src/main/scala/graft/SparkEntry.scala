@@ -239,6 +239,9 @@ object SparkEntry {
     "weighted_median" -> RelationalQueries.weightedMedian _,
     // --- gaps-and-islands: per-user consecutive-active-day streaks ---
     "user_streaks" -> RelationalQueries.userStreaks _,
+    "funnel_steps" -> RelationalQueries.funnelSteps _,
+    "retention_cohorts" -> RelationalQueries.retentionCohorts _,
+    "markov_transitions" -> RelationalQueries.markovTransitions _,
     // --- Wald–Wolfowitz runs-test ingredients, BIGINT-exact ---
     "runs_test" -> RelationalQueries.runsTestQuery _,
     // --- bitmap-index audience intersections: 64-user bucket masks,
@@ -1766,6 +1769,47 @@ object SparkEntry {
          SELECT user_id, min(day)::BIGINT AS streak_start, max(day)::BIGINT AS streak_end,
                 count(*)::BIGINT AS streak_len
          FROM r GROUP BY user_id, island""",
+    // Strict-order funnel: each step's anchor is the user's own earlier
+    // step (correlated min via join, not mere existence).
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+         v AS (SELECT user_id, min(tus) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.tus) AS t2
+               FROM e JOIN v USING (user_id)
+               WHERE e.event_type = 'click' AND e.tus > v.t1 GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.tus) AS t3
+               FROM e JOIN c USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.tus > c.t2 GROUP BY 1)
+         SELECT 1::BIGINT AS step, 'view' AS event_type, count(*)::BIGINT AS n_users FROM v
+         UNION ALL
+         SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM c
+         UNION ALL
+         SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM p""",
+    // Retention cohorts: weekly first-touch cohort × week offset.
+    "retention_cohorts" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, (epoch(ts)::BIGINT // 86400)::BIGINT AS day
+           FROM events),
+         base AS (SELECT min(day) AS d_base FROM days),
+         first AS (SELECT user_id, min(day) AS d0 FROM days GROUP BY 1)
+         SELECT ((f.d0 - b.d_base) // 7)::BIGINT AS cohort_week,
+                ((d.day - f.d0) // 7)::BIGINT AS week_offset,
+                count(DISTINCT d.user_id)::BIGINT AS n_users
+         FROM days d JOIN first f USING (user_id), base b
+         GROUP BY 1, 2""",
+    // Markov transitions: per-user consecutive event-type pairs.
+    "markov_transitions" ->
+      """WITH o AS (
+           SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS from_type
+           FROM events),
+         pairs AS (
+           SELECT from_type, event_type AS to_type, count(*)::BIGINT AS n
+           FROM o WHERE from_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT from_type, sum(n)::BIGINT AS n_from FROM pairs GROUP BY 1)
+         SELECT p.from_type, p.to_type, p.n, t.n_from
+         FROM pairs p JOIN tot t USING (from_type)""",
     // Runs test: median from cumulative cells, sign changes per stream.
     "runs_test" ->
       """WITH base AS (

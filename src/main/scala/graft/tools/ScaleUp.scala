@@ -22,15 +22,22 @@ import org.apache.spark.sql.functions._
   * keeps the dedup operators' candidate structure realistic (clusters of
   * `factor`) without degenerating every minhash band.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> [factor]
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> [factor] [skew]
   * (tool, not contract surface — the bounded per-table max-key collects
   * are deliberate).
+  *
+  * `skew` (round-8 stress mode): reassigns every 10th event to user 0 —
+  * ONE user owns ~10% of all events. The driver testdata is uniform, so
+  * this is the only way to measure whether AQE skew-join splitting and
+  * the per-user window family survive a production-shaped hot key
+  * (NOTES_r8 records the uniform-vs-skew Bench comparison).
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val skew = args.length > 3 && args(3) == "skew"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -87,8 +94,12 @@ object ScaleUp {
     write(scaled(tbl("lineitem"),
       Map("l_orderkey" -> kOrd, "l_partkey" -> kPart, "l_suppkey" -> kSupp)),
       "lineitem")
-    write(scaled(tbl("events"),
-      Map("event_id" -> kEv, "user_id" -> kUser)), "events")
+    val evScaled = scaled(tbl("events"), Map("event_id" -> kEv, "user_id" -> kUser))
+    write(
+      if (skew) evScaled.withColumn("user_id",
+        when(pmod(col("event_id"), lit(10L)) === 0L, lit(0L)).otherwise(col("user_id")))
+      else evScaled,
+      "events")
     write(scaled(tbl("documents"), Map("doc_id" -> kDoc), keepRep = true)
       .withColumn("text",
         when(col("rep") > 0, concat(col("text"), lit(" repl"), col("rep")))
