@@ -167,7 +167,7 @@ object LaraQueries {
       col("l_linenumber").cast("long").as("ln"),
       round(col("l_quantity")).cast("long").as("qty"))
     val t = LaraTable(li, LaraSchema(Seq("ok", "ln"), Seq(ValSpec("qty", LongType, 0L))))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_lstore").toString
+    val tmp = graft.sources.Sources.stagingDir(s, "graft_lstore")
     t.store(s"$tmp/t", numFiles = 8)
     val perFile = s.read.parquet(s"$tmp/t")
       .select(input_file_name().as("f"), col("ok"), col("ln"), col("qty"))
@@ -179,7 +179,7 @@ object LaraQueries {
     // 8 bounded rows: constant-keyed window (the exclusivePrefixSum idiom —
     // a deliberate single SMALL partition, not a data-proportional one)
     val w = Window.partitionBy(pmod(col("n"), lit(1L))).orderBy(col("lo"))
-    perFile
+    val audit = perFile
       .withColumn("prev_hi", lag(col("hi"), 1).over(w))
       .agg(count(lit(1)).as("n_files"),
         sum(when(col("prev_hi").isNull || col("prev_hi") < col("lo"), 0L)
@@ -187,5 +187,6 @@ object LaraQueries {
         sum(col("n")).as("total_rows"),
         min(col("mok")).as("min_ok"), max(col("xok")).as("max_ok"),
         sum(col("sq")).as("sum_qty"))
+    graft.sources.Sources.localizeAndClean(audit, tmp)
   }
 }

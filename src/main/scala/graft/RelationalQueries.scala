@@ -3338,25 +3338,39 @@ object RelationalQueries {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
-  /** First-order Markov transition counts between event types: per user in
-    * (ts µs, event_id) order, every consecutive (from → to) pair counted,
-    * with the from-type's total alongside (the row-normalized transition
-    * probability is n/n_from — left as exact integers, the contract-safe
-    * form). The per-user window distributes on the user key; the 5×5
-    * transition matrix aggregates map-side.
+  /** SECOND-order Markov conditioning between event types — what
+    * [[transitionsQuery]] (first-order pairs) deliberately is not: per
+    * user in (ts µs, event_id) order, every (from2, from1 → to) TRIPLE is
+    * counted, then each two-step context reports its predictive
+    * concentration as exact integers: total continuations `n_ctx`,
+    * distinct next types `n_next_distinct`, and the modal next type
+    * `top_to` with its count `top_n` (argmax ties resolve to the smallest
+    * type — pinned on both engines). top_n/n_ctx vs the first-order row
+    * answers "does knowing one more step of history sharpen prediction" —
+    * the order-selection diagnostic run before fitting any sequence model.
+    *
+    * Scale: one per-user window (two lags share it), then a |types|³-row
+    * aggregate (map-side combined) and a |types|²-row context rollup with
+    * a struct-min argmax — no second window, no join back to event grain.
     */
   def markovTransitions(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
-    val pairs = events(s, d)
+    val triples = events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("tus"))
-      .withColumn("from_type", lag(col("event_type"), 1).over(w))
-      .filter(col("from_type").isNotNull)
-      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .withColumn("from1", lag(col("event_type"), 1).over(w))
+      .withColumn("from2", lag(col("event_type"), 2).over(w))
+      .filter(col("from2").isNotNull)
+      .groupBy(col("from2"), col("from1"), col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
-    pairs.join(totals, Seq("from_type"))
-      .select(col("from_type"), col("to_type"), col("n"), col("n_from"))
+    // argmax with deterministic ties: min over (−n, to_type) is (largest n,
+    // then smallest type) — integer-exact, engine-portable
+    triples.groupBy(col("from2"), col("from1"))
+      .agg(sum(col("n")).as("n_ctx"),
+        count(lit(1)).as("n_next_distinct"),
+        min(struct((-col("n")).as("nn"), col("to_type").as("tt"))).as("mx"))
+      .select(col("from2"), col("from1"), col("n_ctx"), col("n_next_distinct"),
+        col("mx.tt").as("top_to"), (-col("mx.nn")).as("top_n"))
   }
 
   /** Wald–Wolfowitz runs test ingredients, per event type: the value

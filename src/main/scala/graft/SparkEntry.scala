@@ -825,11 +825,11 @@ object SparkEntry {
     // --- training-data pipeline: similarity search ---
     "ann_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      pipeline.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      pipeline.Similarity.bruteForceTopK(emb, pipeline.Ivf.annQueries(emb), 5)
     }),
     "ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      pipeline.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      pipeline.Similarity.lshTopK(emb, pipeline.Ivf.annQueries(emb), 5)
     }),
     // --- per-doc keyphrases: tf·idf surrogate, exact integer ordering ---
     "doc_keyphrases" -> ((s, d) =>
@@ -837,7 +837,7 @@ object SparkEntry {
     // --- hard-negative mining: top-k most-similar DIFFERENT-label vectors ---
     "hard_negatives" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      pipeline.Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), 5)
+      pipeline.Similarity.hardNegatives(emb, pipeline.Ivf.annQueries(emb), 5)
     }),
     // --- deterministic hash-probed negative edges (link-prediction pairs) ---
     "negative_edges" -> ((s, d) => {
@@ -858,7 +858,7 @@ object SparkEntry {
     // (Ivf.ivfTopK) stays spec-gated.
     "ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      pipeline.Ivf.ivfTopKPortable(emb, emb.filter(col("vec_id") < 10), 5,
+      pipeline.Ivf.ivfTopKPortable(emb, pipeline.Ivf.annQueries(emb), 5,
         nCells = 16, nProbe = 4, iters = 1)
     }),
     "embed_neardup" -> ((s, d) =>
@@ -866,7 +866,7 @@ object SparkEntry {
     // --- Matryoshka truncation fidelity: full-dim vs 16-dim top-5 ---
     "mrl_overlap" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      pipeline.Similarity.mrlOverlap(emb, emb.filter(col("vec_id") < 10), 5, 16)
+      pipeline.Similarity.mrlOverlap(emb, pipeline.Ivf.annQueries(emb), 5, 16)
     }),
     // --- product-quantization codes: 8 subspaces × 8 codewords (8-dim
     // each), one portable integer-Lloyd round per subspace; the oracle
@@ -877,13 +877,13 @@ object SparkEntry {
     // probed cells × exact shortlist re-rank (no corpus×queries pass) ---
     "ivf_pq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      pipeline.Ivf.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      pipeline.Ivf.ivfPqTopK(emb, pipeline.Ivf.annQueries(emb), 5)
     }),
     // --- compressed-domain ADC top-k: queries scored against codeword
     // reconstructions (the IVF-PQ scan shape) ---
     "pq_adc" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      pipeline.Ivf.pqAdcTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      pipeline.Ivf.pqAdcTopK(emb, pipeline.Ivf.annQueries(emb), 5)
     }),
     // --- SemDedup-style semantic dedup: portable k-means cells, within-cell
     // near-dup, keep the lowest id per group — the oracle replays the
@@ -1797,19 +1797,29 @@ object SparkEntry {
                 count(DISTINCT d.user_id)::BIGINT AS n_users
          FROM days d JOIN first f USING (user_id), base b
          GROUP BY 1, 2""",
-    // Markov transitions: per-user consecutive event-type pairs.
+    // Second-order Markov conditioning: per two-step context, predictive
+    // concentration (total, distinct nexts, modal next with count; argmax
+    // ties → smallest type, same pin as the Spark struct-min).
     "markov_transitions" ->
       """WITH o AS (
            SELECT user_id, event_type,
-                  lag(event_type) OVER (PARTITION BY user_id
-                    ORDER BY epoch_us(ts), event_id) AS from_type
-           FROM events),
-         pairs AS (
-           SELECT from_type, event_type AS to_type, count(*)::BIGINT AS n
-           FROM o WHERE from_type IS NOT NULL GROUP BY 1, 2),
-         tot AS (SELECT from_type, sum(n)::BIGINT AS n_from FROM pairs GROUP BY 1)
-         SELECT p.from_type, p.to_type, p.n, t.n_from
-         FROM pairs p JOIN tot t USING (from_type)""",
+                  lag(event_type, 1) OVER w AS from1,
+                  lag(event_type, 2) OVER w AS from2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         trip AS (
+           SELECT from2, from1, event_type AS to_type, count(*)::BIGINT AS n
+           FROM o WHERE from2 IS NOT NULL GROUP BY 1, 2, 3),
+         r AS (
+           SELECT from2, from1, to_type, n,
+                  row_number() OVER (PARTITION BY from2, from1
+                    ORDER BY n DESC, to_type) AS rk,
+                  sum(n) OVER (PARTITION BY from2, from1) AS n_ctx,
+                  count(*) OVER (PARTITION BY from2, from1) AS nd
+           FROM trip)
+         SELECT from2, from1, n_ctx::BIGINT AS n_ctx, nd::BIGINT AS n_next_distinct,
+                to_type AS top_to, n::BIGINT AS top_n
+         FROM r WHERE rk = 1""",
     // Runs test: median from cumulative cells, sign changes per stream.
     "runs_test" ->
       """WITH base AS (
@@ -2825,17 +2835,22 @@ object SparkEntry {
          c AS (
            SELECT sum(a * b)::BIGINT AS n11, sum(a * (1 - b))::BIGINT AS n10,
                   sum((1 - a) * b)::BIGINT AS n01, sum((1 - a) * (1 - b))::BIGINT AS n00
-           FROM l)
+           FROM l),
+         h AS (
+           SELECT n11, n10, n01, n00,
+                  n11::HUGEINT AS h11, n10::HUGEINT AS h10,
+                  n01::HUGEINT AS h01, n00::HUGEINT AS h00
+           FROM c)
          SELECT n11, n10, n01, n00,
-           CASE WHEN ((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00) -
-                  ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))) = 0 THEN 0.0
+           CASE WHEN ((h11 + h10 + h01 + h00) * (h11 + h10 + h01 + h00) -
+                  ((h11 + h10) * (h11 + h01) + (h01 + h00) * (h10 + h00))) = 0 THEN 0.0
            ELSE
-           round(((n11 + n00) * (n11 + n10 + n01 + n00) -
-                  ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))::DOUBLE /
-                 ((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00) -
-                  ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))::DOUBLE, 6)
+           round(((h11 + h00) * (h11 + h10 + h01 + h00) -
+                  ((h11 + h10) * (h11 + h01) + (h01 + h00) * (h10 + h00)))::DOUBLE /
+                 ((h11 + h10 + h01 + h00) * (h11 + h10 + h01 + h00) -
+                  ((h11 + h10) * (h11 + h01) + (h01 + h00) * (h10 + h00)))::DOUBLE, 6)
            END AS kappa
-         FROM c""",
+         FROM h""",
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
          FROM documents""",

@@ -24,6 +24,16 @@ import graft.functions.CosineSimilarity
   */
 object Ivf {
 
+  /** The ANN contract-query set, shared by the Spark call sites AND the
+    * generated oracles (anti-drift): queries are the vectors with
+    * `vec_id < AnnQueryMax`. Changing the set in one place and not the
+    * other previously failed only as an unexplained hash mismatch.
+    */
+  val AnnQueryMax = 10L
+
+  /** The contract queries of [[AnnQueryMax]] as a frame. */
+  def annQueries(emb: DataFrame): DataFrame = emb.filter(col("vec_id") < AnnQueryMax)
+
   /** Train the coarse quantizer: deterministic sample (lowest vec_ids),
     * Lloyd iterations in plain Scala on the driver. Returns k centroids.
     */
@@ -402,7 +412,7 @@ object Ivf {
     s"""${pqChainCtes(m, subDim, kCodes)},
          codes AS (SELECT e.vec_id, ${(0 until m).map(j => s"c$j").mkString(", ")}
                    FROM e ${(0 until m).map(j => s"JOIN af_$j USING (vec_id)").mkString(" ")}),
-         qs AS (SELECT vec_id AS query_id, qv FROM e WHERE vec_id < 10),
+         qs AS (SELECT vec_id AS query_id, qv FROM e WHERE vec_id < $AnnQueryMax),
          sc AS (SELECT qs.query_id, v.vec_id,
                        round(${oracleCos("qs.qv", s"($recon)")}, 6) AS cos_sim
                 FROM qs, codes v $joins
@@ -502,6 +512,12 @@ object Ivf {
   def ivfPqOracleSql(k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
                      shortlist: Int = 50, m: Int = 8, subDim: Int = 8,
                      kCodes: Int = 8, dim: Int = 64): String = {
+    // the Spark side derives dim from the data while the oracle takes it as
+    // a parameter — a silent mismatch would surface only as an unexplained
+    // hash failure, so fail loudly at generation time (mirrors pqBooks)
+    require(dim == m * subDim,
+      s"ivfPqOracleSql: dim=$dim must equal m*subDim=${m * subDim} — " +
+        "the PQ chain reconstructs exactly the concatenated subspaces")
     val recon = (0 until m).map(j => s"b$j.cent").mkString(" || ")
     val bookJoins = (0 until m).map(j => s"JOIN c1_$j b$j ON b$j.code = v.c$j").mkString(" ")
     s"""${pqChainCtes(m, subDim, kCodes)}${ivfChainCtes(nCells, dim)},
@@ -513,7 +529,7 @@ object Ivf {
            SELECT vec_id AS query_id, cell FROM (
              SELECT vec_id, cell,
                     row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
-             FROM iv_simf WHERE vec_id < 10) WHERE rn <= $nProbe),
+             FROM iv_simf WHERE vec_id < $AnnQueryMax) WHERE rn <= $nProbe),
          adc AS (
            SELECT qp.query_id, v.vec_id,
                   round(${oracleCos("q.qv", s"($recon)")}, 6) AS adc_sim

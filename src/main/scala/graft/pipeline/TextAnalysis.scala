@@ -252,19 +252,30 @@ object TextAnalysis {
         sum(col("a") * (lit(1L) - col("b"))).as("n10"),
         sum((lit(1L) - col("a")) * col("b")).as("n01"),
         sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
-    // κ denominator N² − Σ marginal products is 0 when both rules label
-    // every document identically (all mass in one cell) — chance agreement
-    // is total and κ is conventionally 0; guard it so ANSI never divides
-    // 0/0 on a degenerate corpus.
-    val kNum =
-      ((col("n11") + col("n00")) * (col("n11") + col("n10") + col("n01") + col("n00")) -
-        ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
-         (col("n01") + col("n00")) * (col("n10") + col("n00")))).cast("double")
-    val kDen =
-      ((col("n11") + col("n10") + col("n01") + col("n00")) *
-       (col("n11") + col("n10") + col("n01") + col("n00")) -
-        ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
-         (col("n01") + col("n00")) * (col("n10") + col("n00")))).cast("double")
+    kappaFromConfusion(counts)
+  }
+
+  /** Cohen's κ from a one-row 2×2 confusion frame (`n11 n10 n01 n00`
+    * BIGINT). Split out of [[labelAgreement]] so the arithmetic can be
+    * spec'd at counts where BIGINT products would overflow.
+    *
+    * κ denominator N² − Σ marginal products is 0 when both rules label
+    * every document identically (all mass in one cell) — chance agreement
+    * is total and κ is conventionally 0; guard it so ANSI never divides
+    * 0/0 on a degenerate corpus.
+    *
+    * N² and the marginal products run in DECIMAL(38,0): BIGINT would
+    * overflow at N ≳ 3.04e9 documents (a 100 TB corpus is ~10¹⁰) and ANSI
+    * throws on long overflow. Decimal keeps the arithmetic exact up to
+    * 38 digits; the cast to double happens only on the final ratio terms.
+    */
+  def kappaFromConfusion(counts: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val (d11, d10, d01, d00) = (dec(col("n11")), dec(col("n10")), dec(col("n01")), dec(col("n00")))
+    val tot  = d11 + d10 + d01 + d00
+    val marg = (d11 + d10) * (d11 + d01) + (d01 + d00) * (d10 + d00)
+    val kNum = ((d11 + d00) * tot - marg).cast("double")
+    val kDen = (tot * tot - marg).cast("double")
     counts.select(col("n11"), col("n10"), col("n01"), col("n00"),
       when(kDen === 0.0, 0.0).otherwise(round(kNum / kDen, 6)).as("kappa"))
   }

@@ -84,24 +84,34 @@ object Sources {
 
   /** Driver-certified CSV round trip (contract query): stage the orders
     * table to CSV (no header; a synthesized note column with embedded
-    * comma + quote exercises the quote path), inject malformed lines (wrong arity +
-    * non-numeric key — the reference's bad-row classes,
-    * `opt/Operators.kt:118-131`), read it back with PERMISSIVE bad-row
-    * accounting, and emit per-priority aggregates of the GOOD rows plus a
-    * `__bad` row carrying the dropped-line count. The DuckDB oracle
-    * aggregates the parquet originals directly and appends the literal
-    * `__bad` row — so value fidelity through the text round trip (longs,
-    * doubles, quoted strings), the drop decision AND the bad-row count are
-    * all inside the cross-engine hash gate.
+    * comma + quote exercises the quote path), inject malformed lines, read
+    * it back with PERMISSIVE bad-row accounting, and emit per-priority
+    * aggregates of the GOOD rows plus a `__bad` row carrying the
+    * dropped-line count. The DuckDB oracle aggregates the parquet
+    * originals directly and appends the literal `__bad` row — so value
+    * fidelity through the text round trip (longs, doubles, quoted
+    * strings), the drop decision AND the bad-row count are all inside the
+    * cross-engine hash gate.
+    *
+    * Bad-row semantics vs the reference (deliberate divergence): the
+    * reference counts+drops only FIELD-CONVERSION failures and hard-throws
+    * on arity mismatch (`opt/Operators.kt:118-131`:
+    * `csvRecord.size() != encoders.size => RuntimeException`). Spark's
+    * PERMISSIVE mode treats both classes as corrupt records; at 100 TB an
+    * abort-the-job-on-one-ragged-line stance is operationally wrong, so
+    * this engine drops-and-counts both. The injected lines here fail BOTH
+    * ways (wrong arity and non-numeric key), so they are dropped under
+    * either semantic.
     *
     * Scale: the staging write/read is the certification cost (one table
     * pass each way, parallel file splits both directions); the aggregate
-    * is map-side combined; the bad side is counted, never collected.
+    * is map-side combined; the bad side is counted, never collected. The
+    * staged copy is deleted before returning (via [[localizeAndClean]]).
     */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val ord = roundtripFrame(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csvrt").toString
+    val tmp = stagingDir(spark, "graft_csvrt")
     writeCsv(ord, s"$tmp/data", header = false)
     val badLines = (1 to 7).map(i => s"bad_key_$i,x").mkString("\n")
     java.nio.file.Files.writeString(
@@ -111,7 +121,7 @@ object Sources {
       StructField("o_orderpriority", StringType),
       StructField("o_totalprice", DoubleType), StructField("o_note", StringType)))
     val (good, bad) = csvWithBadRows(spark, s"$tmp/data", schema)
-    roundtripAgg(good, bad)
+    localizeAndClean(roundtripAgg(good, bad), tmp)
   }
 
   /** Driver-certified JSONL round trip: same contract as [[csvRoundtrip]]
@@ -122,7 +132,7 @@ object Sources {
   def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val ord = roundtripFrame(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonrt").toString
+    val tmp = stagingDir(spark, "graft_jsonrt")
     writeJsonl(ord, s"$tmp/data")
     val badLines = Seq("not json at all", "{\"o_orderkey\":", "[1,2", "{", "}")
       .mkString("\n")
@@ -133,7 +143,7 @@ object Sources {
       StructField("o_orderpriority", StringType),
       StructField("o_totalprice", DoubleType), StructField("o_note", StringType)))
     val (good, bad) = jsonl(spark, s"$tmp/data", schema)
-    roundtripAgg(good, bad)
+    localizeAndClean(roundtripAgg(good, bad), tmp)
   }
 
   /** Staging frame of the round-trip queries: orders keys/price plus a
@@ -162,6 +172,43 @@ object Sources {
         lit(0L).as("price_cents"), lit(0L).as("note_chars"))
     goodAgg.unionByName(badAgg)
   }
+
+  /** Resolve a fresh scratch subdirectory for certification staging.
+    * Resolution order: `SPARK_GRAFT_SCRATCH` env → `spark.graft.scratch`
+    * conf → `java.io.tmpdir`. Driver-local temp is correct on `local[*]`;
+    * on a real cluster staging must land on a SHARED filesystem — set the
+    * env/conf to a shared path there (the default would stage to one
+    * node's /tmp, invisible to executors).
+    */
+  def stagingDir(spark: SparkSession, prefix: String): String = {
+    val root = sys.env.get("SPARK_GRAFT_SCRATCH")
+      .orElse(spark.conf.getOption("spark.graft.scratch"))
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+    java.nio.file.Files.createDirectories(root)
+    java.nio.file.Files.createTempDirectory(root, prefix).toString
+  }
+
+  /** Materialize a SMALL certification result (a handful of aggregate rows
+    * by construction), delete the staging directory, and return the rows
+    * as a local frame. The contract queries clean up after EVERY
+    * invocation — Bench runs each 3-5 times and previously leaked a staged
+    * table copy per rep. The collect is a designed bounded side-channel
+    * (≤ ~10 rows), not a data-proportional one.
+    */
+  def localizeAndClean(df: DataFrame, stagedDir: String): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.collect()
+    deleteRecursively(java.nio.file.Paths.get(stagedDir))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
 
   /** ORC scan — the other columnar interchange format (built into Spark;
     * predicate pushdown and column pruning work as with parquet).

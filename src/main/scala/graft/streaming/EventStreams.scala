@@ -823,9 +823,14 @@ object EventStreams {
     new java.io.File(shared).listFiles()
       .filter(_.getName.startsWith("part-")).foreach { f =>
         val dst = java.nio.file.Paths.get(src, f.getName)
+        // IOException covers both no-hard-link filesystems
+        // (UnsupportedOperationException) and cross-device links
+        // (FileSystemException EXDEV, when java.io.tmpdir spans devices)
         try java.nio.file.Files.createLink(dst, f.toPath)
-        catch { case _: UnsupportedOperationException =>
-          java.nio.file.Files.copy(f.toPath, dst) }
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            java.nio.file.Files.copy(f.toPath, dst)
+        }
       }
     val in = s.readStream.schema(ev.schema).parquet(src).as[Event]
     val qname = tag + "_" + java.util.UUID.randomUUID().toString.replace("-", "")

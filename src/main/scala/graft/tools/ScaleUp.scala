@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * ONE user owns ~10% of all events. The driver testdata is uniform, so
   * this is the only way to measure whether AQE skew-join splitting and
   * the per-user window family survive a production-shaped hot key
-  * (NOTES_r8 records the uniform-vs-skew Bench comparison).
+  * (NOTES_r9.md records the measured uniform-vs-skew Bench comparison).
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {

@@ -286,6 +286,23 @@ class CorpusSignalsSpec extends AnyFunSuite {
       s"got $r2")
   }
 
+  test("kappaFromConfusion: exact at counts where BIGINT N² would overflow") {
+    // N = 8e9 (a 100 TB-corpus-scale document count): N² = 6.4e19 exceeds
+    // Long.MaxValue (9.22e18), so the pre-decimal BIGINT arithmetic would
+    // throw under ANSI. The decimal path must return the exact κ.
+    val confSchema = new StructType()
+      .add("n11", LongType).add("n10", LongType).add("n01", LongType).add("n00", LongType)
+    val counts = df(confSchema,
+      Seq(Row(3_000_000_000L, 1_000_000_000L, 1_000_000_000L, 3_000_000_000L)))
+    val r = TextAnalysis.kappaFromConfusion(counts).head()
+    // marginals all 4e9 → pe = 2·(4e9·4e9)/N² = 0.5; po = 6e9/8e9 = 0.75
+    // κ = (0.75 − 0.5)/(1 − 0.5) = 0.5 exactly.
+    assert(r.getDouble(4) == 0.5, s"kappa ${r.getDouble(4)}")
+    // degenerate: all mass in one cell at overflow scale → guard gives 0
+    val degen = df(confSchema, Seq(Row(8_000_000_000L, 0L, 0L, 0L)))
+    assert(TextAnalysis.kappaFromConfusion(degen).head().getDouble(4) == 0.0)
+  }
+
   test("bigramLmScore: common phrasing outranks gibberish on mean frequency") {
     val common = (1L to 6L).map(_ -> "the quick brown fox jumps")
     val odd = Seq(7L -> "zxqv wkjh pqrs tuvw xyzab")

@@ -73,7 +73,7 @@ class RecallGatesSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
-  test("IVF×PQ composed scan: recall@5 ≥ 0.4 vs brute force; plan never crosses corpus × queries (sf0.1)") {
+  test("IVF×PQ composed scan: recall@5 ≥ 0.6 vs brute force; plan never crosses corpus × queries (sf0.1)") {
     // the production scan prunes TWICE (nProbe/nCells of the corpus, then
     // 24-bit ADC within probed cells) — its recall floor sits below the
     // single-prune paths by construction; the plan assertion is the other
@@ -94,7 +94,12 @@ class RecallGatesSpec extends AnyFunSuite {
       s"ivf_pq must route ADC through the cell equi-join, found ${crosses.size} cross(es):\n$plan")
     val got = result.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & got).size.toDouble / brute.size
-    assert(recall >= 0.4, s"IVF×PQ recall@5 = $recall below floor")
+    info(s"IVF×PQ measured recall@5 = $recall")
+    // the pipeline is deterministic (integer Lloyd, fixed query set), and
+    // measured recall@5 on sf0.1 is 0.70 exactly — the floor sits at
+    // measured-minus-margin so a real regression (e.g. a probing or ADC
+    // bug dropping it to ~0.45) fails instead of hiding under a loose 0.4
+    assert(recall >= 0.6, s"IVF×PQ recall@5 = $recall below floor 0.6 (measured 0.70)")
     graft.pipeline.InternalCaches.release()
     emb.unpersist()
   }
