@@ -2445,17 +2445,27 @@ object RelationalQueries {
     * watermarked stream-stream join (differential spec pins equality).
     * Gaps are exact BIGINT microseconds.
     *
-    * Scale: an equi-join on user_id with the time band as a residual
-    * predicate — a plain shuffled hash join (both sides pre-filtered by
-    * type at the scan), never a time-range cross product.
+    * Scale — the equi key is (user, HOUR BUCKET), not user alone: the r9
+    * hot-key stress (NOTES_r9.md §2) measured the user-only join at 5.5×
+    * under one user owning 10% of events — every same-user (click,
+    * purchase) pair materializes before the band filter, quadratic in the
+    * hot key's rows. A 1-hour band can only pair a click with a purchase
+    * in the click's own hour bucket or the next, so purchases probe BOTH
+    * buckets (a 2-row explode) and the band becomes a residual inside
+    * bucket-sized groups: pairs are clicks/hour × purchases/hour even for
+    * the hottest key — the output's own growth law. No pair is duplicated
+    * (a click's bucket equals exactly one of the two probes).
     */
   def clickPurchaseJoin(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
+    val hb = (t: org.apache.spark.sql.Column) => floor(unix_micros(t) / 3600000000L)
     val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id").as("cu"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"), col("event_id").as("click_id"),
+        hb(col("ts")).as("hb"))
     val buys = e.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("bu"), col("ts").as("b_ts"), col("event_id").as("purchase_id"))
-    clicks.join(buys, col("cu") === col("bu") &&
+      .select(col("user_id").as("bu"), col("ts").as("b_ts"), col("event_id").as("purchase_id"),
+        explode(array(hb(col("ts")), hb(col("ts")) - 1)).as("hb"))
+    clicks.join(buys, col("cu") === col("bu") && clicks("hb") === buys("hb") &&
         col("c_ts") >= col("b_ts") - expr("INTERVAL 1 HOUR") && col("c_ts") <= col("b_ts"))
       .select(col("purchase_id"), col("click_id"),
         (unix_micros(col("b_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
@@ -3015,17 +3025,41 @@ object RelationalQueries {
     * the oracle down to the zero-length-interval edge when a type change
     * lands on a duplicated timestamp).
     *
-    * Scale: the equi key carries the join (hash/sort-merge on user); the
-    * interval predicate is a post-join filter on same-user pairs, bounded
-    * by versions-per-user (run count), never a cross. At warehouse scale
-    * the dimension side is the small one — AQE broadcasts it.
+    * Scale — the union + carry-forward shape, NOT an equi-join with an
+    * interval residual: the r9 hot-key stress (one user owning 10% of all
+    * events, NOTES_r9.md §2) measured the join form at 24.6× — a hot
+    * user's |events|·|versions| same-key pairs all materialize before the
+    * containment filter (the residual bound "versions-per-user" IS the
+    * blowup when one user has 10⁵ of each). Instead: version-start rows
+    * and event rows union into ONE per-user ordered stream and a
+    * running `last(…, ignoreNulls)` carries the in-force version onto
+    * each event — one shuffle, one sort, ZERO pairs. Correct because
+    * SCD2 intervals partition the per-user timeline: the last version
+    * starting at or before ts is exactly the one containing ts. Ordering
+    * (ts, kind dim-first, version) keeps the [from, to) convention
+    * bit-for-bit: an event AT a boundary sees the new version, and a
+    * zero-length version (type change on a duplicated timestamp) is
+    * immediately superseded by its same-ts successor — matching the
+    * oracle's empty [t, t) containment. Skew-measured: 24.6× → flat
+    * (a hot user is one partition's sort, not a quadratic pair set).
     */
   def temporalJoin(s: SparkSession, d: String): DataFrame = {
-    val dim = scd2Build(s, d).select(col("user_id").as("d_user"),
-      col("event_type").as("dim_type"), col("valid_from"), col("valid_to"), col("version"))
-    events(s, d).select(col("user_id"), col("event_id"), col("ts"))
-      .join(dim, col("user_id") === col("d_user") &&
-        col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
+    val dim = scd2Build(s, d).select(col("user_id"),
+      col("valid_from").as("ts"), lit(0).as("kind"), col("version").as("ord2"),
+      col("version"), col("event_type").as("dim_type"),
+      lit(null).cast("long").as("event_id"))
+    val ev = events(s, d).select(col("user_id"), col("ts"),
+      lit(1).as("kind"), col("event_id").as("ord2"),
+      lit(null).cast("long").as("version"), lit(null).cast("string").as("dim_type"),
+      col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("ord2"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(ev)
+      .select(col("user_id"), col("kind"), col("event_id"),
+        last(col("version"), ignoreNulls = true).over(w).as("version"),
+        last(col("dim_type"), ignoreNulls = true).over(w).as("dim_type"))
+      .filter(col("kind") === 1 && col("version").isNotNull)
       .select(col("user_id"), col("event_id"), col("version"), col("dim_type"))
   }
 

@@ -148,14 +148,25 @@ object EventStreams {
     */
   def streamingIntervalJoin(events: Dataset[Event],
                             watermark: String = "2 hours"): DataFrame = {
+    // (user, hour bucket) is the join's equi key — same refinement as the
+    // batch twin (RelationalQueries.clickPurchaseJoin, r9 skew stress): a
+    // user-only key makes the state store keep ALL of a hot user's clicks
+    // under one key and scan them per arriving purchase (measured 16.2×
+    // under a 10%-of-events user, NOTES_r9.md §2). Bucketing bounds every
+    // state key's list to one hour of one user's clicks; purchases probe
+    // the two buckets the 1-hour band can reach. Watermark eviction is
+    // unchanged (the event-time band still bounds state age).
     val clicks = events.filter(_.event_type == "click")
-      .select(col("user_id").as("cu"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"), col("event_id").as("click_id"),
+        floor(unix_micros(col("ts")) / 3600000000L).as("c_hb"))
       .withWatermark("c_ts", watermark)
     val buys = events.filter(_.event_type == "purchase")
-      .select(col("user_id").as("bu"), col("ts").as("b_ts"), col("event_id").as("purchase_id"))
+      .select(col("user_id").as("bu"), col("ts").as("b_ts"), col("event_id").as("purchase_id"),
+        explode(array(floor(unix_micros(col("ts")) / 3600000000L),
+          floor(unix_micros(col("ts")) / 3600000000L) - 1)).as("b_hb"))
       .withWatermark("b_ts", watermark)
     clicks.join(buys, expr(
-      "cu = bu AND c_ts >= b_ts - INTERVAL 1 HOUR AND c_ts <= b_ts"))
+      "cu = bu AND c_hb = b_hb AND c_ts >= b_ts - INTERVAL 1 HOUR AND c_ts <= b_ts"))
       .select(col("purchase_id"), col("click_id"),
         (unix_micros(col("b_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
