@@ -2277,9 +2277,13 @@ object RelationalQueries {
     * Scale: both windows partition by user (never unpartitioned); the
     * second window's input is change-rows only, already shrunk.
     */
-  def scd2Build(s: SparkSession, d: String): DataFrame = {
+  def scd2Build(s: SparkSession, d: String): DataFrame =
+    scd2BuildOf(events(s, d))
+
+  /** SCD2 construction over any events-shaped frame (see [[scd2Build]]). */
+  def scd2BuildOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val changes = events(s, d)
+    val changes = ev
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         lag(col("event_type"), 1).over(w).as("prev_type"))
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
@@ -2456,8 +2460,14 @@ object RelationalQueries {
     * the hottest key — the output's own growth law. No pair is duplicated
     * (a click's bucket equals exactly one of the two probes).
     */
-  def clickPurchaseJoin(s: SparkSession, d: String): DataFrame = {
-    val e = events(s, d)
+  def clickPurchaseJoin(s: SparkSession, d: String): DataFrame =
+    clickPurchaseJoinOf(events(s, d))
+
+  /** The bucketed interval join over any events-shaped frame (see
+    * [[clickPurchaseJoin]] for the contract instance; split out so specs
+    * can drive the band/bucket boundaries with crafted timestamps).
+    */
+  def clickPurchaseJoinOf(e: DataFrame): DataFrame = {
     val hb = (t: org.apache.spark.sql.Column) => floor(unix_micros(t) / 3600000000L)
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("ts").as("c_ts"), col("event_id").as("click_id"),
@@ -3043,19 +3053,26 @@ object RelationalQueries {
     * oracle's empty [t, t) containment. Skew-measured: 24.6× → flat
     * (a hot user is one partition's sort, not a quadratic pair set).
     */
-  def temporalJoin(s: SparkSession, d: String): DataFrame = {
-    val dim = scd2Build(s, d).select(col("user_id"),
+  def temporalJoin(s: SparkSession, d: String): DataFrame =
+    temporalJoinOf(events(s, d))
+
+  /** The union + carry-forward point-in-time join over any events-shaped
+    * frame (see [[temporalJoin]]; split out so specs can pin the
+    * duplicated-timestamp / zero-length-interval edge with crafted rows).
+    */
+  def temporalJoinOf(ev: DataFrame): DataFrame = {
+    val dim = scd2BuildOf(ev).select(col("user_id"),
       col("valid_from").as("ts"), lit(0).as("kind"), col("version").as("ord2"),
       col("version"), col("event_type").as("dim_type"),
       lit(null).cast("long").as("event_id"))
-    val ev = events(s, d).select(col("user_id"), col("ts"),
+    val evTagged = ev.select(col("user_id"), col("ts"),
       lit(1).as("kind"), col("event_id").as("ord2"),
       lit(null).cast("long").as("version"), lit(null).cast("string").as("dim_type"),
       col("event_id"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("kind"), col("ord2"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    dim.unionByName(ev)
+    dim.unionByName(evTagged)
       .select(col("user_id"), col("kind"), col("event_id"),
         last(col("version"), ignoreNulls = true).over(w).as("version"),
         last(col("dim_type"), ignoreNulls = true).over(w).as("dim_type"))

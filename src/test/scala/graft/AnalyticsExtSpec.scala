@@ -430,4 +430,49 @@ class AnalyticsExtSpec extends AnyFunSuite {
       .agg(countDistinct(col("user_id")).as("n_users"))
     assert(rowSet(streamed) == rowSet(batch))
   }
+
+  private val evSchema = new org.apache.spark.sql.types.StructType()
+    .add("event_id", org.apache.spark.sql.types.LongType)
+    .add("ts", org.apache.spark.sql.types.TimestampType)
+    .add("user_id", org.apache.spark.sql.types.LongType)
+    .add("event_type", org.apache.spark.sql.types.StringType)
+  /** instant helper: exact epoch microseconds (no parse-timezone hazard) */
+  private def us(sec: Long, micro: Long = 0L) =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec, micro * 1000L))
+
+  test("clickPurchaseJoinOf: band inclusive at both ends, bucket-boundary pair kept, no duplicates") {
+    import org.apache.spark.sql.Row
+    val h = 1704103200L // 2024-01-01 10:00:00 UTC, an exact hour boundary
+    val rows = Seq(
+      Row(1L, us(h - 1800), 1L, "click"),          // exactly 1h before the purchase: IN
+      Row(2L, us(h - 1801, 999999L), 1L, "click"), // 1h + 1 microsecond: OUT
+      Row(3L, us(h), 1L, "click"),                 // same bucket: IN
+      Row(4L, us(h - 1), 1L, "click"),             // previous bucket: IN
+      Row(5L, us(h + 1800), 1L, "click"),          // gap 0: IN
+      Row(6L, us(h + 1800, 1L), 1L, "click"),      // after the purchase: OUT
+      Row(7L, us(h + 1800), 1L, "purchase"),
+      Row(8L, us(h + 3600), 2L, "purchase"),       // purchase ON a bucket boundary
+      Row(9L, us(h), 2L, "click"))                 // exactly 1h, in bucket b-1: IN
+    val got = RelationalQueries.clickPurchaseJoinOf(df(evSchema, rows)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.size == got.distinct.size, s"2-bucket probe duplicated a pair: $got")
+    assert(got.toSet == Set((7L, 1L), (7L, 3L), (7L, 4L), (7L, 5L), (8L, 9L)),
+      s"got ${got.toSet}")
+  }
+
+  test("temporalJoinOf: zero-length version on a duplicated timestamp skipped; boundary events take the NEW version") {
+    import org.apache.spark.sql.Row
+    val t0 = 1704103200L
+    val rows = Seq(
+      // user 1: A and B change at the SAME ts -> v1 = [t0, t0) is empty;
+      // every event (including the type-A row itself) belongs to v2/B
+      Row(1L, us(t0), 1L, "A"), Row(2L, us(t0), 1L, "B"), Row(3L, us(t0 + 60), 1L, "B"),
+      // user 2: plain change at t0+60; the boundary event takes the new version
+      Row(10L, us(t0), 2L, "A"), Row(11L, us(t0 + 60), 2L, "B"), Row(12L, us(t0 + 60), 2L, "B"))
+    val got = RelationalQueries.temporalJoinOf(df(evSchema, rows)).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, "B")), 2L -> ((2L, "B")), 3L -> ((2L, "B")),
+      10L -> ((1L, "A")), 11L -> ((2L, "B")), 12L -> ((2L, "B"))), s"got $got")
+  }
 }
