@@ -315,6 +315,7 @@ object SparkEntry {
     "streaming_join_replay" -> streaming.EventStreams.streamingJoinReplay _,
     // --- update-mode unwindowed keyed aggregation, final-state argmax ---
     "streaming_counts_replay" -> streaming.EventStreams.streamingCountsReplay _,
+    "streaming_enrich_replay" -> streaming.EventStreams.streamingEnrichReplay _,
     // --- LOCF gap-fill over the per-type hourly axis ---
     "gap_fill" -> RelationalQueries.gapFillQuery _,
     // --- winsorization: clip to per-type discrete-percentile bands ---
@@ -2915,6 +2916,13 @@ object SparkEntry {
            ON c.user_id = b.user_id
           AND c.ts >= b.ts - INTERVAL 1 HOUR AND c.ts <= b.ts
          WHERE b.event_type = 'purchase' AND c.event_type = 'click'""",
+    // Stream-static enrichment replay: the per-micro-batch broadcast join
+    // must land on exactly the batch join+aggregate.
+    "streaming_enrich_replay" ->
+      """SELECT c.c_mktsegment AS segment, e.event_type, count(*)::BIGINT AS n,
+                sum(round(e.value * 100)::BIGINT) / 100.0 AS sum_cents
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2""",
     // Update-mode replay: the final state per type is the batch count
     // and exact cents sum.
     "streaming_counts_replay" ->

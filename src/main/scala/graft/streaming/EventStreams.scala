@@ -783,6 +783,38 @@ object EventStreams {
       .agg(max(struct(col("n"), col("sum_cents"))).as("fin"))
       .select(col("event_type"), col("fin.n").as("n"), col("fin.sum_cents").as("sum_cents"))
 
+  /** Stream-STATIC join replay — the SEVENTH distinct streaming engine
+    * path under a driver-checked certificate (append-window / session /
+    * dedup / stream-stream join / update-agg / chained dedup→agg cover the
+    * stateful paths; this is the stateless per-micro-batch enrichment
+    * every production ingest runs): the event stream joins a BROADCAST
+    * static dimension (customer, keyed user_id = c_custkey) inside the
+    * streaming plan — Spark re-resolves the batch side per micro-batch —
+    * then aggregates (market segment, event type) counts and exact cents
+    * in UPDATE mode. No watermark and no join state (the static side is
+    * not a stream); the far-future sentinel rows fall out of the inner
+    * join (user −7 has no dimension row). Certified against the plain
+    * batch join+aggregate DuckDB oracle, so the stream-static path must
+    * land on exactly the batch answer.
+    *
+    * Scale: the dimension broadcasts once per micro-batch (production
+    * shape for stream enrichment — no shuffle of the stream side); the
+    * aggregate state is |segments|·|types| rows.
+    */
+  def streamingEnrichReplay(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val dim = broadcast(s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment")))
+    replayEvents(s, dir, "enrich_replay", mode = "update") { in =>
+      in.toDF().join(dim, Seq("user_id"))
+        .groupBy(col("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), graft.Num.centsSumExact(col("value")).as("sum_cents"))
+    }.filter(col("event_type") =!= "__wm")
+      .groupBy(col("segment"), col("event_type"))
+      .agg(max(struct(col("n"), col("sum_cents"))).as("fin"))
+      .select(col("segment"), col("event_type"),
+        col("fin.n").as("n"), col("fin.sum_cents").as("sum_cents"))
+  }
+
   /** Shared machinery of the streaming-replay contract queries: stage the
     * normalized events to a temp parquet dir, run `build`'s streaming plan
     * over a file stream of it into a memory sink, then append two

@@ -318,6 +318,20 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingEnrichReplay: stream-static broadcast join lands on the batch join+aggregate") {
+    val sf = "/root/testdata/sf0.001"
+    val got = EventStreams.streamingEnrichReplay(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val batch = graft.Tables.events(spark, sf).join(dim, Seq("user_id"))
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.Num.centsSumExact(col("value")).as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(batch.nonEmpty)
+    assert(got == batch, s"stream $got vs batch $batch")
+  }
+
   test("streamStore: micro-batches append access-path-sorted files to a Lara store") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
