@@ -332,6 +332,59 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == batch, s"stream $got vs batch $batch")
   }
 
+  test("checkpoint restart recovery: a killed windowed-agg query resumes exactly-once into a file sink") {
+    // the crash-recovery certificate none of the replay queries exercises:
+    // process half the data, STOP the query, start a NEW query on the SAME
+    // checkpoint + sink, feed the rest — the file-sink manifest plus the
+    // checkpointed watermark/state must produce EXACTLY the batch answer
+    // (no window lost at the kill point, none double-emitted on recovery).
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val (src, ckpt, out) = (s"$base/src", s"$base/ckpt", s"$base/out")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("double").as("value")).as[Event]
+    val sorted = ev.collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val maxMs = sorted.last.ts.getTime
+    val (half1, half2) = sorted.splitAt(sorted.length / 2)
+    def plan(in: org.apache.spark.sql.Dataset[Event]) = in.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.Num.centsSumExact(col("value")).as("s"))
+      .select(unix_timestamp(col("window.start")).as("bin"), col("event_type"),
+        col("n"), col("s"))
+    def start() = plan(spark.readStream.schema(ev.schema).parquet(src).as[Event])
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    half1.toDS().write.mode("append").parquet(src)
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // the "crash"
+    half2.toDS().write.mode("append").parquet(src)
+    val q2 = start() // recovery: same checkpoint, same sink
+    q2.processAllAvailable()
+    // two far-future sentinel batches sweep every real window closed
+    for (i <- 100 to 101) {
+      Seq(Event(-i.toLong, new Timestamp(maxMs + i * 3600000L), -7L, "__wm", 0.0))
+        .toDS().write.mode("append").parquet(src)
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    val got = spark.read.parquet(out).filter(col("event_type") =!= "__wm").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val batch = ev.toDF()
+      .groupBy((floor(unix_timestamp(col("ts")) / 3600L) * 3600L).as("bin"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.Num.centsSumExact(col("value")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val dupCheck = spark.read.parquet(out).filter(col("event_type") =!= "__wm")
+      .groupBy(col("bin"), col("event_type")).count().filter(col("count") > 1).count()
+    assert(dupCheck == 0, "recovery double-emitted a closed window")
+    assert(got == batch,
+      s"restart recovery diverged: ${got.size} windows vs batch ${batch.size}")
+  }
+
   test("streamStore: micro-batches append access-path-sorted files to a Lara store") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
