@@ -306,6 +306,19 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
   def appendStore(path: String): Unit =
     sortedDf.write.mode("append").parquet(path)
 
+  /** Idempotent append for at-least-once callers (streaming `foreachBatch`
+    * replays a batch whose sink ran but whose commit-log write was lost):
+    * each batch lands in a `batch=<id>` subdirectory, written atomically
+    * via overwrite — a replay of the same id rewrites the same files
+    * instead of appending a duplicate copy. Readers load the store root as
+    * before — partition discovery surfaces `batch` as a column and
+    * [[LaraTable.load]]'s schema projection drops it. This is the standard
+    * idempotent-sink contract that upgrades foreachBatch's at-least-once
+    * to effectively-once.
+    */
+  def appendStoreBatch(path: String, batchId: Long): Unit =
+    sortedDf.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
   /** Store hive-partitioned by the leading key(s): the reference's manual
     * table-split management (`PropagatePartition`,
     * `sensor/SensorCalc.kt:159-173`) re-expressed as directory partitioning —
@@ -341,7 +354,13 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
 object LaraTable {
   /** Reference `Load` (`api/TupleOp.kt:274-283`) over parquet. */
   def load(spark: SparkSession, path: String, keys: Seq[String], vals: Seq[ValSpec]): LaraTable = {
+    // project the declared schema: stores written with partition
+    // directories (hive-partitioned stores, `appendStoreBatch`'s
+    // `batch=<id>` idempotence layout) surface the directory keys as extra
+    // columns under partition discovery — the Lara schema is the contract,
+    // so anything outside it is dropped here
     val df = spark.read.parquet(path)
+      .select((keys ++ vals.map(_.name)).map(col): _*)
     LaraTable(df, LaraSchema(keys, vals))
   }
 

@@ -202,11 +202,18 @@ object EventStreams {
     * streaming plan to the batch `LaraTable` sink, so a streaming ingest
     * feeds the same stores the batch operators read. Caller starts the
     * returned writer (checkpointing, trigger policy are theirs to choose).
+    *
+    * foreachBatch is AT-LEAST-ONCE (a crash between the sink action and
+    * the commit-log write replays the batch on recovery), so the sink is
+    * idempotent per batchId: replays overwrite their own `batch=<id>`
+    * directory instead of appending a duplicate copy
+    * ([[graft.lara.LaraTable.appendStoreBatch]]).
     */
   def streamStore(stream: DataFrame, schema: graft.lara.LaraSchema, path: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
-      (batch: DataFrame, _: Long) => graft.lara.LaraTable(batch, schema).appendStore(path)
+      (batch: DataFrame, id: Long) =>
+        graft.lara.LaraTable(batch, schema).appendStoreBatch(path, id)
     }
 
   /** Streaming decontamination at ingest: every arriving document is

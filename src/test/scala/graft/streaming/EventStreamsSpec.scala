@@ -405,6 +405,7 @@ class EventStreamsSpec extends AnyFunSuite {
       q.processAllAvailable()
       val back = LaraTable.load(spark, dir, Seq("c", "j"), Seq(ValSpec("v", LongType, 0L)))
       assert(back.df.count() == 3)
+      assert(back.df.columns.toSeq == Seq("c", "j", "v"), "batch partition column must be projected away")
       // per-file access-path order holds (appends don't interleave files)
       val perFile = back.df.select(col("c"), col("j"), input_file_name().as("f"))
         .collect().groupBy(_.getString(2))
@@ -412,6 +413,13 @@ class EventStreamsSpec extends AnyFunSuite {
         val keys = rs.map(r => (r.getLong(0), r.getLong(1))).toSeq
         assert(keys == keys.sorted)
       }
+      // foreachBatch is at-least-once: a replayed batch must overwrite its
+      // own batch=<id> directory, not append a duplicate copy
+      val replay = Seq((1L, 5L, 3L)).toDF("c", "j", "v")
+      LaraTable(replay, schema).appendStoreBatch(dir, 1L)
+      LaraTable(replay, schema).appendStoreBatch(dir, 1L)
+      val after = LaraTable.load(spark, dir, Seq("c", "j"), Seq(ValSpec("v", LongType, 0L)))
+      assert(after.df.count() == 3, s"replay duplicated rows: ${after.df.count()}")
     } finally q.stop()
   }
 
