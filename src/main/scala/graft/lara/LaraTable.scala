@@ -385,8 +385,19 @@ object LaraTable {
       "zorderBy needs >= 2 dimensions (one dimension is just the access-path sort)")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(p: org.apache.hadoop.fs.Path) =
-      fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // recursive: stores written by `appendStoreBatch` (batch=<id> subdirs)
+    // and `storePartitioned` (hive key dirs) keep their parquet one level
+    // down — a flat listing would see zero bytes and size the compaction
+    // to a single file regardless of store size
+    def dataFiles(p: org.apache.hadoop.fs.Path) = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet")) buf += s
+      }
+      buf.toArray
+    }
     val before = dataFiles(hPath)
     val nFiles = math.max(1, math.ceil(before.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")

@@ -98,6 +98,24 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(nb2 == 1 && na2 == 1)
   }
 
+  test("compactStore: batch=<id> idempotent-sink layout compacts (recursive listing sees nested files)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_b").toString + "/store"
+    val st = new StructType().add("k", LongType).add("v", IntegerType)
+    val schema = LaraSchema(Seq("k"), Seq(ValSpec("v", IntegerType, 0)))
+    for (b <- 0 until 4) {
+      val rows = (0 until 10).map(i => Row((i * 4 + b).toLong, b * 100 + i))
+      LaraTable(df(st, rows), schema).appendStoreBatch(dir, b.toLong)
+    }
+    val expected = rowSet(LaraTable.load(spark, dir, Seq("k"), schema.vals).df)
+    val (nb, na) = LaraTable.compactStore(spark, dir, Seq("k"), schema.vals)
+    // a flat listing would report 0 files before (all parquet sits inside
+    // batch= subdirectories) — the recursive walk must count them
+    assert(nb >= 4 && na == 1, s"expected >=4 nested files -> 1, got $nb -> $na")
+    assert(rowSet(spark.read.parquet(dir)) == expected, "compaction must not change data")
+    val ks = spark.read.parquet(dir).collect().map(_.getLong(0)).toSeq
+    assert(ks == ks.sorted, "compacted store must be access-path-sorted")
+  }
+
   test("compactStore zorderBy: files carry disjoint z-ranges over both dimensions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zcompact").toString + "/store"
     val st = new StructType().add("x", LongType).add("y", LongType).add("v", IntegerType)
