@@ -34,6 +34,28 @@ object LaraQueries {
     * (`examples/rainysunny/RainySunnyQuery.kt:27-36`) — string replace over a
     * val attribute, then rename.
     */
+  /** MinMaxFilter ∘ D4mRangeFilter as a driver-checked contract (SURVEY §2
+    * rows 24–25, previously spec-only): a lineitem LaraTable keyed
+    * (l_orderkey, l_linenumber) takes a key-RANGE cut (the reference's
+    * `MinMaxFilter`, seek-range semantics) composed with a key-MEMBERSHIP
+    * cut (`D4mRangeFilter`, `opt/D4mRangeFilter.kt:21-45`), then ⊕-aggregates
+    * per line number. Both filters are plain Catalyst predicates on key
+    * columns, so they push to the parquet scan (min/max row-group skipping
+    * — the RowRangeIterator delegation, plan-asserted in the spec).
+    */
+  def rangeFilter(s: SparkSession, d: String): DataFrame = {
+    val li = LaraTable(
+      lineitem(s, d).select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        round(col("l_quantity")).cast("long").as("qty"), lit(1L).as("cnt")),
+      LaraSchema(Seq("l_orderkey", "l_linenumber"),
+        Seq(ValSpec("qty", LongType, 0L), ValSpec("cnt", LongType, 0L))))
+    li.whereKeyRange("l_orderkey", 1000L, 3000L)
+      .whereKeyIn("l_linenumber", Seq(1L, 3L, 5L))
+      .agg(Seq("l_linenumber"), Map("qty" -> PlusFn.sumLong, "cnt" -> PlusFn.sumLong))
+      .df
+  }
+
   def mapReplace(s: SparkSession, d: String): DataFrame = {
     val docs = LaraTable(documents(s, d), LaraSchema(Seq("doc_id"), Seq(ValSpec("text", StringType, ""))))
     docs

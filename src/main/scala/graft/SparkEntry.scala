@@ -96,6 +96,7 @@ object SparkEntry {
     // --- DAP/LAP store contract: 8 range-partitioned sorted files, zero
     // range overlaps, lossless round trip ---
     "lara_store_layout" -> LaraQueries.storeLayout _,
+    "lara_range_filter" -> LaraQueries.rangeFilter _,
     // --- relational surface (SURVEY §2.2-2.6) ---
     "q1_agg" -> RelationalQueries.q1Agg _,
     "filter_pushdown" -> RelationalQueries.filterPushdown _,
@@ -1056,6 +1057,15 @@ object SparkEntry {
                 round(sum(l.l_quantity) * p.p_retailprice * 100)::BIGINT / 100.0 AS demand_value
          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          GROUP BY p.p_partkey, p.p_retailprice""",
+    // MinMaxFilter + D4mRangeFilter composed: key range AND membership,
+    // per-line-number sums — plain WHERE on both engines.
+    "lara_range_filter" ->
+      """SELECT l_linenumber::BIGINT AS l_linenumber,
+                sum(round(l_quantity)::BIGINT)::BIGINT AS qty,
+                count(*)::BIGINT AS cnt
+         FROM lineitem
+         WHERE l_orderkey BETWEEN 1000 AND 3000 AND l_linenumber IN (1, 3, 5)
+         GROUP BY 1""",
     // Store-layout certificate: the layout claims (8 files, 0 overlaps)
     // are literals; rows/bounds/sum replay from the source — a lost or
     // duplicated row, a 7- or 9-file write, or overlapping file ranges

@@ -23,6 +23,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(!p.contains("l_returnflag"), "scan reads pruned column")
   }
 
+  test("lara_range_filter: MinMaxFilter/D4mRangeFilter predicates push to the scan") {
+    val p = plan(LaraQueries.rangeFilter(spark, sf))
+    // both the key-range cut and the membership cut must reach parquet
+    // (row-group min/max skipping — the RowRangeIterator delegation)
+    assert(p.contains("GreaterThanOrEqual(l_orderkey,1000)") &&
+      p.contains("LessThanOrEqual(l_orderkey,3000)"),
+      s"key range not pushed:\n$p")
+    // the PushedFilters list truncates mid-entry in explain output, so the
+    // membership pushdown is asserted on the scan's DataFilters rendering
+    assert(p.contains("IN (1"), s"membership not pushed:\n$p")
+  }
+
   test("q5_multijoin: dimension joins are broadcast") {
     val p = plan(RelationalQueries.q5MultiJoin(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
