@@ -1852,9 +1852,18 @@ object RelationalQueries {
       .join(pairs.select(col("x").as("ca"), col("y").as("cc")), Seq("ca"))
       .filter(col("cb") < col("cc"))
       .join(pairs.select(col("x").as("cb"), col("y").as("cc")), Seq("cb", "cc"), "left_semi")
+    // EARLY prune (r9 review): semi-join the per-order PAIR stream against
+    // cand's (ca, cb) prefixes BEFORE forming triples — lossless (any
+    // triple surviving the full (ca,cb,cc) semi-join has its prefix in
+    // cand by construction), and it cuts the per-order fan-out from
+    // basket³ to |frequent-prefix-pairs-in-basket|·basket. Bounded either
+    // way on ≤7-line TPC-H baskets; on a giant-basket corpus this is the
+    // difference between cubic and near-quadratic per-order cost.
     val triples = ob.select(col("o"), col("b").as("ca"))
       .join(ob.select(col("o"), col("b").as("cb")), Seq("o"))
       .filter(col("ca") < col("cb"))
+      .join(broadcast(cand.select(col("ca"), col("cb")).distinct()),
+        Seq("ca", "cb"), "left_semi")
       .join(ob.select(col("o"), col("b").as("cc")), Seq("o"))
       .filter(col("cb") < col("cc"))
       .join(broadcast(cand), Seq("ca", "cb", "cc"), "left_semi")

@@ -308,16 +308,34 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
 
   /** Idempotent append for at-least-once callers (streaming `foreachBatch`
     * replays a batch whose sink ran but whose commit-log write was lost):
-    * each batch lands in a `batch=<id>` subdirectory, written atomically
+    * each batch lands in a `batch=<id>` subdirectory, written idempotently
     * via overwrite — a replay of the same id rewrites the same files
-    * instead of appending a duplicate copy. Readers load the store root as
-    * before — partition discovery surfaces `batch` as a column and
-    * [[LaraTable.load]]'s schema projection drops it. This is the standard
-    * idempotent-sink contract that upgrades foreachBatch's at-least-once
-    * to effectively-once.
+    * instead of appending a duplicate copy. NOT atomic: Spark's directory
+    * overwrite is delete-then-write, so a concurrent reader during a
+    * replay rewrite can observe a missing or partial batch; the contract
+    * is eventual effectively-once for readers that start after the batch
+    * commits, which is what foreachBatch's replay semantics need. Readers
+    * load the store root as before — partition discovery surfaces `batch`
+    * as a column and [[LaraTable.load]]'s schema projection drops it.
+    *
+    * A store must be PURE batch layout: Spark's partition discovery
+    * rejects a root that mixes bare parquet files (flat [[appendStore]]
+    * output) with `batch=<id>` directories, so this fails fast at write
+    * time — when the mistake is made — rather than at some later read.
     */
-  def appendStoreBatch(path: String, batchId: Long): Unit =
+  def appendStoreBatch(path: String, batchId: Long): Unit = {
+    val root = new java.io.File(path)
+    if (root.isDirectory) {
+      val flat = root.listFiles()
+      if (flat != null && flat.exists(f => f.isFile && f.getName.endsWith(".parquet")))
+        throw new IllegalStateException(
+          s"appendStoreBatch($path): store root contains flat parquet files " +
+            "(appendStore layout); mixing flat files with batch=<id> partition " +
+            "directories makes the store unreadable (partition discovery " +
+            "rejects it). Use a fresh path or appendStore consistently.")
+    }
     sortedDf.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+  }
 
   /** Store hive-partitioned by the leading key(s): the reference's manual
     * table-split management (`PropagatePartition`,

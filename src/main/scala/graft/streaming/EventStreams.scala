@@ -857,7 +857,7 @@ object EventStreams {
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.walk(root).iterator().asScala
             .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-        } catch { case _: java.io.IOException => () }
+        } catch { case scala.util.control.NonFatal(_) => () }
       }))
       val shared = root.toString + "/in"
       ev.write.parquet(shared)
@@ -907,11 +907,15 @@ object EventStreams {
     // private source links + checkpoint are dead weight once the query
     // stops (same per-invocation leak class the r9 certification-staging
     // cleanup closed; Bench runs each replay 3-5 times)
+    // NonFatal, not just IOException: Files.walk's lazy iteration throws
+    // UncheckedIOException (a RuntimeException) when an entry vanishes
+    // mid-walk -- e.g. state-store maintenance racing the delete after
+    // q.stop() -- and a cleanup failure must never fail the replay itself
     try {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
         .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-    } catch { case _: java.io.IOException => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     s.table(qname)
   }
 

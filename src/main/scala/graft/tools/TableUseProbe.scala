@@ -9,11 +9,33 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * events.user_id, so the affected surface is exactly the queries whose
   * plan reads events.parquet; running anything else twice measures noise.
   *
+  * LIMITATION + fix (r9 advice): queries that eagerly materialize before
+  * returning — the csv/jsonl roundtrips and lara_store_layout (their
+  * result is a collected LocalRelation after `localizeAndClean`) and
+  * every streaming *_replay (a memory-sink table) — surface ZERO
+  * LogicalRelations from their analyzed plan, so the plan probe would
+  * silently omit real consumers AND fully execute those heavy queries
+  * just to read a plan. They are resolved from the static map below
+  * instead (kept in sync with the query bodies) and never executed here.
+  *
   * Usage: runMain graft.tools.TableUseProbe <sfDir> [table]
   * With a table argument, prints a comma-separated list of query names
   * that scan it (ready for SPARK_GRAFT_ONLY).
   */
 object TableUseProbe {
+  /** Materializing queries whose plan probe can't see their sources. */
+  val staticTables: Map[String, Seq[String]] = Map(
+    "csv_roundtrip" -> Seq("orders"),
+    "jsonl_roundtrip" -> Seq("orders"),
+    "lara_store_layout" -> Seq("lineitem"),
+    "streaming_ohlc_replay" -> Seq("events"),
+    "streaming_sessions_replay" -> Seq("events"),
+    "streaming_bin_replay" -> Seq("events"),
+    "streaming_dedup_replay" -> Seq("events"),
+    "streaming_join_replay" -> Seq("events"),
+    "streaming_counts_replay" -> Seq("events"),
+    "streaming_enrich_replay" -> Seq("customer", "events"))
+
   def main(args: Array[String]): Unit = {
     val d = args(0)
     val wanted = args.lift(1)
@@ -28,7 +50,7 @@ object TableUseProbe {
     val hits = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       spark.sharedState.cacheManager.clearCache()
       graft.pipeline.InternalCaches.release()
-      val tables = try {
+      val tables = staticTables.get(name).map(_.sorted).getOrElse(try {
         val plan = fn(spark, d).queryExecution.analyzed
         plan.collect { case r: LogicalRelation =>
           r.relation match {
@@ -37,7 +59,7 @@ object TableUseProbe {
             case _ => Seq.empty[String]
           }
         }.flatten.distinct.sorted
-      } catch { case e: Throwable => Seq(s"ERROR:${e.getClass.getSimpleName}") }
+      } catch { case e: Throwable => Seq(s"ERROR:${e.getClass.getSimpleName}") })
       wanted match {
         case Some(t) => if (tables.contains(t)) Some(name) else None
         case None => println(s"$name\t${tables.mkString(",")}"); None
