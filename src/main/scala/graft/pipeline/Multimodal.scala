@@ -19,9 +19,11 @@ import org.apache.spark.sql.types._
   * `decodeWav`, contract query `media_audio`). VIDEO frame extraction is
   * REAL for uncompressed AVI (RIFF chunk walk + per-frame DIB decode via
   * the ImageIO BMP codec — `extractAviFrames`/`decodeVideoStats`, contract
-  * query `media_video`); COMPRESSED video (H.264 …) remains the declared
-  * STUB — the JDK has no such codec — `decodeStub` derives a deterministic
-  * fake feature payload from the bytes. Everything around the kernels is
+  * query `media_video`) AND for Motion-JPEG AVI (same RIFF walk, per-frame
+  * JDK JPEG codec — `encodeAviMjpeg`/`decodeVideoFrame`, spec-gated since
+  * JPEG is lossy); inter-frame-compressed video (H.264 …) remains the one
+  * declared STUB — the JDK has no such codec — `decodeStub` derives a
+  * deterministic fake feature payload from the bytes. Everything around the kernels is
   * the real Spark shape and is what matters at scale:
   *  - schema: `media_id BIGINT, kind STRING, bytes BINARY,
   *    meta STRUCT<width INT, height INT, sample_rate INT, duration_ms BIGINT>`
@@ -532,13 +534,14 @@ object Multimodal {
 
   // ---------------------------------------------------------------------
   // REAL video frame extraction (`media_video` contract query): the JDK
-  // has no compressed-video codec, but an UNCOMPRESSED AVI is a RIFF
+  // has no inter-frame video codec, but an UNCOMPRESSED AVI is a RIFF
   // container (same family as WAV) holding one DIB bitmap per frame —
   // fully parseable with a hand-written chunk walker (the ImageHeader
   // approach), with each extracted frame decoded by the REAL ImageIO BMP
   // codec. Frame payloads are formula pixels ⇒ the oracle recomputes the
-  // per-frame integer stats analytically. Compressed video (H.264 …)
-  // remains out of scope: no JDK codec.
+  // per-frame integer stats analytically. MJPEG-in-AVI rides the same
+  // walk with the JDK's real JPEG codec per frame (spec-gated — lossy).
+  // Inter-frame video (H.264 …) remains out of scope: no JDK codec.
   // ---------------------------------------------------------------------
 
   /** Video pixel formula (per channel, mod 256) — frame index mixed in. */
@@ -581,11 +584,15 @@ object Multimodal {
     decodeImage(hdr.array() ++ dib)
   }
 
-  /** Minimal spec-shaped uncompressed AVI: RIFF('AVI ') with an hdrl list
-    * (avih + strl(strh 'vids'/'DIB ', strf BITMAPINFOHEADER)) and a movi
-    * list of '00db' DIB frames. Deterministic byte layout.
+  /** Minimal spec-shaped AVI: RIFF('AVI ') with an hdrl list
+    * (avih + strl(strh 'vids'/handler, strf BITMAPINFOHEADER)) and a movi
+    * list of frame chunks. Deterministic byte layout. Defaults produce the
+    * uncompressed layout ('DIB ' handler, biCompression 0, '00db' chunks);
+    * [[encodeAviMjpeg]] passes the MJPG triple for compressed streams.
     */
-  private[pipeline] def encodeAvi(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int): Array[Byte] = {
+  private[pipeline] def encodeAvi(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int,
+                                  handler: String = "DIB ", compression: Int = 0,
+                                  chunkId: String = "00db"): Array[Byte] = {
     def chunk(id: String, body: Array[Byte]): Array[Byte] = {
       val pad = body.length % 2
       val b = java.nio.ByteBuffer.allocate(8 + body.length + pad)
@@ -598,7 +605,8 @@ object Multimodal {
     val bih = {
       val b = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
-        .putInt(0).putInt(((w * 3 + 3) / 4 * 4) * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        .putInt(compression)
+        .putInt(((w * 3 + 3) / 4 * 4) * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
       b.array()
     }
     val avih = {
@@ -610,7 +618,7 @@ object Multimodal {
     }
     val strh = {
       val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      b.put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+      b.put("vids".getBytes("US-ASCII")).put(handler.getBytes("US-ASCII"))
         .putInt(0).putShort(0).putShort(0).putInt(0)
         .putInt(1).putInt(fps).putInt(0).putInt(frames.length)
         .putInt(0).putInt(-1).putInt(0)
@@ -619,7 +627,7 @@ object Multimodal {
     }
     val hdrl = list("hdrl", chunk("avih", avih) ++
       list("strl", chunk("strh", strh) ++ chunk("strf", bih)))
-    val movi = list("movi", frames.flatMap(f => chunk("00db", f)).toArray)
+    val movi = list("movi", frames.flatMap(f => chunk(chunkId, f)).toArray)
     chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
   }
 
@@ -659,6 +667,48 @@ object Multimodal {
       walk(bytes.length)
       Some(frames.toSeq)
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-frame dispatch for AVI payloads: an MJPEG stream carries one
+    * complete JPEG per frame chunk (JFIF SOI 0xFFD8 magic), decoded by the
+    * REAL JDK JPEG codec via [[decodeImage]]; anything else is an
+    * uncompressed DIB handled by the BMP codec. This is what shrinks the
+    * compressed-video stub to H.264-class only — MJPEG-in-AVI (the
+    * ubiquitous capture/webcam format) decodes for real end to end.
+    * Lossy ⇒ spec-gated (deterministic single-decoder fixture,
+    * `MjpegSpec`), not a DuckDB contract — the CompressionKernel precedent.
+    */
+  private[pipeline] def decodeVideoFrame(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload.length >= 2 && payload(0) == 0xFF.toByte && payload(1) == 0xD8.toByte)
+      decodeImage(payload)
+    else decodeDib(payload)
+
+  /** JPEG-encode one frame (JDK codec, default quality). Memory-cached
+    * stream for the same per-row-temp-file reason as [[decodeImage]].
+    */
+  private[pipeline] def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    javax.imageio.ImageIO.write(img, "jpg", ios)
+    ios.flush()
+    bos.toByteArray
+  }
+
+  /** 'MJPG' little-endian fourcc — the biCompression value an MJPEG AVI
+    * declares in its BITMAPINFOHEADER.
+    */
+  private[pipeline] val MjpgFourcc: Int =
+    'M'.toInt | ('J'.toInt << 8) | ('P'.toInt << 16) | ('G'.toInt << 24)
+
+  /** Motion-JPEG AVI: same RIFF layout as the uncompressed writer but the
+    * stream handler/compression declare MJPG and each '00dc' chunk is one
+    * complete JPEG image. [[extractAviFrames]] already collects '00dc'
+    * chunks, so the walk needs no change — only the per-frame decode
+    * dispatch ([[decodeVideoFrame]]).
+    */
+  private[pipeline] def encodeAviMjpeg(frames: Seq[java.awt.image.BufferedImage],
+                                       w: Int, h: Int, fps: Int): Array[Byte] =
+    encodeAvi(frames.map(encodeJpeg), w, h, fps,
+      handler = "MJPG", compression = MjpgFourcc, chunkId = "00dc")
 
   /** Synthetic REAL AVIs, one per document id: `2 + id%3` DIB frames of
     * `(8 + id%3) × (6 + id%2)` formula pixels at 10 fps.
@@ -708,7 +758,7 @@ object Multimodal {
           extractAviFrames(bytes) match {
             case Some(frames) if frames.nonEmpty =>
               frames.iterator.zipWithIndex.map { case (dib, f) =>
-                decodeDib(dib) match {
+                decodeVideoFrame(dib) match {
                   case Some(img) =>
                     var (sr, sg, sb) = (0L, 0L, 0L)
                     var y = 0

@@ -246,9 +246,16 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+      // threshold BEFORE the band-collision dedup: cos_sim for a pair is a
+      // function of the embeddings alone, so every band collision of the
+      // same (id_a, id_b) carries the SAME value — filter-then-dedup is
+      // lossless, and the aggregate's hash state shrinks from every
+      // colliding pair (quadratic-in-bucket, the 2.9 GB/task hash map the
+      // r10 6 GiB-heap rehearsal caught thrashing at 19× wall) to just the
+      // near-duplicates the query returns
+      .filter(col("cos_sim") >= threshold)
       .groupBy(col("id_a"), col("id_b")) // band-collision dedup on ids only
       .agg(max(col("cos_sim")).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
   }
 
   /** kNN label confusion matrix — the label-quality audit a curation
