@@ -629,6 +629,25 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => pipeline.Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash" -> ((s, d) => pipeline.Dedup.minhashPairs(Tables.documents(s, d))),
     "dedup_jaccard" -> ((s, d) => pipeline.Dedup.jaccardJoin(Tables.documents(s, d))),
+    // --- the PRODUCTION hot-shingle valve path (r10): same exact verifier
+    // with a RELATIVE cap, maxDf = max(5, N/100) — a shingle in >1% of a
+    // web corpus is boilerplate, not duplication. At sf0.01 (N=500 →
+    // cap 5) the valve fires on 29 natural hot trigrams and 13 of 25
+    // pairs change jaccard vs dedup_jaccard, so this checks the valve
+    // semantics, not a copy of the uncapped plan. The count() is the same
+    // bounded scalar action class as reduceScalar. ---
+    "dedup_jaccard_capped" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      pipeline.Dedup.jaccardJoin(docs, maxDf = math.max(5L, docs.count() / 100))
+    }),
+    // --- the valve's accounting surface, aggregated hash-free: how many
+    // shingles were dropped at each document frequency (the shingle hashes
+    // themselves are engine-internal xxhash64 — df counts are portable) ---
+    "dedup_hot_shingles" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      pipeline.Dedup.hotShingles(docs, k = 3, maxDf = math.max(5L, docs.count() / 100))
+        .groupBy(col("df")).agg(count(lit(1)).as("n_shingles"))
+    }),
     // --- asymmetric containment (quote/subset detection): ordered pairs
     // where ≥60% of a's shingles appear in b; integer evidence only ---
     "dedup_containment" -> ((s, d) => pipeline.Dedup.containmentJoin(Tables.documents(s, d))),
@@ -2182,6 +2201,49 @@ object SparkEntry {
                         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          WHERE jaccard >= 0.5""",
+    // Capped jaccard (the production valve path): inverted-index form so
+    // the df>5 exclusion is explicit — intersections count only cold
+    // shingles, union sizes stay full-set (matches jaccardJoin's
+    // n-from-full-set semantics). String shingles; jaccard is invariant
+    // to the Spark side's 64-bit hashing up to collisions.
+    "dedup_jaccard_capped" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS s
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(s) AS h FROM sh),
+         hot AS (SELECT h FROM ex GROUP BY h
+                 HAVING count(*) > greatest(5, (SELECT count(*) FROM documents) // 100)),
+         cold AS (SELECT doc_id, h FROM ex ANTI JOIN hot USING (h)),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
+           FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         n AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh)
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT doc_a, doc_b,
+                  round(shared::DOUBLE / (na.n + nb.n - shared), 6) AS jaccard
+           FROM pairs JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id)
+         WHERE jaccard >= 0.5""",
+    // Valve accounting, hash-free: dropped-shingle count per document
+    // frequency (df > 5).
+    "dedup_hot_shingles" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS s
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(s) AS h FROM sh),
+         dfs AS (SELECT h, count(*)::BIGINT AS df FROM ex GROUP BY h
+                 HAVING count(*) > greatest(5, (SELECT count(*) FROM documents) // 100))
+         SELECT df, count(*)::BIGINT AS n_shingles FROM dfs GROUP BY df""",
     // Asymmetric containment: same string-shingle brute force as the
     // dedup_jaccard oracle, ordered pairs, integer cross-multiplied
     // threshold (shared·1000 ≥ 600·n_a).
