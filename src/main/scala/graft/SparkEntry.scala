@@ -2202,7 +2202,7 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          WHERE jaccard >= 0.5""",
     // Capped jaccard (the production valve path): inverted-index form so
-    // the df>5 exclusion is explicit — intersections count only cold
+    // the df > max(5, N/100) exclusion is explicit — intersections count only cold
     // shingles, union sizes stay full-set (matches jaccardJoin's
     // n-from-full-set semantics). String shingles; jaccard is invariant
     // to the Spark side's 64-bit hashing up to collisions.
@@ -2230,7 +2230,7 @@ object SparkEntry {
            FROM pairs JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id)
          WHERE jaccard >= 0.5""",
     // Valve accounting, hash-free: dropped-shingle count per document
-    // frequency (df > 5).
+    // frequency (df > max(5, N/100) — the relative cap; 5 at the sf0.01 gate).
     "dedup_hot_shingles" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t

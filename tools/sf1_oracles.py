@@ -35,8 +35,16 @@ cand AS (
   FROM bands a JOIN bands b ON a.bb = b.bb AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
 """
 
+def _sub(s, needle, repl):
+    """str.replace that fails loudly when the needle doesn't occur exactly
+    once — a silently-missed needle would yield syntactically-valid but
+    semantically-wrong oracle SQL that only surfaces as a gate mismatch."""
+    n = s.count(needle)
+    assert n == 1, f"needle {needle!r} occurs {n} times, expected exactly 1"
+    return s.replace(needle, repl, 1)
+
 # bs reads from bs_src so corpus_prepare can swap the doc source; default:
-SIG_DOCS = SIG.replace("FROM bs_src", "FROM sh")
+SIG_DOCS = _sub(SIG, "FROM bs_src", "FROM sh")
 
 MINHASH = f"""WITH {SIG_DOCS}
 SELECT c.doc_a, c.doc_b,
@@ -60,13 +68,13 @@ walk(id, lab) AS (
 SELECT id AS doc_id, MIN(lab) AS cluster_id, (id = MIN(lab)) AS is_canonical
 FROM walk GROUP BY id"""
 
-SIG_EN = SIG.replace("FROM bs_src", "FROM sh") \
-            .replace("FROM documents)", "FROM sv)", 1)
+SIG_EN = _sub(_sub(SIG, "FROM bs_src", "FROM sh"),
+              "FROM documents)", "FROM sv)")
 CORPUS_PREPARE = f"""WITH RECURSIVE en AS (
   SELECT doc_id, text FROM documents WHERE lang = 'en'),
 ex0 AS (SELECT min(doc_id) AS doc_id FROM en GROUP BY md5(text)),
 sv AS (SELECT en.doc_id, en.text FROM en JOIN ex0 USING (doc_id)),
-{SIG_EN.replace("toks AS (", "toks AS (", 1).lstrip()},
+{SIG_EN.lstrip()},
 edges AS (
   SELECT doc_a AS s, doc_b AS t FROM cand
   UNION ALL SELECT doc_b, doc_a FROM cand),

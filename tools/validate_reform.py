@@ -1,7 +1,9 @@
-import sys, time
-sys.path.insert(0, '/root/repo/tools'); sys.path.insert(0, '/tmp')
-import importlib.util
-spec = importlib.util.spec_from_file_location("cot", "/root/repo/tools/compare_oracle_timeout.py")
+import os, sys, time, importlib.util
+
+TOOLS_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, TOOLS_DIR)
+spec = importlib.util.spec_from_file_location(
+    "cot", os.path.join(TOOLS_DIR, "compare_oracle_timeout.py"))
 cot = importlib.util.module_from_spec(spec); spec.loader.exec_module(cot)
 from sf1_oracles import REFORMULATED
 
