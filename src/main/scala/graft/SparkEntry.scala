@@ -311,6 +311,11 @@ object SparkEntry {
     // one query), replayed the same way: daily distinct users per type,
     // certified by a batch count(DISTINCT) oracle ---
     "streaming_dedup_replay" -> streaming.EventStreams.streamingDedupReplay _,
+    // --- the same two state-heaviest replays on the RocksDB state-store
+    // provider (the 100 TB-state production choice): gate rows certify
+    // provider-equivalence against the SAME batch oracles ---
+    "streaming_dedup_replay_rocksdb" -> streaming.EventStreams.streamingDedupReplayRocksDb _,
+    "streaming_sessions_replay_rocksdb" -> streaming.EventStreams.streamingSessionsReplayRocksDb _,
     // --- stream-stream interval join state store, replayed — certified
     // by the batch click_purchase_join oracle ---
     "streaming_join_replay" -> streaming.EventStreams.streamingJoinReplay _,
@@ -3007,9 +3012,33 @@ object SparkEntry {
       """SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS day, event_type,
                 count(DISTINCT user_id)::BIGINT AS n_users
          FROM events GROUP BY 1, 2""",
+    // RocksDB-provider twin: the state-store provider must be invisible in
+    // the result — same oracle text as streaming_dedup_replay.
+    "streaming_dedup_replay_rocksdb" ->
+      """SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS day, event_type,
+                count(DISTINCT user_id)::BIGINT AS n_users
+         FROM events GROUP BY 1, 2""",
     // The streaming session replay must land on EXACTLY the batch
     // answer — same oracle text as session_window_agg.
     "streaming_sessions_replay" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+         s AS (
+           SELECT *, CASE WHEN tus - lag(tus) OVER
+               (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000
+             THEN 1 ELSE 0 END AS ns
+           FROM e),
+         t AS (
+           SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS sid
+           FROM s)
+         SELECT user_id, min(tus) AS session_start_us,
+                max(tus) + 1800000000 AS session_end_us,
+                count(*)::BIGINT AS n_events,
+                sum(round(value * 100)::BIGINT) / 100.0 AS total_value
+         FROM t GROUP BY user_id, sid""",
+    // RocksDB-provider twin of the session replay — same oracle text.
+    "streaming_sessions_replay_rocksdb" ->
       """WITH e AS (
            SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
          s AS (

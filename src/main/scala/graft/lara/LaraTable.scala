@@ -19,8 +19,21 @@ import org.apache.spark.sql.functions._
   *  - `join` is a plain equi-join on the shared key prefix, so Catalyst is
   *    free to choose broadcast / shuffle-hash / sort-merge and AQE can
   *    re-plan at runtime, including skew-join splitting.
+  *  - Shared subtrees are cached AUTOMATICALLY: the reference dedups
+  *    pipelines that feed multiple consumers at lowering time
+  *    (`api/TupleOp.kt:25-26`, `api/Lower.kt:107-127`); here every operator
+  *    notes its inputs' fan-out at plan-build time and the second consumer
+  *    of a shuffle-bearing subtree persists it (MEMORY_AND_DISK, registered
+  *    in [[graft.pipeline.InternalCaches]]). See [[LaraTable.noteUse]].
+  *
+  * `shuffled` tracks whether this table's plan contains a shuffle boundary
+  * (union/agg/join output) — the auto-cache trigger. Narrow ops propagate
+  * it; leaves (`load`/`empty`/raw scans) start false, so a bare scan
+  * consumed twice is re-read (columnar parquet re-scan is cheaper than
+  * caching raw data at 100 TB), while a shared aggregate/join is computed
+  * once.
   */
-final case class LaraTable(df: DataFrame, schema: LaraSchema) {
+final case class LaraTable(df: DataFrame, schema: LaraSchema, shuffled: Boolean = false) {
   import LaraTable._
 
   require(schema.allNames.forall(df.columns.contains),
@@ -48,11 +61,12 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
     require(newKeys.intersect(schema.keys).isEmpty,
       s"ext: new keys $newKeys must be disjoint from parent keys ${schema.keys}")
     val out = LaraSchema(schema.keys ++ newKeys, newVals)
+    LaraTable.noteUse(this)
     val exploded = df.select(schema.keys.map(col) :+ gen.as("__ext"): _*)
     val flat = (newKeys ++ newVals.map(_.name)).foldLeft(exploded) {
       (d, n) => d.withColumn(n, col(s"__ext.$n"))
     }.drop("__ext")
-    LaraTable(flat.select(out.allNames.map(col): _*), out)
+    LaraTable(flat.select(out.allNames.map(col): _*), out, shuffled)
   }
 
   /** Ext with an *arbitrary* row function — the reference `ExtFun` in full
@@ -83,6 +97,7 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
         newKeys.map { case (n, t) => StructField(n, t) } ++
         newVals.map(v => StructField(v.name, v.dataType)))
     val genWidth = newKeys.length + newVals.length
+    LaraTable.noteUse(this)
     val flat = df.flatMap { row =>
       val keyVals = keyIdx.map(row.get(_)).toSeq
       f(row).iterator.map { gen =>
@@ -91,7 +106,7 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
         Row.fromSeq(keyVals ++ gen.toSeq)
       }
     }(Encoders.row(outStruct))
-    LaraTable(flat.toDF(), out)
+    LaraTable(flat.toDF(), out, shuffled)
   }
 
   /** Map: 1:1 value transform; keys unchanged. Reference `MapFun`
@@ -102,15 +117,19 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
     require(newVals.map(_.name).toSet == exprs.keySet,
       s"mapVals: declared ${newVals.map(_.name)} != computed ${exprs.keySet}")
     val out = LaraSchema(schema.keys, newVals)
+    LaraTable.noteUse(this)
     val cols = schema.keys.map(col) ++ newVals.map(v => exprs(v.name).cast(v.dataType).as(v.name))
-    LaraTable(df.select(cols: _*), out)
+    LaraTable(df.select(cols: _*), out, shuffled)
   }
 
   /** Filter idiom: the reference filters by mapping to the default tuple and
     * letting ZeroDiscard drop it (`examples/sensor/SensorQuery.kt:40-42`).
     * Spark-first, that is just a predicate — pushed down to the scan.
     */
-  def where(cond: Column): LaraTable = copy(df = df.filter(cond))
+  def where(cond: Column): LaraTable = {
+    LaraTable.noteUse(this)
+    copy(df = df.filter(cond))
+  }
 
   /** Key-range filter — reference `MinMaxFilter` (`sensor/MinMaxFilter.kt:
     * 18-77`) / `RowRangeIterator` (`opt/Operators.kt:332-368`). On a
@@ -135,7 +154,8 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
     val out = LaraSchema(
       schema.keys.map(k => m.getOrElse(k, k)),
       schema.vals.map(v => v.copy(name = m.getOrElse(v.name, v.name))))
-    LaraTable(df.withColumnsRenamed(m), out)
+    LaraTable.noteUse(this)
+    LaraTable(df.withColumnsRenamed(m), out, shuffled)
   }
 
   // ------------------------------------------------------------------- Sort
@@ -163,9 +183,11 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
     * *stronger* than the access-path contract needs: partitions are globally
     * ordered, so key-prefix locality is preserved too.
     */
-  def sortedDf: DataFrame =
+  def sortedDf: DataFrame = {
+    LaraTable.noteUse(this)
     df.repartitionByRange(schema.keys.map(col): _*)
       .sortWithinPartitions(schema.keys.map(col): _*)
+  }
 
   // ------------------------------------------------------------------ Union
 
@@ -187,6 +209,7 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
     val effective = outVals.map(v =>
       v.name -> plusFns.getOrElse(v.name, PlusFn.errorFn(v.default, v.dataType))).toMap
     checkIdentityLaw(schema, plusFns); checkIdentityLaw(other.schema, plusFns)
+    LaraTable.noteUse(this); LaraTable.noteUse(other)
 
     def pad(t: LaraTable): DataFrame = {
       val cols = commonKeys.map(col) ++ outVals.map { v =>
@@ -196,7 +219,8 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
       t.df.select(cols: _*)
     }
     val unioned = pad(this).unionByName(pad(other))
-    LaraTable(aggregate(unioned, commonKeys, outVals, effective), LaraSchema(commonKeys, outVals))
+    LaraTable(aggregate(unioned, commonKeys, outVals, effective), LaraSchema(commonKeys, outVals),
+      shuffled = true)
   }
 
   /** N-ary ⊕-union (left fold; ⊕ associativity makes the shape free). */
@@ -220,7 +244,9 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
     val keptOrdered = schema.keys.filter(keysKept.contains)
     val outVals = schema.vals.filter(v => plusFns.contains(v.name))
       .map(v => v.copy(default = plusFns(v.name).identity))
-    LaraTable(aggregate(df, keptOrdered, outVals, plusFns), LaraSchema(keptOrdered, outVals))
+    LaraTable.noteUse(this)
+    LaraTable(aggregate(df, keptOrdered, outVals, plusFns), LaraSchema(keptOrdered, outVals),
+      shuffled = true)
   }
 
   // ------------------------------------------------------------------- Join
@@ -255,6 +281,7 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
       val spec = schema.valSpec(n)
       ValSpec(n, spec.dataType, timesFns(n).resultZero)
     }
+    LaraTable.noteUse(this); LaraTable.noteUse(other)
     val l = df.as("l")
     val r = (if (broadcastRight) broadcast(other.df) else other.df).as("r")
     // Empty shared prefix (e.g. joining a keyless global aggregate) is the
@@ -274,7 +301,7 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
       val keeps = outVals.filter(_.default != null).map(v => col(v.name) =!= lit(v.default))
       if (keeps.nonEmpty) res = res.filter(keeps.reduce(_ || _))
     }
-    LaraTable(res, LaraSchema(resultKeys, outVals.toList))
+    LaraTable(res, LaraSchema(resultKeys, outVals.toList), shuffled = true)
   }
 
   // ----------------------------------------------------------------- Sinks
@@ -292,10 +319,12 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
     * shuffle-partition setting. The `lara_store_layout` contract query
     * certifies exactly this through the driver's oracle gate.
     */
-  def store(path: String, numFiles: Int): Unit =
+  def store(path: String, numFiles: Int): Unit = {
+    LaraTable.noteUse(this)
     df.repartitionByRange(numFiles, schema.keys.map(col): _*)
       .sortWithinPartitions(schema.keys.map(col): _*)
       .write.mode("overwrite").parquet(path)
+  }
 
   /** Append variant of [[store]] for incremental writers (micro-batches,
     * backfills): each call adds access-path-sorted files; a reader sees the
@@ -345,6 +374,7 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
     */
   def storePartitioned(path: String, nPartitionKeys: Int = 1): Unit = {
     val pkeys = schema.keys.take(nPartitionKeys)
+    LaraTable.noteUse(this)
     df.sortWithinPartitions(schema.keys.map(col): _*)
       .write.mode("overwrite").partitionBy(pkeys: _*).parquet(path)
   }
@@ -356,20 +386,72 @@ final case class LaraTable(df: DataFrame, schema: LaraSchema) {
     * `sensor/SensorCalc.kt:159-173`). The scale play for repeatedly-joined
     * 100 TB fact tables: pay the partitioning once at write.
     */
-  def storeBucketed(table: String, nBuckets: Int): Unit =
+  def storeBucketed(table: String, nBuckets: Int): Unit = {
+    LaraTable.noteUse(this)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, schema.keys.head, schema.keys.tail: _*)
       .sortBy(schema.keys.head, schema.keys.tail: _*)
       .saveAsTable(table)
+  }
 
-  /** Mark for reuse across plan branches — the reference's shared-subtree
-    * `instMap`/pipeline dedup (`api/TupleOp.kt:25-26`, `api/Lower.kt:118-127`)
-    * needs explicit help in Spark (`SURVEY.md §4.1`).
+  /** Explicitly mark for reuse across plan branches. Since r11 shared
+    * shuffle-bearing subtrees are cached automatically at second use
+    * ([[LaraTable.noteUse]] — the reference's `instMap`/pipeline dedup,
+    * `api/TupleOp.kt:25-26`, `api/Lower.kt:118-127`); this hint remains for
+    * the cases the fan-out counter deliberately skips: narrow subtrees
+    * (scan+filter reused many times over a small input) and first-use
+    * caching ahead of a known re-consumption in a LATER query.
     */
   def cached: LaraTable = copy(df = df.cache())
 }
 
 object LaraTable {
+  /** Auto-cache toggle (default ON). Plan-build side effect only — results
+    * are identical either way; OFF reproduces the pre-r11 recompute plans.
+    */
+  @volatile var autoCache: Boolean = true
+
+  /** Run `body` with auto-caching forced to `enabled` (specs/bench A-Bs). */
+  def withAutoCache[A](enabled: Boolean)(body: => A): A = {
+    val prev = autoCache
+    autoCache = enabled
+    try body finally autoCache = prev
+  }
+
+  // Fan-out per underlying DataFrame *object* (identity — Dataset doesn't
+  // override equals): metadata-only ops (`sortKeys`) share their parent's
+  // wrapper, so all views of one plan count against one entry. Weak keys:
+  // entries die with the plan wrappers; persisted frames are kept alive by
+  // the CacheManager + InternalCaches registration, not by this map.
+  private val fanOut = new java.util.WeakHashMap[DataFrame, java.lang.Integer]()
+
+  /** Record one consumption of `t` at plan-build time; on the SECOND
+    * consumption of a shuffle-bearing subtree, persist it. The reference
+    * dedups shared subtrees when lowering (`api/TupleOp.kt:25-26` instance
+    * map, `api/Lower.kt:107-127` pipeline split); Spark's analogue is a
+    * plan-keyed cache: CacheManager matches on the canonicalized plan, so
+    * the first consumer's already-built plan ALSO picks up the
+    * InMemoryRelation at execution time — persisting at second use loses
+    * nothing. MEMORY_AND_DISK + InternalCaches registration per the cache
+    * policy (blocks evict to disk under pressure; `release()` can always
+    * drop them — an unpersisted frame recomputes from lineage).
+    */
+  private[lara] def noteUse(t: LaraTable): Unit = {
+    if (!autoCache || t.df.isStreaming) return
+    val n = fanOut.synchronized {
+      val c = Option(fanOut.get(t.df)).fold(1)(_.intValue + 1)
+      fanOut.put(t.df, c)
+      c
+    }
+    // >= 2 (not == 2): a table consumed again after InternalCaches.release()
+    // dropped it between queries gets re-persisted.
+    if (n >= 2 && t.shuffled &&
+        t.df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      t.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.InternalCaches.register(t.df)
+    }
+  }
+
   /** Reference `Load` (`api/TupleOp.kt:274-283`) over parquet. */
   def load(spark: SparkSession, path: String, keys: Seq[String], vals: Seq[ValSpec]): LaraTable = {
     // project the declared schema: stores written with partition
@@ -391,36 +473,96 @@ object LaraTable {
     * the store's ACTUAL on-disk bytes (a metadata-only listing), then
     * swaps directories. Returns (filesBefore, filesAfter).
     *
-    * The swap is two renames on the store's filesystem — atomic on HDFS
-    * and local disk; on eventual-consistency object stores run it from a
-    * single maintenance job (the same caveat every rename-based committer
-    * carries).
+    * Batch-layout stores ([[appendStoreBatch]]) keep their layout: the
+    * folded batches rewrite into `batch=<lowest folded id>` and the
+    * HIGHEST batch id is excluded from folding — it is the only batch an
+    * at-least-once writer (streaming `foreachBatch` crash replay) can
+    * legally re-emit, and replaying a batch whose rows were already folded
+    * would duplicate them. A batch store with fewer than two batch dirs is
+    * therefore a no-op. Flat ([[appendStore]]) stores rewrite to flat
+    * files as before.
+    *
+    * Concurrency contract (asserted by `ConcurrentMaintenanceSpec`):
+    *  - Committed data is never lost: batches that land between the
+    *    compaction's input listing and the directory swap are staged aside
+    *    with the old tree and RECONCILED into the new store before the old
+    *    tree is deleted (on path-string filesystems nothing can commit
+    *    into the staged-aside tree after the rename — writers address the
+    *    live `path`, so the staged tree is frozen and one reconcile pass
+    *    is complete).
+    *  - A writer whose committer re-creates the live root between the two
+    *    swap renames is folded aside and the swap retried (bounded); its
+    *    own job may fail mid-commit and must retry per its at-least-once
+    *    contract — the idempotent `batch=<id>` overwrite makes the retry
+    *    safe.
+    *  - Readers can observe a TRANSIENT missing root between the two swap
+    *    renames (two renames are not one atomic op) — retry on
+    *    FileNotFound. They never observe a mixed old+new layout: each
+    *    rename is atomic on HDFS/local disk. On eventual-consistency
+    *    object stores run compaction from a single maintenance job (the
+    *    caveat every rename-based committer carries).
     */
   def compactStore(spark: SparkSession, path: String, keys: Seq[String], vals: Seq[ValSpec],
                    targetFileBytes: Long = 128L * 1024 * 1024,
                    zorderBy: Seq[String] = Nil, zorderBits: Int = 10): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
     require(zorderBy.isEmpty || zorderBy.size >= 2,
       "zorderBy needs >= 2 dimensions (one dimension is just the access-path sort)")
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val hPath = fs.makeQualified(new Path(path))
     // recursive: stores written by `appendStoreBatch` (batch=<id> subdirs)
     // and `storePartitioned` (hive key dirs) keep their parquet one level
     // down — a flat listing would see zero bytes and size the compaction
-    // to a single file regardless of store size
-    def dataFiles(p: org.apache.hadoop.fs.Path) = {
-      val it = fs.listFiles(p, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.isFile && s.getPath.getName.endsWith(".parquet")) buf += s
+    // to a single file regardless of store size. Hidden segments
+    // (`_temporary` of an in-flight writer, `.crc`) are skipped: they are
+    // not committed data.
+    // Manual walk, not fs.listFiles(p, true): the recursive iterator stats
+    // every entry eagerly (LocatedFileStatus loads permissions), so a
+    // concurrent writer's `_temporary` tree vanishing mid-walk crashes the
+    // listing. Pruning hidden dirs BEFORE descending never touches
+    // committer state, and a directory deleted mid-walk reads as empty.
+    def dataFiles(p: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+      def walk(d: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+        val entries =
+          try fs.listStatus(d)
+          catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+        entries.toSeq.flatMap { s =>
+          val name = s.getPath.getName
+          if (name.startsWith("_") || name.startsWith(".")) Nil
+          else if (s.isDirectory) walk(s.getPath)
+          else if (name.endsWith(".parquet")) Seq(s)
+          else Nil
+        }
       }
-      buf.toArray
+      walk(p).toArray
     }
+    def rel(root: Path, f: Path): String =
+      f.toString.stripPrefix(fs.makeQualified(root).toString).stripPrefix("/")
+    val batchIds = Option(fs.listStatus(hPath)).getOrElse(Array.empty)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    val batchLayout = batchIds.nonEmpty
     val before = dataFiles(hPath)
-    val nFiles = math.max(1, math.ceil(before.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    if (batchLayout && batchIds.length < 2) return (before.length, before.length)
+    // the batch excluded from folding (see scaladoc), and the id the
+    // folded rows rewrite under
+    val excluded: Option[Long] = if (batchLayout) Some(batchIds.max) else None
+    val foldId: Long = if (batchLayout) batchIds.min else 0L
+    val folded = before.filter(f =>
+      excluded.forall(b => !rel(hPath, f.getPath).startsWith(s"batch=$b/")))
+    if (folded.isEmpty) return (before.length, before.length)
+    val foldedRel = folded.map(f => rel(hPath, f.getPath)).toSet
+    val nFiles = math.max(1, math.ceil(folded.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+    val tmp = new Path(path + ".compact.tmp")
     fs.delete(tmp, true)
-    val loaded = load(spark, path, keys, vals).df
+    // Read EXACTLY the folded file list (not the directory): a batch
+    // committed between the listing above and a directory re-list here
+    // would otherwise be both folded AND reconciled — duplicated. basePath
+    // keeps hive/batch partition columns resolvable from the file paths.
+    val loaded = spark.read.option("basePath", path)
+      .parquet(folded.map(_.getPath.toString).toIndexedSeq: _*)
+      .select((keys ++ vals.map(_.name)).map(org.apache.spark.sql.functions.col): _*)
     val clustered =
       if (zorderBy.isEmpty)
         loaded
@@ -446,11 +588,44 @@ object LaraTable {
             (org.apache.spark.sql.functions.col("__zval") +: keys.map(org.apache.spark.sql.functions.col)): _*)
           .drop("__zval")
       }
-    clustered.write.mode("overwrite").parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
+    val tmpData = if (batchLayout) s"$tmp/batch=$foldId" else tmp.toString
+    clustered.write.mode("overwrite").parquet(tmpData)
+    val old = new Path(path + ".compact.old")
     fs.delete(old, true)
     require(fs.rename(hPath, old), s"compactStore: could not stage $path aside")
-    require(fs.rename(tmp, hPath), s"compactStore: could not move compacted store into $path")
+    // Swap, retrying when a concurrent writer's committer re-created the
+    // live root between the two renames (mkdir-p of its output path): fold
+    // whatever it put there into the staged-aside tree — the reconcile
+    // pass below carries any committed files of it into the new store.
+    var attempts = 0
+    while (!fs.rename(tmp, hPath)) {
+      attempts += 1
+      require(attempts <= 16,
+        s"compactStore: could not move compacted store into $path after $attempts attempts")
+      if (fs.exists(hPath)) {
+        fs.listStatus(hPath).foreach { st =>
+          val dst = new Path(old, st.getPath.getName)
+          if (st.isDirectory && fs.exists(dst))
+            fs.listStatus(st.getPath).foreach(c =>
+              fs.rename(c.getPath, new Path(dst, c.getPath.getName)))
+          else fs.rename(st.getPath, dst)
+        }
+        fs.delete(hPath, true)
+      }
+    }
+    // Reconcile: every committed data file staged aside that the
+    // compaction did NOT fold (the excluded last batch, plus any batch
+    // committed between the input listing and the swap) moves into the
+    // new store at its store-relative path. Deleting it with the old tree
+    // would silently destroy a committed batch.
+    dataFiles(old).foreach { f =>
+      val r = rel(old, f.getPath)
+      if (!foldedRel.contains(r)) {
+        val dst = new Path(hPath, r)
+        fs.mkdirs(dst.getParent)
+        fs.rename(f.getPath, dst)
+      }
+    }
     fs.delete(old, true)
     (before.length, dataFiles(hPath).length)
   }

@@ -85,7 +85,10 @@ object SensorPipeline {
   /** Full covariance query C over two parsed sensor tables. */
   def covariance(a: LaraTable, b: LaraTable): LaraTable = {
     // X = A − B on shared keys (tp, c); null annihilators = null defaults.
-    val x = binAndAvg(a).join(binAndAvg(b), Map("v" -> subtractVn)).cached
+    // No explicit cache hints anywhere below: X (3 consumers) and U (2) are
+    // shuffle-bearing subtrees with fan-out > 1, so LaraTable.noteUse
+    // persists them automatically — the reference's shared-subtree dedup.
+    val x = binAndAvg(a).join(binAndAvg(b), Map("v" -> subtractVn))
 
     // N = number of t′ bins with any non-null difference (scalar).
     val n = x
@@ -102,7 +105,7 @@ object SensorPipeline {
 
     // U = X − M, mean-centered (shared key prefix c; M broadcast — tiny).
     val u = x0.join(m, Map("v" -> subtractVn), broadcastRight = true)
-      .sortKeys(Seq("tp", "c")).cached
+      .sortKeys(Seq("tp", "c"))
 
     // C = Σ_t U ⊗ U′ per (c, c′), ÷ (N−1).
     u.join(u.rename(Map("c" -> "cp")), Map("v" -> multiplyVn))

@@ -704,6 +704,26 @@ object EventStreams {
       .select(col("user_id"), col("session_start_us"), col("session_end_us"),
         col("n_events"), col("total_value"))
 
+  /** The RocksDB state-store provider class bundled with Spark — the
+    * production provider for large streaming state (keys live off-heap in
+    * RocksDB + local disk instead of the executor heap the default
+    * HDFS-backed provider uses).
+    */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** [[streamingSessionsReplay]] on the RocksDB state-store provider — the
+    * merging session-window store exercised on the provider a real
+    * 100 TB-state cluster runs. Same DuckDB oracle as the batch
+    * `session_window_agg`: the gate row certifies provider-equivalence.
+    */
+  def streamingSessionsReplayRocksDb(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    replayEvents(s, dir, "sessions_replay_rocksdb",
+        stateStoreProvider = Some(RocksDbProvider))(in => streamingSessionWindow(in.toDF()))
+      .filter(col("user_id") =!= -7L)
+      .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+        col("n_events"), col("total_value"))
+
   /** Batch-replay certification of Spark's streaming WINDOWED-AGGREGATION
     * state store — the THIRD distinct streaming engine path certified in
     * the driver's gate (after `streaming_ohlc_replay`'s
@@ -744,6 +764,25 @@ object EventStreams {
     */
   def streamingDedupReplay(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     replayEvents(s, dir, "dedup_replay") { in =>
+      in.toDF()
+        .withWatermark("ts", "1 hour")
+        .withColumn("w", window(col("ts"), "1 day"))
+        .dropDuplicates("user_id", "event_type", "w")
+        .groupBy(col("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(unix_timestamp(col("w.start")).as("day"), col("event_type"),
+          col("n_users"))
+    }.filter(col("event_type") =!= "__wm")
+      .select(col("day"), col("event_type"), col("n_users"))
+
+  /** [[streamingDedupReplay]] on the RocksDB state-store provider — the
+    * chained dedup→agg path (the biggest state of the seven replay
+    * certificates) on the provider a real 100 TB-state cluster runs. Same
+    * DuckDB oracle as the default-provider twin.
+    */
+  def streamingDedupReplayRocksDb(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    replayEvents(s, dir, "dedup_replay_rocksdb",
+        stateStoreProvider = Some(RocksDbProvider)) { in =>
       in.toDF()
         .withWatermark("ts", "1 hour")
         .withColumn("w", window(col("ts"), "1 day"))
@@ -865,9 +904,24 @@ object EventStreams {
       (shared, maxMs)
     })
 
-  private def replayEvents(s: org.apache.spark.sql.SparkSession, dir: String,
-                           tag: String, mode: String = "append")
+  /** `stateStoreProvider`: optional override of
+    * `spark.sql.streaming.stateStore.providerClass` for this one replay —
+    * applied on a session CLONE (own SQLConf, shared SparkContext), so a
+    * concurrent replay on the parent session never sees the flipped conf.
+    * The production choice at 100 TB streaming state is RocksDB (state
+    * off-heap + on-disk, bounded executor heap); the replay certificates
+    * default to the HDFS-backed in-memory provider and the `_rocksdb`
+    * contract twins pin provider-equivalence through the driver's gate.
+    */
+  private def replayEvents(s0: org.apache.spark.sql.SparkSession, dir: String,
+                           tag: String, mode: String = "append",
+                           stateStoreProvider: Option[String] = None)
                           (build: Dataset[Event] => DataFrame): DataFrame = {
+    val s = stateStoreProvider.fold(s0) { p =>
+      val clone = s0.newSession()
+      clone.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      clone
+    }
     import s.implicits._
     // schema only — no job runs on this frame; data comes from the shared
     // staged copy

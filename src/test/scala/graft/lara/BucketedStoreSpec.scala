@@ -109,11 +109,26 @@ class BucketedStoreSpec extends AnyFunSuite {
     val expected = rowSet(LaraTable.load(spark, dir, Seq("k"), schema.vals).df)
     val (nb, na) = LaraTable.compactStore(spark, dir, Seq("k"), schema.vals)
     // a flat listing would report 0 files before (all parquet sits inside
-    // batch= subdirectories) — the recursive walk must count them
-    assert(nb >= 4 && na == 1, s"expected >=4 nested files -> 1, got $nb -> $na")
-    assert(rowSet(spark.read.parquet(dir)) == expected, "compaction must not change data")
-    val ks = spark.read.parquet(dir).collect().map(_.getLong(0)).toSeq
-    assert(ks == ks.sorted, "compacted store must be access-path-sorted")
+    // batch= subdirectories) — the recursive walk must count them. Batches
+    // 0..2 fold into batch=0 (1 file); batch=3 (the highest id — the only
+    // one an at-least-once writer can replay) is excluded and carried over.
+    assert(nb >= 4 && na == 2, s"expected >=4 nested files -> 2, got $nb -> $na")
+    assert(rowSet(LaraTable.load(spark, dir, Seq("k"), schema.vals).df) == expected,
+      "compaction must not change data")
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("batch=0", "batch=3"), s"batch layout must survive compaction: $dirs")
+    // the store stays appendable: a batch writer after compaction works,
+    // and a replay of the excluded last batch stays idempotent
+    LaraTable(df(st, Seq(Row(100L, 1))), schema).appendStoreBatch(dir, 4L)
+    LaraTable(df(st, Seq(Row(100L, 1))), schema).appendStoreBatch(dir, 4L)
+    assert(LaraTable.load(spark, dir, Seq("k"), schema.vals).df.count() == expected.size + 1)
+    // within each file rows stay access-path-sorted (the per-file contract;
+    // global order across batch dirs is re-established by realizeSorted)
+    for (bd <- new java.io.File(dir).listFiles(); if bd.isDirectory;
+         f <- bd.listFiles(); if f.getName.endsWith(".parquet")) {
+      val ks = spark.read.parquet(f.getPath).collect().map(_.getLong(0)).toSeq
+      assert(ks == ks.sorted, s"file ${f.getName} in ${bd.getName} not sorted")
+    }
   }
 
   test("compactStore zorderBy: files carry disjoint z-ranges over both dimensions") {

@@ -332,6 +332,25 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == batch, s"stream $got vs batch $batch")
   }
 
+  test("RocksDB state-store replays equal their default-provider twins row-for-row") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(d: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      d.collect().map(_.toSeq).toSet
+    val dedupDefault = rows(EventStreams.streamingDedupReplay(spark, sf))
+    val dedupRocks = rows(EventStreams.streamingDedupReplayRocksDb(spark, sf))
+    assert(dedupDefault.nonEmpty)
+    assert(dedupRocks == dedupDefault,
+      s"provider changed the chained dedup→agg result: ${dedupRocks.size} vs ${dedupDefault.size} rows")
+    val sessDefault = rows(EventStreams.streamingSessionsReplay(spark, sf))
+    val sessRocks = rows(EventStreams.streamingSessionsReplayRocksDb(spark, sf))
+    assert(sessDefault.nonEmpty)
+    assert(sessRocks == sessDefault,
+      s"provider changed the session-window result: ${sessRocks.size} vs ${sessDefault.size} rows")
+    // the override must not leak into the parent session's conf
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      != EventStreams.RocksDbProvider)
+  }
+
   test("checkpoint restart recovery: a killed windowed-agg query resumes exactly-once into a file sink") {
     // the crash-recovery certificate none of the replay queries exercises:
     // process half the data, STOP the query, start a NEW query on the SAME
