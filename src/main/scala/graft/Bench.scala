@@ -217,7 +217,9 @@ object Bench {
     // without code changes get an isolated number until the question closes
     // (r8 review: gram_matrix 1.56× co-run, untouched — contamination or
     // real?). Keep grid_dbscan while its co-run/isolated gap stays 1.5×+.
-    val isolateWatchlist = Set("gram_matrix", "grid_dbscan", "triple_itemsets")
+    // ann_ivf: pinned until the r10 2.23x co-run breach adjudication has an
+    // isolated number on a committed artifact (r10 review "wrong" #1).
+    val isolateWatchlist = Set("gram_matrix", "grid_dbscan", "triple_itemsets", "ann_ivf")
     // Baseline-breach escalation (r10 review "wrong" #1): a baseline-graded
     // query whose co-run median exceeds 1.8x its frozen r1 number gets an
     // isolated number IN THIS RUN — a 2x gate breach must carry its own
