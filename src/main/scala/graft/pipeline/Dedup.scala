@@ -302,6 +302,16 @@ object Dedup {
     * quadratic). Dropping index entries can only lose candidate pairs whose
     * every shared shingle is that common — report `0` (unbounded) for exact
     * semantics, or pair a capped run with `hotShingles` accounting.
+    *
+    * Scaling contract (measured, NOTES_r11 §6): at duplication
+    * multiplicity m the index join pays Σdf² ≈ m² per base shingle and the
+    * OUTPUT is Θ(m²) pairs per cluster — semantically quadratic; no
+    * implementation of all-pairs output escapes it, and `maxDf` correctly
+    * does not fire on genuine cluster shingles. At mass duplication
+    * (m ≳ 20) use [[minhashPairs]] as the screen and
+    * `Components.duplicateClusters`/`TrainingData.prepareCorpus` to
+    * cluster-canonicalize in linear state; reserve this exact verifier for
+    * bounded candidate sets.
     */
   def jaccardJoin(docs: DataFrame, k: Int = 3, minJaccard: Double = 0.5,
                   maxDf: Long = 0L): DataFrame = {

@@ -81,9 +81,16 @@ object MemProbe {
       if (args.length > 1) args.drop(1).flatMap(_.split(",")).map(_.trim).toSeq
       else heavyTail
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle-partition override for the ×N-data rehearsals: a real cluster
+    // job carries partition counts that scale with DATA, not with one box's
+    // core count — holding 32 partitions at sf10 grows per-task shuffle
+    // state 10× past the heap envelope the sf1.0 rehearsal proved (measured:
+    // the wedge merge OOMs in spill read-ahead buffers, r11). Default stays
+    // = cores for the sf1.0 comparisons.
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
