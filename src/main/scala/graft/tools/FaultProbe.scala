@@ -39,7 +39,18 @@ import scala.util.control.NonFatal
   *    under injection), and asserts the store equals the direct batch
   *    write: same row multiset, no duplicate/partial batch.
   *
-  * Usage: java -cp … graft.tools.FaultProbe <sfDir> <kill|spec|store> [q1,…]
+  *  - `execloss`: whole-executor loss — the failure class task kills
+  *    cannot reach: losing an executor destroys its finished shuffle map
+  *    outputs, so downstream reducers hit FetchFailed and the scheduler
+  *    must RESUBMIT the parent stage (re-running already-"successful"
+  *    tasks) — routine at 100 TB on spot/preempted nodes. Runs on the
+  *    same 2-executor local-cluster as `spec`; ~2 s into each query one
+  *    executor process is killed (SIGKILL to the child JVM — the
+  *    standalone worker relaunches a replacement), and the result hash
+  *    must equal the clean-hash file.
+  *
+  * Usage: java -cp … graft.tools.FaultProbe <sfDir>
+  *        <kill|spec|execloss|store> [q1,…]
   * Output: one JSON line per query + a summary line.
   */
 object FaultProbe {
@@ -109,7 +120,7 @@ object FaultProbe {
       // maxFailures=4 gives injected EXCEPTIONS retry room too; TaskKilled
       // alone would not need it
       case "kill" | "store" => s"local[$cpus, 4]"
-      case "spec" => s"local-cluster[2, ${math.max(2, cpus / 2)}, 6144]"
+      case "spec" | "execloss" => s"local-cluster[2, ${math.max(2, cpus / 2)}, 6144]"
       case other => sys.error(s"unknown mode $other")
     }
     val b = SparkSession.builder()
@@ -120,15 +131,15 @@ object FaultProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config(graft.Tables.eventsConf._1, graft.Tables.eventsConf._2)
       .config("spark.ui.enabled", "false")
-    if (mode == "spec") {
+    if (mode == "spec" || mode == "execloss")
       // executors are separate processes in local-cluster mode — they need
       // this JVM's classpath (sbt target dirs + /opt/spark jars)
       b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
-        .config("spark.speculation", "true")
+    if (mode == "spec")
+      b.config("spark.speculation", "true")
         .config("spark.speculation.multiplier", "1.0")
         .config("spark.speculation.quantile", "0.05")
         .config("spark.speculation.interval", "5ms")
-    }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val injector = new KillInjector(spark.sparkContext)
@@ -205,6 +216,63 @@ object FaultProbe {
         }
         println(s"""{"mode":"spec","n":${names.size},"all_hashes_match":$allMatch,""" +
           s""""speculative_total":${injector.speculative.get}}""")
+        spark.stop()
+        if (!allMatch) sys.exit(1)
+
+      case "execloss" =>
+        val cleanHashes: Map[String, String] =
+          if (java.nio.file.Files.exists(hashFile)) {
+            val text = new String(java.nio.file.Files.readAllBytes(hashFile), "UTF-8")
+            "\"([^\"]+)\":\"([^\"]+)\"".r.findAllMatchIn(text)
+              .map(m => m.group(1) -> m.group(2)).toMap
+          } else Map.empty
+        def executorsUp: Int =
+          spark.sparkContext.statusTracker.getExecutorInfos.length - 1 // minus driver
+        def awaitExecutors(n: Int, timeoutMs: Long = 90000): Boolean = {
+          val deadline = System.currentTimeMillis() + timeoutMs
+          while (executorsUp < n && System.currentTimeMillis() < deadline) Thread.sleep(500)
+          executorsUp >= n
+        }
+        require(awaitExecutors(2), "local-cluster executors did not come up")
+        var allMatch = true
+        for (name <- names) {
+          val fn = graft.SparkEntry.queries(name)
+          // SIGKILL one executor JVM ~2 s into the query — node loss: its
+          // completed shuffle map outputs vanish, reducers hit
+          // FetchFailed, the scheduler resubmits the parent stage; the
+          // standalone worker relaunches a replacement executor
+          val killedPid = new java.util.concurrent.atomic.AtomicLong(-1L)
+          val killer = new Thread(() => {
+            try {
+              Thread.sleep(2000)
+              val out = new String(new ProcessBuilder("pgrep", "-f",
+                "CoarseGrainedExecutorBackend").start().getInputStream.readAllBytes, "UTF-8")
+              val pids = out.trim.split("\\s+").filter(_.nonEmpty).map(_.toLong).sorted
+              pids.lastOption.foreach { p =>
+                new ProcessBuilder("kill", "-9", p.toString).start().waitFor()
+                killedPid.set(p)
+              }
+            } catch { case NonFatal(_) => () }
+          })
+          killer.setDaemon(true)
+          killer.start()
+          val t0 = System.nanoTime()
+          val h =
+            try { spark.sharedState.cacheManager.clearCache()
+                  graft.pipeline.InternalCaches.release()
+                  resultHash(fn(spark, sfDir)) }
+            catch { case NonFatal(e) =>
+              s"ERR:${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}" }
+          val sec = (System.nanoTime() - t0) / 1e9
+          killer.join(5000)
+          val replaced = awaitExecutors(2)
+          val ok = cleanHashes.get(name).forall(_ == h) && !h.startsWith("ERR:")
+          allMatch &&= ok
+          println(f"""{"query":"$name","execloss_sec":$sec%.2f,""" +
+            s""""killed_pid":${killedPid.get},"replacement_up":$replaced,"hash_match":$ok""" +
+            (if (ok) "}" else s""","clean":"${cleanHashes.getOrElse(name, "?")}","got":"$h"}"""))
+        }
+        println(s"""{"mode":"execloss","n":${names.size},"all_hashes_match":$allMatch}""")
         spark.stop()
         if (!allMatch) sys.exit(1)
 
