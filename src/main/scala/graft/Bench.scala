@@ -52,6 +52,100 @@ object Bench {
     "text_quality_score" -> 0.474, "text_rolling_fp" -> 0.189,
     "top_orders" -> 0.187, "window_running" -> 0.495, "window_topk" -> 0.505)
 
+  /** Per-query round-11 co-run medians (BENCH_FULL.json as committed at
+    * r11 — frozen, like [[baselineR1]]). Round-over-round mover
+    * escalation (r11 review "wrong" #2): a dozen mid-cost queries moved
+    * 1.3-1.6x between r10 and r11 with no code change and shipped without
+    * an isolated number, because the isolation triggers were
+    * top-10-by-cost + watchlist + baseline-1.8x only. Any query whose
+    * co-run median exceeds 1.5x its frozen prior (and by more than 0.1 s
+    * absolute — the noise floor would flood the set otherwise) now lands
+    * in the in-run isolated set, so every round-over-round mover carries
+    * its own adjudication on the artifact of record.
+    */
+  val priorR11: Map[String, Double] = Map(
+    "ab_split_stats" -> 0.486, "ann_ivf" -> 1.649, "ann_lsh" -> 1.037,
+    "ann_topk" -> 0.393, "approx_distinct" -> 0.452, "approx_quantiles" -> 0.963,
+    "asof_join" -> 0.418, "assoc_rules" -> 1.946, "attribution" -> 0.55,
+    "auc_score" -> 0.645, "audience_overlap" -> 0.298, "autocorr_lag1" -> 0.344,
+    "basket_pairs" -> 1.732, "benford_digits" -> 0.285, "bfs_levels" -> 6.501,
+    "bloom_decontaminate" -> 1.245, "bm25_score" -> 1.287, "boilerplate_lines" -> 0.547,
+    "bootstrap_ci" -> 6.31, "bpe_merges" -> 0.664, "bpe_tokens" -> 0.342,
+    "calibration_bins" -> 0.76, "cdc_merge" -> 0.505, "chi2_independence" -> 0.385,
+    "chunk_docs" -> 0.518, "click_purchase_join" -> 0.576, "clustering_coeff" -> 6.402,
+    "cohort_retention" -> 0.531, "collocations" -> 1.762, "community_stats" -> 10.021,
+    "concurrency_peak" -> 2.524, "conditional_pivot" -> 0.308, "corpus_curate" -> 0.888,
+    "corpus_divergence" -> 1.999, "corpus_prepare" -> 2.699, "corpus_split" -> 0.113,
+    "corr_matrix" -> 2.52, "csv_roundtrip" -> 1.016, "cube_agg" -> 0.513,
+    "cuped_adjust" -> 0.387, "cusum_changepoint" -> 0.528, "date_agg" -> 0.3,
+    "decontaminate" -> 1.513, "dedup_clusters" -> 2.25, "dedup_containment" -> 0.987,
+    "dedup_exact" -> 0.214, "dedup_hot_shingles" -> 0.926, "dedup_incremental" -> 1.385,
+    "dedup_intradoc" -> 0.174, "dedup_jaccard" -> 1.029, "dedup_jaccard_capped" -> 1.813,
+    "dedup_minhash" -> 1.327, "dedup_simhash" -> 1.04, "dedup_spans" -> 1.528,
+    "degree_assort" -> 3.274, "distinct_agg" -> 1.373, "doc_keyphrases" -> 1.753,
+    "dq_rules" -> 0.257, "embed_neardup" -> 1.095, "embed_outliers" -> 2.995,
+    "embed_quantize" -> 0.144, "entity_resolution" -> 3.677, "event_paths" -> 0.43,
+    "event_transitions" -> 0.475, "events_bin" -> 0.269, "ewma_smooth" -> 0.393,
+    "fd_audit" -> 1.263, "feature_hash" -> 0.631, "filter_pushdown" -> 0.152,
+    "funnel_stages" -> 0.364, "funnel_steps" -> 0.461, "funnel_timing" -> 0.376,
+    "fuzzy_join" -> 4.894, "gap_fill" -> 0.416, "geo_join" -> 0.3,
+    "gini_concentration" -> 0.234, "gram_matrix" -> 2.847, "grid_dbscan" -> 2.765,
+    "group_split" -> 0.089, "grouping_sets_agg" -> 0.535, "hard_negatives" -> 0.23,
+    "having_filter" -> 0.205, "heavy_hitters" -> 1.002, "hierarchy_rollup" -> 0.421,
+    "histogram_equidepth" -> 0.86, "histogram_stats" -> 0.426, "hits_scores" -> 4.073,
+    "hop_plot" -> 5.056, "hybrid_search" -> 1.315, "interarrival_hist" -> 0.421,
+    "interval_merge" -> 0.478, "interval_overlap" -> 1.229, "item_cf" -> 1.714,
+    "ivf_pq" -> 2.467, "ivm_agg" -> 0.427, "json_extract" -> 0.573,
+    "jsonl_roundtrip" -> 0.664, "k_anonymity" -> 0.337, "kcore" -> 2.701,
+    "keyword_search" -> 0.483, "kmv_overlap" -> 0.436, "knn_purity" -> 1.587,
+    "ks_test" -> 0.596, "ktruss" -> 6.373, "l_diversity" -> 0.289,
+    "label_agreement" -> 0.331, "label_centroids" -> 0.307, "label_propagation" -> 7.568,
+    "lara_agg" -> 0.286, "lara_covariance" -> 1.239, "lara_ext_wordcount" -> 0.512,
+    "lara_join_times" -> 0.424, "lara_map_replace" -> 0.146, "lara_range_filter" -> 0.305,
+    "lara_store_layout" -> 1.541, "lara_union_plus" -> 1.017, "mann_whitney" -> 0.547,
+    "markov_transitions" -> 0.583, "max_drawdown" -> 0.608, "media_audio" -> 1.296,
+    "media_curate" -> 0.999, "media_decode" -> 0.366, "media_features" -> 0.286,
+    "media_gif" -> 0.442, "media_video" -> 0.281, "minmax_normalize" -> 0.326,
+    "mixture_sample" -> 0.131, "mrl_overlap" -> 0.683, "multimodal_curate" -> 3.236,
+    "negative_edges" -> 2.974, "neighbor_jaccard" -> 6.004, "ngram_dupfrac" -> 1.148,
+    "ngram_lm_score" -> 1.014, "ohlc_downsample" -> 0.443, "ols_trend" -> 0.551,
+    "outer_join_defaults" -> 0.348, "pagerank" -> 3.972, "part_top_supplier" -> 0.934,
+    "path_counts" -> 4.464, "pattern_match" -> 0.652, "pca_power" -> 5.19,
+    "percentiles" -> 0.341, "period_over_period" -> 0.318, "pii_redact" -> 0.588,
+    "posting_lists" -> 1.064, "ppr_seeds" -> 4.005, "pq_adc" -> 2.063,
+    "pq_codes" -> 1.463, "profile_stats" -> 1.514, "q10_returns" -> 0.669,
+    "q11_important" -> 1.361, "q12_shipmode" -> 0.517, "q13_custdist" -> 0.454,
+    "q14_promo" -> 0.429, "q15_top_supplier" -> 0.475, "q16_part_suppliers" -> 0.645,
+    "q17_small_qty" -> 0.457, "q18_large_orders" -> 0.528, "q19_disjunctive" -> 0.377,
+    "q1_agg" -> 0.489, "q20_excess" -> 0.683, "q21_waiting" -> 0.774,
+    "q22_inactive" -> 0.348, "q2_min_cost" -> 0.611, "q3_join" -> 0.616,
+    "q4_priority" -> 0.373, "q5_multijoin" -> 0.975, "q6_forecast" -> 0.161,
+    "q7_volume" -> 0.862, "q8_share" -> 0.902, "q9_profit" -> 1.274,
+    "quantile_normalize" -> 0.61, "quota_sample" -> 0.173, "raco_frontend" -> 0.137,
+    "raco_plan_text" -> 0.136, "rand_project" -> 0.293, "range_join" -> 0.198,
+    "rate_anomaly" -> 0.255, "ref_integrity" -> 1.19, "reservoir_sample" -> 0.215,
+    "retention_cohorts" -> 0.365, "retrieval_eval" -> 2.38, "rfm_segments" -> 1.045,
+    "robust_zscore" -> 0.834, "rolling_actives" -> 0.695, "rolling_hour_range" -> 0.36,
+    "rollup_agg" -> 0.379, "runs_test" -> 0.681, "salted_join" -> 1.369,
+    "scd2_build" -> 0.383, "seed_distances" -> 4.231, "semantic_dedup" -> 1.783,
+    "semi_anti_join" -> 0.284, "seq_packing" -> 0.633, "seq_patterns" -> 0.443,
+    "session_window_agg" -> 0.525, "sessionize_batch" -> 0.385, "set_ops" -> 0.402,
+    "skyline" -> 0.393, "skyline_3d" -> 1.349, "snapshot_diff" -> 0.215,
+    "sql_surface" -> 0.087, "sssp" -> 7.35, "streaming_bin_replay" -> 4.862,
+    "streaming_counts_replay" -> 3.273, "streaming_dedup_replay" -> 8.057, "streaming_dedup_replay_rocksdb" -> 9.009,
+    "streaming_enrich_replay" -> 4.351, "streaming_join_replay" -> 11.668, "streaming_ohlc_replay" -> 4.91,
+    "streaming_sessions_replay" -> 5.471, "streaming_sessions_replay_rocksdb" -> 5.698, "string_funcs" -> 0.118,
+    "survival_curve" -> 0.361, "target_encode" -> 0.437, "temporal_join" -> 0.601,
+    "text_fingerprint" -> 0.144, "text_langid" -> 0.251, "text_normalize" -> 0.187,
+    "text_quality" -> 0.475, "text_quality_score" -> 0.461, "text_repetition" -> 1.332,
+    "text_rolling_fp" -> 0.212, "tf_cosine" -> 1.929, "tokenizer_fertility" -> 0.472,
+    "top_orders" -> 0.119, "triangle_count" -> 4.994, "triple_itemsets" -> 9.352,
+    "twap" -> 0.466, "unpivot_measures" -> 0.281, "user_streaks" -> 0.31,
+    "variant_extract" -> 0.578, "vocab_topk" -> 0.737, "weighted_median" -> 1.424,
+    "weighted_sample" -> 0.102, "window_lead_lag" -> 0.316, "window_rank_family" -> 0.746,
+    "window_running" -> 0.317, "window_topk" -> 0.353, "windowed_covariance" -> 1.268,
+    "winsorize" -> 0.463, "zorder_layout" -> 0.219)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -124,6 +218,30 @@ object Bench {
       if (xs.size < 2 || m == 0.0) 0.0
       else math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)) / m
     }
+    // Box-warmth canary (r11 review "wrong" #2): a fixed, data-free query
+    // timed at suite start and end. Co-run medians drifted ~1.3-1.6x
+    // between r10 and r11 on a dozen untouched queries — almost certainly
+    // residual box warmth from same-day heavy rehearsals, but the artifact
+    // had no way to SHOW that. Timing the same trivial computation before
+    // and after the suite makes box state measurable in the record instead
+    // of inferred. Data-free (spark.range → sum) so it prices CPU +
+    // scheduler + codegen only, never the page cache. Full runs only.
+    def calibrate(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // pmod keeps the ANSI-mode sum far from long overflow (the raw
+        // product sum over 2^30 rows would throw under Spark 4 defaults)
+        spark.range(0L, 1L << 30, 1L, cpus.toInt)
+          .selectExpr("sum(pmod(id * 2654435761, 1000)) as s")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // untimed JIT warm-up of the canary itself
+      def med3(xs: Seq[Double]): Double = xs.sorted.apply(1)
+      med3((1 to 3).map(_ => once()))
+    }
+    val calibrationStart =
+      if (only.isEmpty && !freshSession) calibrate() else Double.NaN
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val escalated = scala.collection.mutable.ListBuffer[String]()
     val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -163,8 +281,18 @@ object Bench {
       // #2: replay isolated numbers landed ABOVE co-run on the driver's
       // refresh because rep 1 bundled cold-start work).
       val extraRep = if (freshSession) 1 else 0
-      var times = (1 to repsOf(name) + extraRep).flatMap(_ => oneRep())
-      if (freshSession && times.size > 1) times = times.drop(1)
+      var firstRepOk = false
+      var times = (1 to repsOf(name) + extraRep).flatMap { i =>
+        val r = oneRep()
+        if (i == 1 && r.isDefined) firstRepOk = true
+        r
+      }
+      // drop ONLY rep 1's own measurement, and only if rep 1 actually
+      // succeeded — a failed cold rep already contributed nothing, and
+      // dropping times.head there would discard a genuine warm rep
+      // (under-sampling; with SPARK_GRAFT_REPS=1 it could even leave the
+      // cold rep as the survivor while a warm one was thrown away)
+      if (freshSession && firstRepOk && times.size > 1) times = times.drop(1)
       // CV escalation: an unstable 3-rep median gets 2 more reps (→ 5, the
       // baseline tier) before reporting. Override pins reps exactly.
       if (repsOverride.isEmpty && !baselineQueries(name) &&
@@ -175,6 +303,35 @@ object Bench {
       // all reps failed → NaN sentinel (JSON-ized below), never a fake time
       name -> (if (times.isEmpty) Double.NaN else median(times))
     }
+    // Replay-family quiet-box adjudication (r11 verdict item 5): the
+    // streaming replays price full micro-batch replays and are the
+    // suite's most co-run-sensitive queries; r11 adjudicated their movers
+    // with a hand-run long-lived quiet-box session (NOTES_r11 §7, prose
+    // only). Fold that instrument into the artifact: after the suite
+    // finishes, re-run the replay family IN THIS SAME SESSION — nothing
+    // else running, codegen/JIT warm, exactly the quiet-box condition —
+    // and record 3-rep medians as `replay_isolated`. Unlike the
+    // fresh-session children, these numbers share the suite session, so
+    // they adjudicate co-run interference specifically (same JVM, no
+    // cold-start confound). Full runs only.
+    val replayIsolated: Seq[(String, Double)] =
+      if (only.nonEmpty || freshSession) Seq.empty
+      else queries.keys.filter(_.startsWith("streaming_")).toSeq.sorted.map { name =>
+        val fn = queries(name)
+        def rep(): Option[Double] = {
+          spark.sharedState.cacheManager.clearCache()
+          graft.pipeline.InternalCaches.release()
+          System.gc()
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
+        }
+        val times = (1 to 3).flatMap(_ => rep())
+        name -> (if (times.isEmpty) Double.NaN else median(times))
+      }
+    val calibrationEnd =
+      if (only.isEmpty && !freshSession) calibrate() else Double.NaN
     // The harness that records this run keeps only the LAST ~2000 chars of
     // output, and sbt prints a "[success] ..." trailer after us. A full
     // per-query map over the whole surface (~135 queries) cannot fit, so the
@@ -194,8 +351,15 @@ object Bench {
     // without this list the record can't distinguish 3-rep medians from
     // escalated 5-rep ones round over round (r9 advice)
     val escJson = s""","escalated":${escalated.map(jstr).mkString("[", ",", "]")}"""
+    // calibration canary + quiet-box replay medians (full runs only; see
+    // the comments at their computation sites)
+    val calibJson =
+      if (calibrationStart.isNaN) ""
+      else s""","calibration_start":${fmt(calibrationStart)},"calibration_end":${fmt(calibrationEnd)}"""
+    val replayJson =
+      if (replayIsolated.isEmpty) "" else s""","replay_isolated":${qmap(replayIsolated)}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":${repsOf("q1_agg")},"reps_tail":${repsOf("__tail")}$escJson,"n_queries":${results.size},"queries":${qmap(results)},"failed":${errors.size},"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":${repsOf("q1_agg")},"reps_tail":${repsOf("__tail")}$escJson$calibJson$replayJson,"n_queries":${results.size},"queries":${qmap(results)},"failed":${errors.size},"errors":$errs,"sf":"$sfDir"}"""
     // Isolated tail re-runs (round-7 review: a query's in-suite time runs
     // 1.3-1.6× its true cost from dying-JVM contamination — JIT deopt
     // storms, heap fragmentation, 200+ prior queries' codegen classes).
@@ -227,13 +391,28 @@ object Bench {
     val baselineBreach = results.collect {
       case (n, t) if !t.isNaN && baselineR1.get(n).exists(b => t > 1.8 * b) => n
     }
+    // Round-over-round mover escalation (r11 review "wrong" #2): any query
+    // whose co-run median exceeds 1.5x its frozen r11 median — by more
+    // than 0.1 s absolute, so sub-noise-floor wobble on 0.1 s queries
+    // doesn't flood the set — gets an isolated number in this run.
+    val priorMovers = results.collect {
+      case (n, t) if !t.isNaN && priorR11.get(n).exists(p => t > 1.5 * p && t - p > 0.1) => n
+    }
     val isolatedFailed = scala.collection.mutable.ListBuffer[String]()
+    // Gate-breach/mover escalations run EVEN when SPARK_GRAFT_ISOLATE=0
+    // disabled the cost-tail isolation on a full run (r11 advice: the
+    // breach mechanism was silently skipped at isolateN<=0, so a breached
+    // query could still ship with only the flag and no isolated number).
+    // Partial runs never escalate — the isolation child is itself a
+    // partial run and escalating there would recurse.
+    val escalations: Seq[String] =
+      if (only.isEmpty) (baselineBreach ++ priorMovers).distinct else Seq.empty
     val isolated: Seq[(String, Double)] =
-      if (isolateN <= 0) Seq.empty
+      if (isolateN <= 0 && escalations.isEmpty) Seq.empty
       else {
         val byCost = results.filterNot(_._2.isNaN).sortBy(-_._2).map(_._1)
-        val top = (byCost.take(isolateN) ++ byCost.filter(isolateWatchlist) ++
-          baselineBreach).distinct
+        val top = ((if (isolateN > 0) byCost.take(isolateN) ++ byCost.filter(isolateWatchlist)
+                    else Seq.empty) ++ escalations).distinct
         val javaBin = sys.props("java.home") + java.io.File.separator + "bin" +
           java.io.File.separator + "java"
         val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -271,7 +450,7 @@ object Bench {
           parsed
         }
       }
-    if (isolateN > 0 && isolated.isEmpty && isolatedFailed.nonEmpty)
+    if ((isolateN > 0 || escalations.nonEmpty) && isolated.isEmpty && isolatedFailed.nonEmpty)
       System.err.println("[bench] ALL isolate children failed — check the " +
         "launch classpath (plain `java -cp` required; a bare sbt-launcher " +
         "java.class.path is only the launcher jar)")
@@ -279,8 +458,10 @@ object Bench {
       else s""","isolated_failed":${isolatedFailed.map(jstr).mkString("[", ",", "]")}"""
     val breachJson = if (baselineBreach.isEmpty) ""
       else s""","baseline_breach_escalated":${baselineBreach.map(jstr).mkString("[", ",", "]")}"""
+    val moverJson = if (priorMovers.isEmpty) ""
+      else s""","prior_movers_escalated":${priorMovers.map(jstr).mkString("[", ",", "]")}"""
     val isoJson = (if (isolated.isEmpty) ""
-      else s""","isolated":${qmap(isolated)}""") + isoFailJson + breachJson
+      else s""","isolated":${qmap(isolated)}""") + isoFailJson + breachJson + moverJson
     val fullLineIso = fullLine.dropRight(1) + isoJson + "}"
     // SPARK_GRAFT_ONLY runs are partial by construction — they must never
     // overwrite the committed full-suite record (a 2-query partial clobbered
@@ -292,7 +473,7 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullLineIso + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] $fullPath write failed: $e") }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":${repsOf("q1_agg")},"reps_tail":${repsOf("__tail")},"n_queries":${results.size},"baseline_total":${fmt(headline.map(_._2).filterNot(_.isNaN).sum)},"queries":${qmap(headline)}$isoJson$escJson,"failed":${errors.size},"errors":$errs,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":${repsOf("q1_agg")},"reps_tail":${repsOf("__tail")},"n_queries":${results.size},"baseline_total":${fmt(headline.map(_._2).filterNot(_.isNaN).sum)},"queries":${qmap(headline)}$isoJson$escJson$calibJson,"failed":${errors.size},"errors":$errs,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

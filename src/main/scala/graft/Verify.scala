@@ -10,8 +10,16 @@ object Verify {
     // the driver always calls with exactly two args → full run)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the master for multi-process rehearsal:
+    // `local-cluster[2, 16, 6144]` runs the full oracle gate on two REAL
+    // executor processes — closure serialization, broadcast lifecycle and
+    // cross-process shuffle are exercised for every query, where plain
+    // local mode shares one JVM between driver and executors and can hide
+    // all three (r11 verdict item 1; needs SPARK_HOME + SPARK_SCALA_VERSION
+    // in the env and a real java -cp classpath, see tools/FaultProbe).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       // single-file testdata tables must still fan out to parallel scan
       // tasks — see the same setting in Bench for the full rationale
@@ -19,7 +27,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.eventsConf._1, Tables.eventsConf._2)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster"))
+      // executors are separate processes — they need this JVM's classpath
+      builder.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -498,9 +498,18 @@ object LaraTable {
     *  - Readers can observe a TRANSIENT missing root between the two swap
     *    renames (two renames are not one atomic op) — retry on
     *    FileNotFound. They never observe a mixed old+new layout: each
-    *    rename is atomic on HDFS/local disk. On eventual-consistency
-    *    object stores run compaction from a single maintenance job (the
-    *    caveat every rename-based committer carries).
+    *    rename is atomic on HDFS/local disk.
+    *  - Object stores (non-atomic copy+delete "rename", S3-style): single
+    *    maintenance with NO concurrent writers is a REQUIREMENT there, not
+    *    advice — measured, not argued (`ObjectStoreSemanticsSpec`): a
+    *    batch committed into the live root while the stage-aside rename is
+    *    mid-copy is missed by the rename's one-shot listing snapshot and
+    *    destroyed by its delete phase, silently and undetectably (the data
+    *    is gone before any post-hoc check can run). Single-maintenance
+    *    compaction on the same filesystem is proven loss-free. Loss-free
+    *    CONCURRENT compaction on such stores needs a manifest/commit
+    *    service (Iceberg/Delta-style metadata layer), which this
+    *    rename-protocol store deliberately does not carry (SURVEY §2).
     */
   def compactStore(spark: SparkSession, path: String, keys: Seq[String], vals: Seq[ValSpec],
                    targetFileBytes: Long = 128L * 1024 * 1024,
@@ -605,10 +614,17 @@ object LaraTable {
       if (fs.exists(hPath)) {
         fs.listStatus(hPath).foreach { st =>
           val dst = new Path(old, st.getPath.getName)
-          if (st.isDirectory && fs.exists(dst))
-            fs.listStatus(st.getPath).foreach(c =>
-              fs.rename(c.getPath, new Path(dst, c.getPath.getName)))
-          else fs.rename(st.getPath, dst)
+          // A colliding directory is a batch=<id> re-emit: appendStoreBatch
+          // is an idempotent OVERWRITE of the batch id, so the re-emitted
+          // copy REPLACES the staged original — merging the two would
+          // duplicate every row of the batch (part-file names differ per
+          // job UUID, so a union silently keeps both copies). Overwrite
+          // also handles arbitrarily nested layouts, which the previous
+          // one-level merge dropped.
+          if (fs.exists(dst)) require(fs.delete(dst, true),
+            s"compactStore: could not replace staged $dst with re-emitted copy")
+          require(fs.rename(st.getPath, dst),
+            s"compactStore: could not fold racer entry ${st.getPath} aside to $dst")
         }
         fs.delete(hPath, true)
       }
@@ -618,12 +634,22 @@ object LaraTable {
     // committed between the input listing and the swap) moves into the
     // new store at its store-relative path. Deleting it with the old tree
     // would silently destroy a committed batch.
+    // Every rename is CHECKED: a failed move (dst collision, mkdirs
+    // failure, fs hiccup) must abort the pass BEFORE the staged tree is
+    // deleted — an unchecked rename followed by delete(old) silently
+    // destroys a committed batch, violating the loss-free contract. On
+    // abort the staged tree survives at `<path>.compact.old` for manual
+    // recovery, and the error says so.
     dataFiles(old).foreach { f =>
       val r = rel(old, f.getPath)
       if (!foldedRel.contains(r)) {
         val dst = new Path(hPath, r)
-        fs.mkdirs(dst.getParent)
-        fs.rename(f.getPath, dst)
+        require(fs.mkdirs(dst.getParent),
+          s"compactStore: reconcile could not create ${dst.getParent}; " +
+            s"committed data preserved at $old — reconcile manually")
+        require(fs.rename(f.getPath, dst),
+          s"compactStore: reconcile could not move ${f.getPath} to $dst; " +
+            s"committed data preserved at $old — reconcile manually")
       }
     }
     fs.delete(old, true)

@@ -312,9 +312,25 @@ object Dedup {
     * `Components.duplicateClusters`/`TrainingData.prepareCorpus` to
     * cluster-canonicalize in linear state; reserve this exact verifier for
     * bounded candidate sets.
+    *
+    * `maxExpectedPairs` enforces that contract as a PRE-FLIGHT guard
+    * (r11 review "wrong" #1: the sf10 mass-duplication corpus killed the
+    * box's disk with >50 GB of spill instead of failing — a caller who
+    * misses the scaladoc deserves an immediate, actionable error, not an
+    * hours-long job). Before the pair shuffle runs, one extra scalar
+    * aggregate over the (post-`maxDf`) index computes Σ df·(df−1)/2 —
+    * the EXACT candidate-pair count the self-join must emit — and a
+    * result above the budget throws, naming the scalable alternative.
+    * The guard job touches only the shingle index (hash agg over longs,
+    * and it populates the cache the real join reuses); the quadratic
+    * shuffle is never planned. 0 disables (unguarded exact semantics).
+    * The default (1e9 pairs ≈ tens of GB of pair shuffle) is generous:
+    * every measured in-gate scale (sf0.01 → sf1.0) sits orders of
+    * magnitude below it, while sf10's mass-duplication Σdf² ≈ 6e9 fails
+    * in seconds.
     */
   def jaccardJoin(docs: DataFrame, k: Int = 3, minJaccard: Double = 0.5,
-                  maxDf: Long = 0L): DataFrame = {
+                  maxDf: Long = 0L, maxExpectedPairs: Long = 1000000000L): DataFrame = {
     val sh = InternalCaches.register(rebalance(docs)
       .select(col("doc_id"), array_distinct(shingleHashes(tokens(col("text")), k)).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
@@ -326,6 +342,29 @@ object Dedup {
         val hot = ex0.groupBy(col("h")).agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
         ex0.join(hot, Seq("h"), "left_anti")
       }
+    if (maxExpectedPairs > 0) {
+      // df·(df−1)/2 summed over index entries = candidate pairs the
+      // self-join emits before the ≥ minJaccard filter — the quantity
+      // that is Θ(m²) under mass duplication. Double sum: a pathological
+      // Σ could overflow long, and the guard needs magnitude, not
+      // exactness.
+      val expectedPairs = Option(
+        ex.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+          .agg(sum((col("__df") * (col("__df") - lit(1)) / lit(2)).cast("double")))
+          .head().get(0)).fold(0.0)(_.asInstanceOf[Number].doubleValue)
+      if (expectedPairs > maxExpectedPairs.toDouble)
+        throw new IllegalStateException(
+          f"jaccardJoin: the exact all-pairs verifier would emit ~$expectedPairs%.3g " +
+            f"candidate pairs (Σ df·(df−1)/2 over the shingle index), over the " +
+            f"maxExpectedPairs budget of $maxExpectedPairs%d. This corpus has " +
+            "mass duplication — exact all-pairs jaccard is semantically Θ(m²) in " +
+            "cluster multiplicity m and no budget makes it cheap. Use the linear-" +
+            "state path instead: Dedup.minhashPairs as the screen, then " +
+            "Components.duplicateClusters / TrainingData.prepareCorpus to " +
+            "cluster-canonicalize. To cap the index rather than abort, pass " +
+            "maxDf with Dedup.hotShingles accounting; to run unguarded exact " +
+            "semantics anyway, pass maxExpectedPairs = 0.")
+    }
     val a = ex.select(col("h"), col("doc_id").as("doc_a"), col("n").as("n_a"))
     val b = ex.select(col("h"), col("doc_id").as("doc_b"), col("n").as("n_b"))
     a.join(b, Seq("h"))

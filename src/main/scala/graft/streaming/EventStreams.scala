@@ -919,6 +919,18 @@ object EventStreams {
                           (build: Dataset[Event] => DataFrame): DataFrame = {
     val s = stateStoreProvider.fold(s0) { p =>
       val clone = s0.newSession()
+      // newSession() seeds its SQLConf from the SparkContext conf only —
+      // runtime confs set AFTER the parent session came up (tuned shuffle
+      // partitions, a flipped AQE knob) would silently differ between the
+      // provider-override twin and its default-provider sibling, making
+      // the provider-equivalence certificate compare two configs instead
+      // of two providers. Copy the parent's runtime conf onto the clone
+      // first; static/non-modifiable entries throw on set and are already
+      // inherited via the context conf, so they are skipped.
+      s0.conf.getAll.foreach { case (k, v) =>
+        try clone.conf.set(k, v)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
       clone.conf.set("spark.sql.streaming.stateStore.providerClass", p)
       clone
     }

@@ -75,7 +75,10 @@ object BoilerStress {
       val docs = graft.Tables.documents(s, dir)
       def one(family: String): DataFrame = family match {
         case "jaccard" =>
-          graft.pipeline.Dedup.jaccardJoin(docs, maxDf = if (valvesOn) 100L else 0L)
+          // maxExpectedPairs = 0: this tool MEASURES the unvalved blow-up —
+          // the pre-flight guard would (correctly) abort the valves-off arm
+          graft.pipeline.Dedup.jaccardJoin(docs,
+            maxDf = if (valvesOn) 100L else 0L, maxExpectedPairs = 0L)
         case "minhash" =>
           graft.pipeline.Dedup.minhashPairs(docs,
             maxBucket = if (valvesOn) 100000 else Int.MaxValue)

@@ -88,6 +88,13 @@ object MemProbe {
     // the wedge merge OOMs in spill read-ahead buffers, r11). Default stays
     // = cores for the sf1.0 comparisons.
     val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
+    // SPARK_GRAFT_AUTOCACHE=0 disables the Lara DSL's fan-out auto-persist
+    // for the whole probe run — the r12 A/B: auto-cache registers MORE
+    // MEMORY_AND_DISK frames, and the claim "caching never loses under
+    // memory pressure" must be measured at the 6 GiB rehearsal heap, not
+    // assumed (r11 verdict item 4). Default leaves the production ON state.
+    sys.env.get("SPARK_GRAFT_AUTOCACHE")
+      .foreach(v => graft.lara.LaraTable.autoCache = v == "1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufParts)

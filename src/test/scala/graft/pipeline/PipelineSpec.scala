@@ -99,6 +99,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(hot.length >= 1 && hot.forall(_.getLong(1) == 4L)) // accounted, not silent
   }
 
+  test("jaccardJoin pre-flight pair budget fails fast on mass duplication") {
+    // The sf10 failure mode in miniature (ScaleUp makes replicas
+    // NEAR-duplicates, so clusters have multiplicity = factor): 5 clusters
+    // of 10 identical docs. Each doc has 8 tokens → 6 distinct k=3
+    // shingles; every shingle has df = 10 within its cluster, so the exact
+    // pair count the self-join must emit is 5 clusters × 6 shingles ×
+    // C(10,2) = 1350 — which the guard computes EXACTLY from the df
+    // aggregate. The throw sits before the pair-join plan is even
+    // constructed, so no shuffle of the quadratic stage can run.
+    val rows = for (c <- 0 until 5; i <- 0 until 10)
+      yield ((c * 10 + i).toLong, (1 to 8).map(t => s"c${c}tok$t").mkString(" "))
+    val d = docs(rows: _*)
+    val e = intercept[IllegalStateException] {
+      Dedup.jaccardJoin(d, maxExpectedPairs = 1000L)
+    }
+    // the error must route the caller to the scalable path, by name
+    assert(e.getMessage.contains("minhashPairs"), e.getMessage)
+    assert(e.getMessage.contains("prepareCorpus"), e.getMessage)
+    assert(e.getMessage.contains("maxDf"), e.getMessage)
+    // a budget just above the true estimate passes (the guard is exact,
+    // not a heuristic), and the unguarded run confirms the Θ(m²) output
+    // the estimate priced: C(10,2) pairs per cluster
+    assert(Dedup.jaccardJoin(d, maxExpectedPairs = 1400L).count() == 5 * 45)
+    assert(Dedup.jaccardJoin(d, maxExpectedPairs = 0L).count() == 5 * 45)
+    // maxDf cooperation: the guard prices the index AFTER the hot-shingle
+    // cap, so a capped call inside budget proceeds
+    assert(Dedup.jaccardJoin(d, maxDf = 5, maxExpectedPairs = 1000L).count() == 0)
+  }
+
   test("minhash/simhash bucket cap bounds degenerate buckets with accounting") {
     // 200 identical docs: every band maps them to one bucket — uncapped
     // that is 19 900 pairs per band; capped, zero pairs, and the oversized
