@@ -149,10 +149,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitions scale with DATA on a real cluster, not with one
+    // box's core count — the r11 sf10 lesson (32 partitions OOM where 320
+    // pass). Scale rehearsals override; the sf0.1 artifact runs keep the
+    // default = cores.
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     def newSession(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", shufParts)
         // local-mode scan sizing: the driver's testdata tables arrive as one
         // parquet file each (sf1.0 lineitem ≈ 80 MB), and the 128 MB default
         // would plan such a scan as a single task — one core doing all the IO
@@ -434,6 +439,7 @@ object Bench {
         pb.environment().put("SPARK_GRAFT_ISOLATE", "0")
         pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
         pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        pb.environment().put("SPARK_GRAFT_SHUFFLE_PARTS", shufParts)
         pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val proc = pb.start()
