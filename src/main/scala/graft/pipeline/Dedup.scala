@@ -324,10 +324,19 @@ object Dedup {
     * The guard job touches only the shingle index (hash agg over longs,
     * and it populates the cache the real join reuses); the quadratic
     * shuffle is never planned. 0 disables (unguarded exact semantics).
-    * The default (1e9 pairs ≈ tens of GB of pair shuffle) is generous:
-    * every measured in-gate scale (sf0.01 → sf1.0) sits orders of
-    * magnitude below it, while sf10's mass-duplication Σdf² ≈ 6e9 fails
-    * in seconds.
+    * The default (1e9 pairs ≈ tens of GB of pair shuffle) keeps every
+    * measured in-gate scale inside budget (sf1.0 = 1.4e8 pairs, measured)
+    * while sf10's mass-duplication Σ ≈ 6e9 fails in seconds.
+    *
+    * Memory note for IN-budget runs near the ceiling (measured, r12): the
+    * pair aggregate holds one entry per candidate pair, so at sf1.0
+    * (1.4e8 pairs) under a 6 GiB heap it spills ~25 GB and sits near a
+    * nondeterministic OOM cliff when the per-task share is sized by a
+    * core-count partition config (32); data-scaled shuffle partitions
+    * (128 at sf1.0, the NOTES_r11 partitions-scale-with-data rule) run it
+    * stably — spill-not-die, 3/3. Local mode turns an executor OOM into a
+    * context kill; a real cluster loses one executor and retries (the
+    * FaultProbe execloss contract).
     */
   def jaccardJoin(docs: DataFrame, k: Int = 3, minJaccard: Double = 0.5,
                   maxDf: Long = 0L, maxExpectedPairs: Long = 1000000000L): DataFrame = {
