@@ -330,13 +330,18 @@ object Dedup {
     *
     * Memory note for IN-budget runs near the ceiling (measured, r12): the
     * pair aggregate holds one entry per candidate pair, so at sf1.0
-    * (1.4e8 pairs) under a 6 GiB heap it spills ~25 GB and sits near a
-    * nondeterministic OOM cliff when the per-task share is sized by a
-    * core-count partition config (32); data-scaled shuffle partitions
-    * (128 at sf1.0, the NOTES_r11 partitions-scale-with-data rule) run it
-    * stably — spill-not-die, 3/3. Local mode turns an executor OOM into a
-    * context kill; a real cluster loses one executor and retries (the
-    * FaultProbe execloss contract).
+    * (1.4e8 pairs) under a 6 GiB heap it spills ~23 GB; with the per-task
+    * share sized by a core-count partition config (32) it sat near a
+    * nondeterministic OOM cliff (~1/4 of runs died allocating spill-reader
+    * buffers). The guard's estimate now SELF-DEFENDS: when expected pairs
+    * imply > ~2M pair-keys per task, the pair stream is repartitioned to
+    * cap per-task aggregate state (clamped at 4096 partitions) — the
+    * partitions-scale-with-DATA rule applied from the operator's own
+    * measurement instead of session config. Measured: 7/7 runs stable at
+    * the previously-flaky 32-partition/6 GiB config, same warm wall
+    * (~20 s), bench-scale plans byte-identical (the target only exceeds
+    * the session setting when the corpus is big). Disabled with the guard
+    * (maxExpectedPairs = 0 — no estimate, no defense).
     */
   def jaccardJoin(docs: DataFrame, k: Int = 3, minJaccard: Double = 0.5,
                   maxDf: Long = 0L, maxExpectedPairs: Long = 1000000000L): DataFrame = {
@@ -351,6 +356,16 @@ object Dedup {
         val hot = ex0.groupBy(col("h")).agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
         ex0.join(hot, Seq("h"), "left_anti")
       }
+    // In-budget defense (see the memory note in the scaladoc): the pair
+    // aggregate holds one entry per candidate pair, so its per-task state
+    // is expectedPairs / partitions — sized by the SESSION's partition
+    // config, which scales with cores, not with this corpus. The guard
+    // already measured expectedPairs, so use it: when the estimate implies
+    // more than ~2M pair-keys per task, repartition the pair stream so
+    // per-task aggregate state stays bounded regardless of session config
+    // (clamped at 4096; at bench scales the target never exceeds the
+    // session setting and the plan is byte-identical to before).
+    var pairParts = 0
     if (maxExpectedPairs > 0) {
       // df·(df−1)/2 summed over index entries = candidate pairs the
       // self-join emits before the ≥ minJaccard filter — the quantity
@@ -373,11 +388,17 @@ object Dedup {
             "cluster-canonicalize. To cap the index rather than abort, pass " +
             "maxDf with Dedup.hotShingles accounting; to run unguarded exact " +
             "semantics anyway, pass maxExpectedPairs = 0.")
+      val sessionParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+      val target = math.min(4096L, (expectedPairs / 2e6).toLong)
+      if (target > sessionParts) pairParts = target.toInt
     }
     val a = ex.select(col("h"), col("doc_id").as("doc_a"), col("n").as("n_a"))
     val b = ex.select(col("h"), col("doc_id").as("doc_b"), col("n").as("n_b"))
-    a.join(b, Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
+    val pairs0 = a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))
+    val pairs =
+      if (pairParts == 0) pairs0
+      else pairs0.repartition(pairParts, col("doc_a"), col("doc_b"))
+    pairs
       .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("shared"))
       .select(col("doc_a"), col("doc_b"),
