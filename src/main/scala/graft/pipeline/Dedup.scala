@@ -356,42 +356,7 @@ object Dedup {
         val hot = ex0.groupBy(col("h")).agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
         ex0.join(hot, Seq("h"), "left_anti")
       }
-    // In-budget defense (see the memory note in the scaladoc): the pair
-    // aggregate holds one entry per candidate pair, so its per-task state
-    // is expectedPairs / partitions — sized by the SESSION's partition
-    // config, which scales with cores, not with this corpus. The guard
-    // already measured expectedPairs, so use it: when the estimate implies
-    // more than ~2M pair-keys per task, repartition the pair stream so
-    // per-task aggregate state stays bounded regardless of session config
-    // (clamped at 4096; at bench scales the target never exceeds the
-    // session setting and the plan is byte-identical to before).
-    var pairParts = 0
-    if (maxExpectedPairs > 0) {
-      // df·(df−1)/2 summed over index entries = candidate pairs the
-      // self-join emits before the ≥ minJaccard filter — the quantity
-      // that is Θ(m²) under mass duplication. Double sum: a pathological
-      // Σ could overflow long, and the guard needs magnitude, not
-      // exactness.
-      val expectedPairs = Option(
-        ex.groupBy(col("h")).agg(count(lit(1)).as("__df"))
-          .agg(sum((col("__df") * (col("__df") - lit(1)) / lit(2)).cast("double")))
-          .head().get(0)).fold(0.0)(_.asInstanceOf[Number].doubleValue)
-      if (expectedPairs > maxExpectedPairs.toDouble)
-        throw new IllegalStateException(
-          f"jaccardJoin: the exact all-pairs verifier would emit ~$expectedPairs%.3g " +
-            f"candidate pairs (Σ df·(df−1)/2 over the shingle index), over the " +
-            f"maxExpectedPairs budget of $maxExpectedPairs%d. This corpus has " +
-            "mass duplication — exact all-pairs jaccard is semantically Θ(m²) in " +
-            "cluster multiplicity m and no budget makes it cheap. Use the linear-" +
-            "state path instead: Dedup.minhashPairs as the screen, then " +
-            "Components.duplicateClusters / TrainingData.prepareCorpus to " +
-            "cluster-canonicalize. To cap the index rather than abort, pass " +
-            "maxDf with Dedup.hotShingles accounting; to run unguarded exact " +
-            "semantics anyway, pass maxExpectedPairs = 0.")
-      val sessionParts = docs.sparkSession.sessionState.conf.numShufflePartitions
-      val target = math.min(4096L, (expectedPairs / 2e6).toLong)
-      if (target > sessionParts) pairParts = target.toInt
-    }
+    val pairParts = pairBudget(ex, ordered = false, maxExpectedPairs, "jaccardJoin")
     val a = ex.select(col("h"), col("doc_id").as("doc_a"), col("n").as("n_a"))
     val b = ex.select(col("h"), col("doc_id").as("doc_b"), col("n").as("n_b"))
     val pairs0 = a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))
@@ -405,6 +370,46 @@ object Dedup {
         round(col("shared").cast("double") /
           (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Pre-flight pair budget shared by the inverted-index pair operators
+    * ([[jaccardJoin]], [[containmentJoin]], [[tfCosinePairs]] — same
+    * Θ(m²)-in-multiplicity self-join shape, same failure mode). One eager
+    * scalar aggregate over the (post-`maxDf`) index `ex` computes the
+    * EXACT candidate-pair count the self-join must emit
+    * (Σ df·(df−1), halved for unordered a<b pairs); over `budget` throws
+    * with the routing message BEFORE the quadratic stage is planned.
+    * Returns the pair-stage repartition width — when the in-budget
+    * estimate implies more than ~2M aggregate keys per task at the
+    * session's partition count, the caller repartitions the pair stream
+    * so per-task state is bounded by the corpus's own measurement
+    * (clamp 4096; 0 = keep the session plan, which is byte-identical to
+    * the unguarded one). Full rationale + measurements: [[jaccardJoin]]
+    * scaladoc and NOTES_r12 §§4–5.
+    */
+  private def pairBudget(ex: DataFrame, ordered: Boolean, budget: Long,
+                         opName: String): Int = {
+    if (budget <= 0) return 0
+    val per = if (ordered) lit(1) else lit(2)
+    val expectedPairs = Option(
+      ex.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+        .agg(sum((col("__df") * (col("__df") - lit(1)) / per).cast("double")))
+        .head().get(0)).fold(0.0)(_.asInstanceOf[Number].doubleValue)
+    if (expectedPairs > budget.toDouble)
+      throw new IllegalStateException(
+        f"$opName: the exact all-pairs operator would emit ~$expectedPairs%.3g " +
+          f"candidate pairs (Σ df·(df−1)${if (ordered) "" else "/2"} over the " +
+          f"index), over the maxExpectedPairs budget of $budget%d. This corpus " +
+          "has mass duplication — exact all-pairs output is semantically Θ(m²) " +
+          "in cluster multiplicity m and no budget makes it cheap. Use the " +
+          "linear-state path instead: Dedup.minhashPairs as the screen, then " +
+          "Components.duplicateClusters / TrainingData.prepareCorpus to " +
+          "cluster-canonicalize. To cap the index rather than abort, pass " +
+          "maxDf with Dedup.hotShingles accounting; to run unguarded exact " +
+          "semantics anyway, pass maxExpectedPairs = 0.")
+    val sessionParts = ex.sparkSession.sessionState.conf.numShufflePartitions
+    val target = math.min(4096L, (expectedPairs / 2e6).toLong)
+    if (target > sessionParts) target.toInt else 0
   }
 
   /** ASYMMETRIC shingle containment — quote/subset detection, the dedup
@@ -421,11 +426,14 @@ object Dedup {
     *
     * Plan shape is [[jaccardJoin]]'s inverted index (shuffles carry
     * (hash, id, size) longs, never text); same `maxDf` hot-shingle escape
-    * valve. The only change is keeping both pair orders and the integer
-    * filter — same asymptotics.
+    * valve, same `maxExpectedPairs` pre-flight budget + self-sizing
+    * ([[pairBudget]] — ORDERED pairs here, so the count is Σ df·(df−1),
+    * twice jaccard's). The only change is keeping both pair orders and
+    * the integer filter — same asymptotics.
     */
   def containmentJoin(docs: DataFrame, k: Int = 3, minPermille: Long = 600L,
-                      maxDf: Long = 0L): DataFrame = {
+                      maxDf: Long = 0L,
+                      maxExpectedPairs: Long = 1000000000L): DataFrame = {
     val sh = InternalCaches.register(rebalance(docs)
       .select(col("doc_id"), array_distinct(shingleHashes(tokens(col("text")), k)).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
@@ -437,10 +445,14 @@ object Dedup {
         val hot = ex0.groupBy(col("h")).agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
         ex0.join(hot, Seq("h"), "left_anti")
       }
+    val pairParts = pairBudget(ex, ordered = true, maxExpectedPairs, "containmentJoin")
     val a = ex.select(col("h"), col("doc_id").as("doc_a"), col("n").as("n_a"))
     val b = ex.select(col("h"), col("doc_id").as("doc_b"), col("n").as("n_b"))
-    a.join(b, Seq("h"))
-      .filter(col("doc_a") =!= col("doc_b"))
+    val pairs0 = a.join(b, Seq("h")).filter(col("doc_a") =!= col("doc_b"))
+    val pairs =
+      if (pairParts == 0) pairs0
+      else pairs0.repartition(pairParts, col("doc_a"), col("doc_b"))
+    pairs
       .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") * 1000L >= lit(minPermille) * col("n_a"))
@@ -478,10 +490,13 @@ object Dedup {
     * valve and accounting caveat as jaccard: capping df drops boilerplate
     * postings, which strictly UNDER-counts num for affected pairs — at
     * maxDf=0 exact, at maxDf>0 a recall floor documented at the call site.
-    * Shuffles carry (hash, id, tf) longs, never text.
+    * Shuffles carry (hash, id, tf) longs, never text. Same
+    * `maxExpectedPairs` pre-flight budget + self-sizing as
+    * [[jaccardJoin]] ([[pairBudget]]).
     */
   def tfCosinePairs(docs: DataFrame, k: Int = 3, tauPct: Long = 80L,
-                    maxDf: Long = 0L): DataFrame = {
+                    maxDf: Long = 0L,
+                    maxExpectedPairs: Long = 1000000000L): DataFrame = {
     val tf = InternalCaches.register(rebalance(docs)
       .select(col("doc_id"), explode(shingleHashes(tokens(col("text")), k)).as("h"))
       .groupBy(col("doc_id"), col("h"))
@@ -494,10 +509,14 @@ object Dedup {
         val hot = tf.groupBy(col("h")).agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
         tf.join(hot, Seq("h"), "left_anti")
       }
+    val pairParts = pairBudget(ex, ordered = false, maxExpectedPairs, "tfCosinePairs")
     val a = ex.select(col("h"), col("doc_id").as("doc_a"), col("tf").as("tf_a"))
     val b = ex.select(col("h"), col("doc_id").as("doc_b"), col("tf").as("tf_b"))
-    val num = a.join(b, Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
+    val pairs0 = a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))
+    val pairs =
+      if (pairParts == 0) pairs0
+      else pairs0.repartition(pairParts, col("doc_a"), col("doc_b"))
+    val num = pairs
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("tf_a") * col("tf_b")).as("num"))
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)

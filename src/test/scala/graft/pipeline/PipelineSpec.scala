@@ -126,6 +126,17 @@ class PipelineSpec extends AnyFunSuite {
     // maxDf cooperation: the guard prices the index AFTER the hot-shingle
     // cap, so a capped call inside budget proceeds
     assert(Dedup.jaccardJoin(d, maxDf = 5, maxExpectedPairs = 1000L).count() == 0)
+    // the sibling inverted-index pair operators carry the same guard:
+    // containment emits ORDERED pairs, so its exact count is double
+    // jaccard's (2700) — a budget of 2699 fires, 2700 passes
+    intercept[IllegalStateException] {
+      Dedup.containmentJoin(d, maxExpectedPairs = 2699L)
+    }
+    assert(Dedup.containmentJoin(d, maxExpectedPairs = 2700L).count() == 5 * 90)
+    intercept[IllegalStateException] {
+      Dedup.tfCosinePairs(d, maxExpectedPairs = 1000L)
+    }
+    assert(Dedup.tfCosinePairs(d, maxExpectedPairs = 0L).count() == 5 * 45)
   }
 
   test("minhash/simhash bucket cap bounds degenerate buckets with accounting") {
