@@ -539,18 +539,57 @@ object Dedup {
     * partitioned, shuffled once on shingle hash), eval side exploded the
     * same way; equi-join on the hash, count shared per (eval, train) pair.
     * Shuffles carry (hash, id, set-size) — never text. Same asymptotics as
-    * [[jaccardJoin]]: linear in both corpora + pairs actually overlapping.
+    * [[jaccardJoin]]: linear in both corpora + pairs actually overlapping —
+    * and therefore the same mass-overlap failure mode, guarded the same
+    * way: `maxExpectedPairs` prices the join EXACTLY
+    * (Σ_h df_train(h)·df_eval(h), one eager aggregate per index) before
+    * the pair stage is planned, and in-budget estimates above ~2M keys
+    * per task repartition the pair stream ([[pairBudget]] rationale).
+    * A benchmark suite pasted wholesale into millions of training docs —
+    * the exact situation decontamination exists for — blows the budget
+    * honestly; the guard's message routes to [[bloomDecontaminate]],
+    * whose Bloom-side screen is linear in the training corpus and
+    * reserves this exact-evidence join for the flagged remainder.
     */
   def crossCorpusOverlap(train: DataFrame, eval: DataFrame, k: Int = 5,
-                         minShared: Long = 1L): DataFrame = {
-    val t = rebalance(train)
+                         minShared: Long = 1L,
+                         maxExpectedPairs: Long = 1000000000L): DataFrame = {
+    val st = InternalCaches.register(rebalance(train)
       .select(col("doc_id").as("train_doc"),
-        explode(array_distinct(shingleHashes(tokens(col("text")), k))).as("h"))
-    val e = rebalance(eval)
+        array_distinct(shingleHashes(tokens(col("text")), k)).as("sh"))
+      .cache()) // consumed by the df pre-flight AND the join; caller releases
+    val se = InternalCaches.register(rebalance(eval)
       .select(col("doc_id").as("eval_doc"),
         array_distinct(shingleHashes(tokens(col("text")), k)).as("sh"))
-      .select(col("eval_doc"), size(col("sh")).cast("long").as("n_eval"), explode(col("sh")).as("h"))
-    t.join(e, Seq("h"))
+      .cache())
+    val t = st.select(col("train_doc"), explode(col("sh")).as("h"))
+    val e = se.select(col("eval_doc"), size(col("sh")).cast("long").as("n_eval"),
+      explode(col("sh")).as("h"))
+    var pairParts = 0
+    if (maxExpectedPairs > 0) {
+      val dft = t.groupBy(col("h")).agg(count(lit(1)).as("__dft"))
+      val dfe = e.groupBy(col("h")).agg(count(lit(1)).as("__dfe"))
+      val expected = Option(dft.join(dfe, Seq("h"))
+        .agg(sum((col("__dft") * col("__dfe")).cast("double")))
+        .head().get(0)).fold(0.0)(_.asInstanceOf[Number].doubleValue)
+      if (expected > maxExpectedPairs.toDouble)
+        throw new IllegalStateException(
+          f"crossCorpusOverlap: the exact overlap join would emit ~$expected%.3g " +
+            f"candidate rows (Σ df_train·df_eval over shared shingles), over the " +
+            f"maxExpectedPairs budget of $maxExpectedPairs%d — the eval set " +
+            "overlaps a mass-duplicated slice of the training corpus. Screen " +
+            "first with Dedup.bloomDecontaminate (linear in the training " +
+            "corpus) and reserve this exact-evidence join for the flagged " +
+            "remainder; or pass maxExpectedPairs = 0 to run unguarded.")
+      val sessionParts = t.sparkSession.sessionState.conf.numShufflePartitions
+      val target = math.min(4096L, (expected / 2e6).toLong)
+      if (target > sessionParts) pairParts = target.toInt
+    }
+    val joined0 = t.join(e, Seq("h"))
+    val joined =
+      if (pairParts == 0) joined0
+      else joined0.repartition(pairParts, col("eval_doc"), col("train_doc"))
+    joined
       .groupBy(col("eval_doc"), col("train_doc"), col("n_eval"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

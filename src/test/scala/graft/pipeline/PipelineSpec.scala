@@ -137,6 +137,19 @@ class PipelineSpec extends AnyFunSuite {
       Dedup.tfCosinePairs(d, maxExpectedPairs = 1000L)
     }
     assert(Dedup.tfCosinePairs(d, maxExpectedPairs = 0L).count() == 5 * 45)
+    // crossCorpusOverlap: Σ df_train·df_eval — eval holds one doc from
+    // each of the 5 mass-dup clusters, so every one of its 6 shingles
+    // meets df_train = 10: expected = 5·6·10 = 300 exactly
+    val eval5 = docs((0 until 5).map(c =>
+      (1000L + c) -> (1 to 8).map(t => s"c${c}tok$t").mkString(" ")): _*)
+    val ce = intercept[IllegalStateException] {
+      Dedup.crossCorpusOverlap(d, eval5, k = 3, maxExpectedPairs = 299L)
+    }
+    assert(ce.getMessage.contains("bloomDecontaminate"), ce.getMessage)
+    // exactly at the estimate passes, and the join's row count is the
+    // priced quantity collapsed per (eval, train) pair: 5 clusters × 10
+    assert(Dedup.crossCorpusOverlap(d, eval5, k = 3, maxExpectedPairs = 300L)
+      .count() == 5 * 10)
   }
 
   test("minhash/simhash bucket cap bounds degenerate buckets with accounting") {
