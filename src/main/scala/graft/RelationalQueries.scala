@@ -1309,8 +1309,8 @@ object RelationalQueries {
     * 100 TB) and a forced broadcast hint would OOM the driver — the r6
     * version had exactly that hint.
     */
-  private def orderBrands(s: SparkSession, d: String): DataFrame =
-    pipeline.InternalCaches.register(
+  private def orderBrands(s: SparkSession, d: String): DataFrame = {
+    val ob = pipeline.InternalCaches.register(
       lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey"))
         .join(part(s, d).select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
@@ -1318,6 +1318,16 @@ object RelationalQueries {
         .repartition(col("o"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Materialize the cache BEFORE consumers reference it: the itemset
+    // queries read ob from up to eight independent BroadcastExchange
+    // subqueries, and those futures launch concurrently — against a
+    // lazily-cached frame each one races to compute the same partitions
+    // (thundering herd; measured as 5× repeats of ob's 15 s-exec build
+    // inside one triple_itemsets run). One eager pass fills the cache,
+    // every future then reads it.
+    ob.count()
+    ob
+  }
 
   /** Market-basket co-occurrence: for each unordered brand pair, how many
     * orders contain both — the support table association mining starts
@@ -1841,13 +1851,21 @@ object RelationalQueries {
     val sup = ob.groupBy(col("b")).agg(count(lit(1)).as("sup"))
     // L2 at the 0.1% support floor — downward closure makes pruning on
     // THIS floor provably lossless (lift alone has no closure property)
-    val pairs = ob.select(col("o"), col("b").as("x"))
-      .join(ob.select(col("o"), col("b").as("y")), Seq("o"))
-      .filter(col("x") < col("y"))
-      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("sup"))
-      .crossJoin(broadcast(nB))
-      .filter(col("sup") * 1000 >= col("n_baskets"))
-      .select(col("x"), col("y"))
+    // pairs is read by FOUR independent broadcast subqueries downstream
+    // (cand's self-join sides + semi build + the triples prefix-prune) —
+    // each future would re-run the per-order pair join (the orderBrands
+    // thundering-herd pattern one level up); persist + materialize once.
+    // The frame itself is |frequent brand pairs| — tiny.
+    val pairs = pipeline.InternalCaches.register(
+      ob.select(col("o"), col("b").as("x"))
+        .join(ob.select(col("o"), col("b").as("y")), Seq("o"))
+        .filter(col("x") < col("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("sup"))
+        .crossJoin(broadcast(nB))
+        .filter(col("sup") * 1000 >= col("n_baskets"))
+        .select(col("x"), col("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    pairs.count()
     val cand = pairs.select(col("x").as("ca"), col("y").as("cb"))
       .join(pairs.select(col("x").as("ca"), col("y").as("cc")), Seq("ca"))
       .filter(col("cb") < col("cc"))
@@ -2932,7 +2950,12 @@ object RelationalQueries {
         val (nx, qx) = qs(i); val (ny, qy) = qs(j)
         sum((qx.cast(dec) * qy.cast(dec))).as(s"sp_${nx}_$ny")
       }) :+ count(lit(1)).as("n")
-    val m = lineitem(s, d).agg(moments.head, moments.tail: _*)
+    // DECIMAL(38) products are interpreted BigDecimal work — CPU-bound per
+    // row, so a single-row-group scan (sf0.1 lineitem) would fold all 31
+    // moment counters in one task (measured 1.6 s of a 2.0 s query); spread
+    // the scan first, the partial aggregates then combine to one row as
+    // before. No-op on many-file sources.
+    val m = pipeline.Dedup.rebalance(lineitem(s, d)).agg(moments.head, moments.tail: _*)
     val pairs = for (i <- qs.indices; j <- qs.indices if i < j) yield {
       val nx = qs(i)._1; val ny = qs(j)._1
       val num = (col("n").cast(dec) * col(s"sp_${nx}_$ny") -
@@ -3179,9 +3202,14 @@ object RelationalQueries {
            count(lit(1)).as("n_picked"))
   }
 
-  /** Contract instance over the events table. */
+  /** Contract instance over the events table. The B×-row md5 fan-out is
+    * CPU-bound (one portable hash per (event, replica)); a single-file scan
+    * would compute all of it in one task (the sf0.1 events table is one
+    * row group — measured 5.1 s in one task of a 5.4 s query), so the scan
+    * is spread first. No-op at scale (many-file sources pass through).
+    */
   def bootstrapCiQuery(s: SparkSession, d: String): DataFrame =
-    bootstrapCi(events(s, d))
+    bootstrapCi(pipeline.Dedup.rebalance(events(s, d)))
 
   /** DuckDB oracle for [[bootstrapCi]], generated with the SAME Poisson
     * thresholds and hash construction.

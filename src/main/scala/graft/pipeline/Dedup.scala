@@ -50,7 +50,22 @@ object Dedup {
   private[graft] def rebalance(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val files = df.inputFiles.length
-    if (files > 0 && files < target) df.repartition(target) else df
+    // Hash-partition on a deterministic key instead of round-robin: keyless
+    // repartition(n) pays a full local sort of its input per task
+    // (spark.sql.execution.sortBeforeRepartition, needed so retried tasks
+    // reproduce the same row-to-partition map — SPARK-23207), measured at
+    // 1.3-1.8 s on the 600k-row graph prologue. A hash of the frame's FIRST
+    // column is retry-deterministic by construction (the guide's
+    // pmod(xxhash64(id)) pattern), so the sort is skipped entirely.
+    // CONTRACT: callers put a high-cardinality id first — every call site
+    // does (doc_id / vec_id / event_id / l_orderkey / media ids), giving
+    // hash-uniform spread; hashing ONE column (not the whole row) keeps the
+    // scan's column pruning intact (an all-column hash key was measured to
+    // widen ReadSchema to every column — the plan-audit spec pins this).
+    // Same contract otherwise: no-op once the source has >= cores files
+    // (the 100 TB case) or is file-less.
+    if (files > 0 && files < target)
+      df.repartition(target, xxhash64(col(df.columns.head))) else df
   }
 
   /** Whitespace tokens with empties dropped. */
@@ -829,10 +844,22 @@ object Dedup {
   def fuzzyJoin(df: DataFrame, column: String, minLen: Int = 1): DataFrame = {
     val s = df.select(col(column).cast("string").as("s"))
       .filter(length(col("s")) >= math.max(minLen, 1)).distinct()
+    // Explicit variant-key spread before the self-join: the join's work is
+    // CPU-bound (Σ bucket² candidate rows through the a<b filter + pair
+    // dedup — 3.5M rows on 0.3 MB of input at sf0.1) while its BYTES are
+    // tiny, so AQE's byte-based coalescing collapses the whole join to one
+    // partition (measured: a 4.1 s single task in a 4.9 s query). A pinned
+    // hash repartition on the join key spreads the candidate generation
+    // and keeps the join itself exchange-free (both sides inherit this
+    // partitioning). Sized by the session's shuffle-partition setting —
+    // the deployment's scale knob — never a constant.
+    val spread = math.max(df.sparkSession.sparkContext.defaultParallelism,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
     val vars = s.select(col("s"), explode(expr(
       "array_union(array(s), transform(sequence(1, length(s)), " +
         "i -> concat(substring(s, 1, i - 1), substring(s, i + 1, length(s)))))"))
       .as("variant"))
+      .repartition(spread, col("variant"))
     vars.select(col("s").as("val_a"), col("variant"))
       .join(vars.select(col("s").as("val_b"), col("variant")), Seq("variant"))
       .filter(col("val_a") < col("val_b"))

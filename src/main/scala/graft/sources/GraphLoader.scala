@@ -663,17 +663,36 @@ object GraphLoader {
     val adj = bothDirections(und) // one und read, not a two-read self-union
       .repartition(col("v"))
       .localCheckpoint(true)
+    // FRONTIER form of the fixed-round relaxation — result-identical to the
+    // full `min(dist, min over ALL reached neighbors + 1)` sweep the oracle
+    // unrolls: a vertex whose level was assigned in round r proposes the
+    // same `level+1` in every later round, and those proposals are already
+    // ≥ the neighbors' assigned levels (BFS levels never improve), so only
+    // LAST round's newly-reached vertices can change anything. Each round
+    // therefore joins the adjacency against the shrinking frontier instead
+    // of the whole reached set, and an empty frontier is the fixpoint —
+    // every remaining budgeted round is the identity (the kCore monotone
+    // early-exit argument), so the loop stops instead of paying
+    // `rounds − diameter` full-edge sweeps that change nothing.
     var dist = adj.agg(min(col("v")).as("v")).select(col("v"), lit(0L).as("dist"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val proposals = adj.join(dist, Seq("v"))
+    var frontier = dist
+    var r = 0
+    while (r < rounds && !frontier.isEmpty) {
+      val newly = adj.join(frontier, Seq("v"))
         .select(col("w").as("v"), (col("dist") + 1L).as("dist"))
-      val prev = dist
-      dist = dist.unionByName(proposals)
         .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+        .join(dist.select(col("v")), Seq("v"), "left_anti")
         .localCheckpoint(true)
-      prev.unpersist()
+      val prevDist = dist
+      val prevFrontier = frontier
+      dist = dist.unionByName(newly).localCheckpoint(true)
+      if (!(prevFrontier eq prevDist)) prevFrontier.unpersist()
+      prevDist.unpersist()
+      frontier = newly
+      r += 1
     }
+    if (!(frontier eq dist)) frontier.unpersist() // rounds=0 ⇒ frontier IS dist
     adj.unpersist()
     dist.select(col("v").as("vertex"), col("dist"))
   }
@@ -723,24 +742,38 @@ object GraphLoader {
       .localCheckpoint(true)
     // hop h count = Σ_v popcount(newly-set bits in round h); round scalars
     // to the driver are bounded (one long per round — the Components
-    // changed-count discipline)
+    // changed-count discipline).
+    // DELTA propagation — result-identical to OR-ing full neighbor masks:
+    // bits a neighbor carried before its last change were already OR-ed in
+    // during earlier rounds (OR is monotone), so propagating only each
+    // changed vertex's NEW bits produces the same mask sequence while the
+    // per-round join touches only frontier-incident edges. A zero new-bit
+    // count is the fixpoint (masks stop changing), and trailing zero
+    // counts are filtered from the output anyway — exit the loop there
+    // instead of paying identity rounds.
     val counts = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
     counts += 0L -> state.agg(sum(bit_count(col("mask")))).head().getLong(0)
-    for (i <- 1 to rounds) {
-      val prop = adj.join(state, Seq("v"))
-        .groupBy(col("w").as("v")).agg(expr("bit_or(mask)").as("nbrmask"))
-      val prev = state
-      state = state.join(prop, Seq("v"), "left")
-        .select(col("v"), col("mask").as("prevmask"),
-          col("mask").bitwiseOR(coalesce(col("nbrmask"), lit(0L))).as("mask"))
+    var frontier = state.filter(col("mask") =!= 0L)
+    var backing = state // the checkpoint the current state/frontier ride on
+    var i = 1
+    while (i <= rounds && counts.last._2 > 0L) {
+      val prop = adj.join(frontier.withColumnRenamed("mask", "fb"), Seq("v"))
+        .groupBy(col("w").as("v")).agg(expr("bit_or(fb)").as("nbrmask"))
+      val step = state.join(prop, Seq("v"), "left")
+        .select(col("v"), col("mask"),
+          coalesce(col("nbrmask"), lit(0L)).bitwiseAND(expr("~mask")).as("newbits"))
         .localCheckpoint(true)
-      counts += i.toLong -> state
-        .agg(sum(bit_count(col("mask").bitwiseAND(expr("~prevmask"))))).head().getLong(0)
-      state = state.drop("prevmask")
-      prev.unpersist()
+      counts += i.toLong -> step.agg(sum(bit_count(col("newbits")))).head().getLong(0)
+      state = step.select(col("v"),
+        col("mask").bitwiseOR(col("newbits")).as("mask"))
+      frontier = step.filter(col("newbits") =!= 0L)
+        .select(col("v"), col("newbits").as("mask"))
+      backing.unpersist()
+      backing = step
+      i += 1
     }
     adj.unpersist()
-    state.unpersist()
+    backing.unpersist()
     counts.toSeq.filter(_._2 > 0).toDF("hop", "n_pairs")
   }
 
@@ -776,21 +809,38 @@ object GraphLoader {
         .otherwise(0L).as("mask"))
       .repartition(col("v"))
       .localCheckpoint(true)
+    // DELTA propagation + fixpoint exit (the hopPlot argument verbatim:
+    // OR-monotonicity makes new-bits-only propagation mask-identical, and
+    // once no vertex gains a bit every remaining round's h_i is exactly 0
+    // for every vertex — emitted as literal zero columns so the fixed
+    // h1…h<rounds> contract schema is unchanged).
     val histCols = scala.collection.mutable.ArrayBuffer[String]()
-    for (i <- 1 to rounds) {
-      val prop = adj.join(state, Seq("v"))
-        .groupBy(col("w").as("v")).agg(expr("bit_or(mask)").as("nbrmask"))
-      val prev = state
+    var frontier = state.filter(col("mask") =!= 0L)
+    var backing = state
+    var i = 1
+    var converged = frontier.isEmpty
+    while (i <= rounds && !converged) {
+      val prop = adj.join(frontier.withColumnRenamed("mask", "fb"), Seq("v"))
+        .groupBy(col("w").as("v")).agg(expr("bit_or(fb)").as("nbrmask"))
       val kept = histCols.map(col).toSeq
-      state = state.join(prop, Seq("v"), "left")
-        .select(Seq(col("v"),
-          col("mask").bitwiseOR(coalesce(col("nbrmask"), lit(0L))).as("mask"),
-          bit_count(coalesce(col("nbrmask"), lit(0L)).bitwiseAND(expr("~mask")))
-            .cast("long").as(s"h$i")) ++ kept: _*)
+      val step = state.join(prop, Seq("v"), "left")
+        .select(Seq(col("v"), col("mask"),
+          coalesce(col("nbrmask"), lit(0L)).bitwiseAND(expr("~mask")).as("newbits")) ++
+          kept: _*)
         .localCheckpoint(true)
+      state = step.select(Seq(col("v"),
+        col("mask").bitwiseOR(col("newbits")).as("mask"),
+        bit_count(col("newbits")).cast("long").as(s"h$i")) ++ kept: _*)
+      frontier = step.filter(col("newbits") =!= 0L)
+        .select(col("v"), col("newbits").as("mask"))
       histCols += s"h$i"
-      prev.unpersist()
+      backing.unpersist()
+      backing = step
+      converged = frontier.isEmpty
+      i += 1
     }
+    // rounds past the fixpoint reach nothing: exact-0 histogram columns
+    while (i <= rounds) { state = state.withColumn(s"h$i", lit(0L)); histCols += s"h$i"; i += 1 }
     adj.unpersist()
     val total = histCols.map(col).reduce(_ + _)
     state.filter(total > 0L)
@@ -946,16 +996,36 @@ object GraphLoader {
       .select(col("e.v").as("v"), col("e.w").as("w"), col("e.wt").as("wt"))
       .repartition(col("v"))
       .localCheckpoint(true)
+    // FRONTIER (delta) form of the fixed-round Bellman–Ford sweep —
+    // result-identical to the full relaxation the oracle unrolls: a vertex
+    // whose dist did NOT improve in round r re-proposes in round r+1
+    // exactly what it proposed in round r, which round r already folded
+    // into every neighbor's min, so only improved vertices can change
+    // anything. The adjacency therefore joins the shrinking changed set,
+    // and an empty frontier is the fixpoint (every remaining budgeted
+    // round is the identity) — the loop stops there instead of paying
+    // `rounds − convergence` full-edge sweeps.
     var dist = adj.agg(min(col("v")).as("v")).select(col("v"), lit(0L).as("dist"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val proposals = adj.join(dist, Seq("v"))
-        .select(col("w").as("v"), (col("dist") + col("wt")).as("dist"))
-      val prev = dist
-      dist = dist.unionByName(proposals)
-        .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+    var frontier = dist
+    var backing = dist // the checkpoint the current dist/frontier ride on
+    var r = 0
+    while (r < rounds && !frontier.isEmpty) {
+      val prop = adj.join(frontier.withColumnRenamed("dist", "fd"), Seq("v"))
+        .groupBy(col("w").as("v")).agg(min(col("fd") + col("wt")).as("p"))
+      // one checkpoint carries both next-round frames: the new dist is the
+      // per-vertex least of (old dist, best frontier proposal), the new
+      // frontier the rows that actually improved (least skips nulls)
+      val step = dist.join(prop, Seq("v"), "full_outer")
+        .select(col("v"), least(col("dist"), col("p")).as("nd"),
+          (col("dist").isNull ||
+            (col("p").isNotNull && col("p") < col("dist"))).as("improved"))
         .localCheckpoint(true)
-      prev.unpersist()
+      dist = step.select(col("v"), col("nd").as("dist"))
+      frontier = step.filter(col("improved")).select(col("v"), col("nd").as("dist"))
+      backing.unpersist()
+      backing = step
+      r += 1
     }
     adj.unpersist()
     dist.select(col("v").as("vertex"), col("dist"))
@@ -1089,14 +1159,20 @@ object GraphLoader {
     val lab = labelPropagationOn(und, rounds)
       .select(col("vertex").as("v"), col("label").as("lbl"))
     val mDf = und.agg(count(lit(1)).as("m"))
+    // lab is vertex-sized (bounded by the id domain, tiny next to the edge
+    // list) and already materialized by the LPA loop's final checkpoint —
+    // broadcast both endpoint lookups so the edge-sized frame never
+    // shuffles for them (the neighborJaccard deg-broadcast rationale;
+    // before: two sort-merge joins re-sorting the cached edge list,
+    // measured ~30 s of executor time across a 64-task stage).
     val internal = und
-      .join(lab.select(col("v").as("a"), col("lbl").as("la")), Seq("a"))
-      .join(lab.select(col("v").as("b"), col("lbl").as("lb")), Seq("b"))
+      .join(broadcast(lab.select(col("v").as("a"), col("lbl").as("la"))), Seq("a"))
+      .join(broadcast(lab.select(col("v").as("b"), col("lbl").as("lb"))), Seq("b"))
       .filter(col("la") === col("lb"))
       .groupBy(col("la").as("label")).agg(count(lit(1)).as("internal_edges"))
     val deg = und.select(col("a").as("v")).unionByName(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    val perComm = lab.join(deg, Seq("v"))
+    val perComm = broadcast(lab).join(deg, Seq("v"))
       .groupBy(col("lbl").as("label"))
       .agg(count(lit(1)).as("size"), sum(col("d")).as("degree_sum"))
     perComm.join(internal, Seq("label"), "left")
