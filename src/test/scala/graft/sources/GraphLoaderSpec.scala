@@ -449,4 +449,59 @@ class GraphLoaderSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == expect,
       "assortativity sums disagree with brute force")
   }
+
+  // --- r12 optimization-round pins: the frontier/delta rewrites of the
+  // monotone iterative operators must be FIXPOINT-STABLE — a round budget
+  // far past the graph's convergence returns byte-identical results to the
+  // budget that exactly reaches it (the early-exit contract), and
+  // seedDistances' fixed h1..h<rounds> schema keeps exact-0 columns for the
+  // budgeted-but-unreachable rounds. ---
+  test("frontier rewrites: rounds past the fixpoint are the identity (early exit)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // diamond + tail: diameter 3 from vertex 1; separate component {7,8}
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (7L, 8L))
+    val st = new StructType().add("src", LongType).add("dst", LongType)
+    val d = df(st, es.map(e => Row(e._1, e._2)))
+    def m(rows: Array[Row]) = rows.map(_.toSeq).toSet
+    assert(m(GraphLoader.bfsLevels(d, rounds = 3).collect()) ==
+           m(GraphLoader.bfsLevels(d, rounds = 12).collect()))
+    assert(m(GraphLoader.hopPlot(d, rounds = 3, seedMod = 1L).collect()) ==
+           m(GraphLoader.hopPlot(d, rounds = 12, seedMod = 1L).collect()))
+    // sssp: weighted fixture where the light 3-hop path must beat the
+    // heavy 1-hop edge, then a budget far past convergence
+    val wst = new StructType().add("a", LongType).add("b", LongType).add("wt", LongType)
+    val wd = df(wst, Seq(Row(1L, 4L, 10L), Row(1L, 2L, 1L), Row(2L, 3L, 1L), Row(3L, 4L, 1L)))
+    val s3 = m(GraphLoader.sssp(wd, rounds = 3).collect())
+    assert(s3 == m(GraphLoader.sssp(wd, rounds = 16).collect()))
+    assert(s3.contains(Seq[Any](4L, 3L)), s"light multi-hop path must win: $s3")
+  }
+
+  test("seedDistances: budget past the fixpoint fills exact-0 columns, same rows") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (7L, 8L))
+    val st = new StructType().add("src", LongType).add("dst", LongType)
+    val d = df(st, es.map(e => Row(e._1, e._2)))
+    val wide = GraphLoader.seedDistances(d, rounds = 6, seedMod = 1L)
+    assert(wide.columns.toSeq == Seq("vertex", "h1", "h2", "h3", "h4", "h5", "h6"))
+    val w = wide.collect().map(r => r.getLong(0) -> (1 to 6).map(r.getLong)).toMap
+    val n = GraphLoader.seedDistances(d, rounds = 3, seedMod = 1L).collect()
+      .map(r => r.getLong(0) -> (1 to 3).map(r.getLong)).toMap
+    assert(w.keySet == n.keySet)
+    for ((v, h) <- w) {
+      assert(h.take(3) == n(v), s"h1..h3 must match the exact-budget run for $v")
+      assert(h.drop(3).forall(_ == 0L), s"h4..h6 must be exact zeros for $v")
+    }
+  }
+
+  test("rebalance: spreads a single-file scan without changing the row multiset") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val before = docs.groupBy().count().collect()(0).getLong(0)
+    val r = graft.pipeline.Dedup.rebalance(docs)
+    assert(r.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
+      "single-file scan must spread to defaultParallelism partitions")
+    assert(r.groupBy().count().collect()(0).getLong(0) == before)
+    assert(r.select("doc_id").distinct().count() == before, "ids preserved")
+  }
 }
