@@ -283,10 +283,20 @@ object TrainingData {
     * global sort), so the one-row contract is engine-exact.
     */
   def embedOutliers(emb: DataFrame): DataFrame = {
-    val snorm = emb.select(col("vec_id"),
+    // snorm is consumed by EVERY branch of the two rank picks below (median
+    // counts + prefix sums + totals, then again for deviations and the
+    // final screen) — uncached, the plan re-evaluated the scan + per-row
+    // norm fold per branch (audited: 72 parquet scans / 162 exchanges in
+    // one explain). Cache the (id, long) frame once and materialize it
+    // eagerly so the picks' concurrent broadcast futures (`tot`, `med`,
+    // `mad`) read the cache instead of racing to fill it. Same for the
+    // deviation frame feeding the second pick.
+    val snorm = InternalCaches.register(emb.select(col("vec_id"),
       aggregate(transform(col("embedding").cast("array<double>"), x => {
         val v = floor(x * 1000 + lit(0.5d)); v * v
       }), lit(0.0d), (a, x) => a + x).cast("long").as("snorm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    snorm.count()
     // global lower-median pick over NON-NEGATIVE integer values via the
     // hierarchical exclusive prefix sum (per-type partitioning would be a
     // constant key here, which degenerates to a corpus-wide window — the
@@ -302,8 +312,10 @@ object TrainingData {
         .select(col("k").as("picked"))
     }
     val med = pick(snorm.select(col("snorm")), "snorm").withColumnRenamed("picked", "med")
-    val dev = snorm.crossJoin(broadcast(med))
+    val dev = InternalCaches.register(snorm.crossJoin(broadcast(med))
       .select(abs(col("snorm") - col("med")).as("dev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    dev.count()
     val mad = pick(dev, "dev").withColumnRenamed("picked", "mad")
     snorm.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
       .groupBy(col("med"), col("mad"))
