@@ -647,13 +647,14 @@ object GraphLoader {
   /** Fixed-round BFS hop distances from the graph's min-id vertex: `rounds`
     * full relaxations of `dist(w) = min(dist(w), dist(v)+1)` over the
     * undirected adjacency — the Pregel shape, one join + one min-aggregate
-    * per round, every shuffle carrying (id, dist) longs. Rounds are FIXED
-    * (no convergence exit) so the unrolled oracle CTE chain
-    * ([[bfsOracleCtes]]) states the identical computation; vertices not
-    * reached within `rounds` hops simply don't emit. The adjacency is
-    * checkpointed once and reused every round; each round's frontier
-    * checkpoint releases the previous (the Components lineage-cut
-    * discipline).
+    * per round, every shuffle carrying (id, dist) longs. The round budget
+    * is FIXED and the oracle CTE chain ([[bfsOracleCtes]]) unrolls exactly
+    * `rounds` rounds; the engine runs the result-identical FRONTIER form
+    * below and exits at the fixpoint (past it every budgeted round is the
+    * identity — see the in-body argument). Vertices not reached within
+    * `rounds` hops simply don't emit. The adjacency is checkpointed once
+    * and reused every round; each round's frontier checkpoint releases the
+    * previous (the Components lineage-cut discipline).
     */
   def bfsLevels(edges: DataFrame, rounds: Int): DataFrame = {
     val und = edges
@@ -981,10 +982,10 @@ object GraphLoader {
   /** Fixed-round single-source shortest paths (Bellman–Ford relaxation)
     * over integer-weighted undirected edges — [[bfsLevels]] with a weight
     * on every relaxation step. `weighted` carries canonical (a, b, wt)
-    * rows; source = min vertex id. Same per-round shape: one join + one
-    * min-aggregate, (id, dist) longs on every shuffle, fixed rounds so
-    * the unrolled oracle ([[ssspOracleCtes]]) states the identical
-    * computation.
+    * rows; source = min vertex id. (id, dist) longs on every shuffle; the
+    * round BUDGET is fixed and the unrolled oracle ([[ssspOracleCtes]])
+    * states exactly `rounds` full relaxations, while the engine runs the
+    * result-identical frontier form below and exits at the fixpoint.
     */
   def sssp(weighted: DataFrame, rounds: Int): DataFrame = {
     // one read of the caller's weighted frame (md5-derived in the contract
