@@ -479,7 +479,23 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullLineIso + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] $fullPath write failed: $e") }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":${repsOf("q1_agg")},"reps_tail":${repsOf("__tail")},"n_queries":${results.size},"baseline_total":${fmt(headline.map(_._2).filterNot(_.isNaN).sum)},"queries":${qmap(headline)}$isoJson$escJson$calibJson,"failed":${errors.size},"errors":$errs,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    // STDOUT CONTRACT (r12 verdict "wrong" #1): the driver keeps only the
+    // LAST ~2000 chars of output and sbt appends a "[success]" trailer, so
+    // this line has carried name LISTS (escalated/isolated/movers — ~150
+    // names in r12) that pushed the head — including "value" — out of the
+    // captured tail, and BENCH_r01–r12 all parsed null. The stdout line now
+    // carries COUNTS for every unbounded set and caps the error map; the
+    // full lists/maps are unchanged in BENCH_FULL.json (committed per
+    // round). Worst case (43 baseline entries + 3 capped errors) ≈ 1.7 KB.
+    val errsCapped = errors.take(3)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v.take(40)) }.mkString("{", ",", "}")
+    val stdoutLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":${repsOf("q1_agg")},"reps_tail":${repsOf("__tail")},"n_queries":${results.size},"baseline_total":${fmt(headline.map(_._2).filterNot(_.isNaN).sum)},"queries":${qmap(headline)},"isolated_n":${isolated.size},"isolated_failed_n":${isolatedFailed.size},"escalated_n":${escalated.size},"baseline_breach_n":${baselineBreach.size},"prior_movers_n":${priorMovers.size}$calibJson,"failed":${errors.size},"errors":$errsCapped,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    if (stdoutLine.length > 1900)
+      // belt-and-braces: never regress the parse again — fall back to the
+      // minimal contract fields (value + full per-query map lives on disk)
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(headline)},"failed":${errors.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    else println(stdoutLine)
     spark.stop()
   }
 }

@@ -1308,6 +1308,13 @@ object RelationalQueries {
     * itself; at cluster scale part is SF-proportional (billions of rows at
     * 100 TB) and a forced broadcast hint would OOM the driver — the r6
     * version had exactly that hint.
+    *
+    * SIDE EFFECT (r12 advice): BUILDING a query over this frame runs the
+    * eager cache-fill job below — `explain`/plan tooling over
+    * basketPairs/assocRules/tripleItemsets pays full materialization, and
+    * repeated builds without an `InternalCaches.release()` in between
+    * accumulate duplicate cached copies (the Bench/Verify rep loops do
+    * release between reps).
     */
   private def orderBrands(s: SparkSession, d: String): DataFrame = {
     val ob = pipeline.InternalCaches.register(

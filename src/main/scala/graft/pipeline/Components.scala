@@ -96,6 +96,10 @@ object Components {
     var iter = 0
     var converged = false
     var lastChanged = 0L
+    // AQE off for the round loop only (sub-second stages over the cached
+    // pre-partitioned edge list, nothing to adapt — guide §2.1); the
+    // caller's final plan keeps the session setting
+    Loops.withAqeOff(pairs.sparkSession) {
     while (!converged && iter < maxIter) {
       // ONE round per checkpoint + driver sync. Round batching (two rounds
       // per cut) was MEASURED SLOWER here both ways: uncheckpointed, round
@@ -107,15 +111,20 @@ object Components {
       val start = labels.withColumn("prev", col("label"))
       // materialized + lineage cut HERE (see scaladoc): the round
       // references its input twice (neighbor-min + jump) — an
-      // uncheckpointed plan would double every round
-      val stepped = round(start).localCheckpoint(true)
-      // one scalar to the driver per round; labels only ever decrease
-      val changed = stepped.filter(col("label") < col("prev")).count()
+      // uncheckpointed plan would double every round. The changed-count
+      // rides the SAME materialization pass (fused checkpoint+count, r13)
+      // instead of a second driver-synchronized job per round; accumulator
+      // counts can only over-count on task retry, never turn a nonzero
+      // count zero, so the convergence test (changed == 0) is exact.
+      // Output ordinals of round(): (id=0, prev=1, label=2), all longs.
+      val (stepped, changed) = org.apache.spark.sql.graft.bridge.localCheckpointCounted(
+        round(start), r => r.getLong(2) < r.getLong(1))
       labels.unpersist() // stepped is materialized — the old round can go
       labels = stepped.drop("prev")
       converged = changed == 0L
       lastChanged = changed
       iter += 1
+    }
     }
     edges.unpersist()
     p.unpersist()

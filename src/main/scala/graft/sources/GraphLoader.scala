@@ -253,9 +253,13 @@ object GraphLoader {
     for (i <- 1 to iters) {
       // ed ⋈ od re-plans per round but od is broadcast-sized — measured:
       // hoisting it into its own persisted frame cost MORE (one extra
-      // 600k-row cache materialization) than three broadcast re-joins
-      val contribs = ed.join(od, Seq("s"))
-        .join(mass.withColumnRenamed("v", "s"), Seq("s"))
+      // 600k-row cache materialization) than three broadcast re-joins.
+      // EXPLICIT hints (r13): both lookup sides are vertex-bounded
+      // (id-domain-bounded contract callers); without the hint the
+      // stat-less checkpoint scans plan sort-merge joins whose edge-side
+      // shuffle map writes run even when AQE later converts to broadcast.
+      val contribs = ed.join(broadcast(od), Seq("s"))
+        .join(broadcast(mass.withColumnRenamed("v", "s")), Seq("s"))
         .select(col("t").as("v"),
           expr(s"(m * ${dampNum}L) div (${dampDen}L * deg)").as("c"))
       // ONE shuffle per round: the per-vertex base is a row in the same
@@ -307,8 +311,8 @@ object GraphLoader {
     var mass = seeds.select(col("v"), lit(init).as("m"))
     val cuts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (i <- 1 to iters) {
-      val contribs = ed.join(od, Seq("s"))
-        .join(mass.withColumnRenamed("v", "s"), Seq("s"))
+      val contribs = ed.join(broadcast(od), Seq("s"))
+        .join(broadcast(mass.withColumnRenamed("v", "s")), Seq("s"))
         .select(col("t").as("v"),
           expr(s"(m * ${dampNum}L) div (${dampDen}L * deg)").as("c"))
       // the mass frame only ever holds vertices with nonzero mass — absent
@@ -386,7 +390,11 @@ object GraphLoader {
           concat(lit("neg_"), col("v"), lit("_"), col("j"))), lit(modulus)).as("neg"))
       .filter(col("neg") =!= col("v"))
     val out = probes
-      .join(verts.select(col("id").as("neg")), Seq("neg"), "left_semi")
+      // verts is vertex-bounded (id-domain-bounded contract callers):
+      // broadcast the semi-join build side so the k·|V| probe frame never
+      // shuffles for the existence check; the edge-sized anti-join below
+      // stays a shuffle join (und is corpus-sized, NOT broadcastable)
+      .join(broadcast(verts.select(col("id").as("neg"))), Seq("neg"), "left_semi")
       .select(col("v"), col("neg"), col("j"),
         least(col("v"), col("neg")).as("a"), greatest(col("v"), col("neg")).as("b"))
       .join(und, Seq("a", "b"), "left_anti")
@@ -431,11 +439,19 @@ object GraphLoader {
     }
     var hub = nodes.select(col("v"), lit(scale).as("m"))
     var auth = hub.limit(0)
-    for (_ <- 1 to iters) {
-      auth = renorm(ed.join(hub.withColumnRenamed("v", "s"), Seq("s"))
-        .groupBy(col("t").as("v")).agg(sum(col("m")).as("r")))
-      hub = renorm(ed.join(auth.withColumnRenamed("v", "t"), Seq("t"))
-        .groupBy(col("s").as("v")).agg(sum(col("m")).as("r")))
+    // EXPLICIT broadcast of the vertex-sized mass frames (id-domain-bounded
+    // in every contract caller — the communityStats precondition): without
+    // the hint the planner sees a stat-less checkpoint scan and plans a
+    // sort-merge join, whose edge-side shuffle map write runs even when AQE
+    // later converts to broadcast — and the auth half-round would re-sort
+    // the s-partitioned edge cache on t every iteration.
+    graft.pipeline.Loops.withAqeOff(edges.sparkSession) {
+      for (_ <- 1 to iters) {
+        auth = renorm(ed.join(broadcast(hub.withColumnRenamed("v", "s")), Seq("s"))
+          .groupBy(col("t").as("v")).agg(sum(col("m")).as("r")))
+        hub = renorm(ed.join(broadcast(auth.withColumnRenamed("v", "t")), Seq("t"))
+          .groupBy(col("s").as("v")).agg(sum(col("m")).as("r")))
+      }
     }
     val out = nodes
       .join(hub.select(col("v"), col("m").as("hub_mass")), Seq("v"), "left")
@@ -506,23 +522,29 @@ object GraphLoader {
     var survivors = -1L
     var r = 0
     var done = false
+    graft.pipeline.Loops.withAqeOff(edges.sparkSession) {
     while (r < rounds && !done) {
-      val keep = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("v"))
-        .localCheckpoint(true)
-      val n = keep.count()
+      // ONE fused checkpoint+count job (the survivor count used to be a
+      // second job); the adjacency is partitioned on v, so the degree
+      // aggregate is exchange-free, and the vertex-bounded keep set
+      // BROADCASTS into both semi-joins (the communityStats rationale) so
+      // the peeled adjacency never shuffles either
+      val (keep, n) = org.apache.spark.sql.graft.bridge.localCheckpointCounted(
+        adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("v")))
       if (n == survivors) done = true // monotone ⇒ same count = same set
       else {
         survivors = n
         val prev = adj
         adj = adj
-          .join(keep, Seq("v"), "left_semi")
-          .join(keep.select(col("v").as("w")), Seq("w"), "left_semi")
+          .join(broadcast(keep), Seq("v"), "left_semi")
+          .join(broadcast(keep.select(col("v").as("w"))), Seq("w"), "left_semi")
           .select(col("v"), col("w")) // keep (v, w) column order
           .localCheckpoint(true)
         prev.unpersist()
       }
       r += 1
+    }
     }
     adj.groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
       .select(col("v").as("vertex"), col("core_deg"))
@@ -582,12 +604,18 @@ object GraphLoader {
     var r = 0
     var done = false
     var lastSup = und.select(col("a"), col("b"), lit(0L).as("support")).limit(0)
+    // NO AQE-off here (unlike the vertex-frontier loops): the wedge
+    // self-join and triangle-closing join sizes are round-dependent and
+    // not statically hinted — AQE's runtime sizing earns its replanning
+    // cost (measured: wrapping this loop cost 0.78×). The vertex-bounded
+    // degree lookups DO get explicit broadcasts so the edge list never
+    // shuffles for them.
     while (r < rounds && !done) {
       val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
       val oriented = und
-        .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
-        .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+        .join(broadcast(deg.select(col("id").as("a"), col("deg").as("da"))), Seq("a"))
+        .join(broadcast(deg.select(col("id").as("b"), col("deg").as("db"))), Seq("b"))
         .select(when(col("da") < col("db") ||
             (col("da") === col("db") && col("a") < col("b")), col("a")).otherwise(col("b")).as("u"),
           when(col("da") < col("db") ||
@@ -600,9 +628,11 @@ object GraphLoader {
         .select(col("u"), col("v"), col("w"))
       val sup = triangleEdges(tri)
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
-      val kept = sup.filter(col("support") >= k - 2).localCheckpoint(true)
+      // ONE fused checkpoint+count job — the survivor count used to be a
+      // second driver-synchronized job per round
+      val (kept, n) = org.apache.spark.sql.graft.bridge.localCheckpointCounted(
+        sup.filter(col("support") >= k - 2))
       oriented.unpersist()
-      val n = kept.count()
       if (n == nEdges) done = true // monotone ⇒ same count = same set
       else {
         nEdges = n
@@ -675,25 +705,37 @@ object GraphLoader {
     // every remaining budgeted round is the identity (the kCore monotone
     // early-exit argument), so the loop stops instead of paying
     // `rounds − diameter` full-edge sweeps that change nothing.
+    //
+    // Round shape (r13): the frontier is vertex-bounded (id-domain-bounded
+    // in every contract caller — the communityStats broadcast rationale),
+    // so it BROADCASTS into the adjacency join instead of shuffling the
+    // cached edge list to meet it; the per-round driver work is ONE fused
+    // checkpoint+count job ([[bridge.localCheckpointCounted]] — the
+    // isEmpty probe used to be a second job); and the reached set
+    // accumulates as a UNION of the checkpointed per-round deltas instead
+    // of being re-copied through a second checkpoint every round (the old
+    // form materialized O(|reached|) rows per round, this is O(|delta|)).
     var dist = adj.agg(min(col("v")).as("v")).select(col("v"), lit(0L).as("dist"))
       .localCheckpoint(true)
     var frontier = dist
+    var frontierN = 1L // the single seed row
     var r = 0
-    while (r < rounds && !frontier.isEmpty) {
-      val newly = adj.join(frontier, Seq("v"))
-        .select(col("w").as("v"), (col("dist") + 1L).as("dist"))
-        .groupBy(col("v")).agg(min(col("dist")).as("dist"))
-        .join(dist.select(col("v")), Seq("v"), "left_anti")
-        .localCheckpoint(true)
-      val prevDist = dist
-      val prevFrontier = frontier
-      dist = dist.unionByName(newly).localCheckpoint(true)
-      if (!(prevFrontier eq prevDist)) prevFrontier.unpersist()
-      prevDist.unpersist()
-      frontier = newly
-      r += 1
+    // AQE off for the round loop only (sub-second hinted stages, nothing
+    // to adapt — guide §2.1); the caller's final plan keeps the session
+    // setting
+    graft.pipeline.Loops.withAqeOff(edges.sparkSession) {
+      while (r < rounds && frontierN > 0L) {
+        val (newly, n) = org.apache.spark.sql.graft.bridge.localCheckpointCounted(
+          adj.join(broadcast(frontier), Seq("v"))
+            .select(col("w").as("v"), (col("dist") + 1L).as("dist"))
+            .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+            .join(dist.select(col("v")), Seq("v"), "left_anti"))
+        dist = dist.unionByName(newly)
+        frontier = newly
+        frontierN = n
+        r += 1
+      }
     }
-    if (!(frontier eq dist)) frontier.unpersist() // rounds=0 ⇒ frontier IS dist
     adj.unpersist()
     dist.select(col("v").as("vertex"), col("dist"))
   }
@@ -757,8 +799,12 @@ object GraphLoader {
     var frontier = state.filter(col("mask") =!= 0L)
     var backing = state // the checkpoint the current state/frontier ride on
     var i = 1
+    graft.pipeline.Loops.withAqeOff(edges.sparkSession) {
     while (i <= rounds && counts.last._2 > 0L) {
-      val prop = adj.join(frontier.withColumnRenamed("mask", "fb"), Seq("v"))
+      // frontier is vertex-bounded (id-domain-bounded in every contract
+      // caller): broadcast it into the edge join instead of shuffling the
+      // cached adjacency to meet it (the communityStats rationale)
+      val prop = adj.join(broadcast(frontier.withColumnRenamed("mask", "fb")), Seq("v"))
         .groupBy(col("w").as("v")).agg(expr("bit_or(fb)").as("nbrmask"))
       val step = state.join(prop, Seq("v"), "left")
         .select(col("v"), col("mask"),
@@ -772,6 +818,7 @@ object GraphLoader {
       backing.unpersist()
       backing = step
       i += 1
+    }
     }
     adj.unpersist()
     backing.unpersist()
@@ -801,34 +848,44 @@ object GraphLoader {
     val adj = bothDirections(und)
       .repartition(col("v"))
       .localCheckpoint(true)
-    var state = adj.select(col("v")).distinct()
-      .select(col("v"), when(pmod(col("v"), lit(seedMod)) === 0L,
-        expr(s"""if(v div $seedMod >= 64,
-                    raise_error(concat('seedDistances: seed index v div $seedMod >= 64 for v=',
-                                       cast(v as string))),
-                    shiftleft(1L, cast(v div $seedMod as int)))"""))
-        .otherwise(0L).as("mask"))
-      .repartition(col("v"))
-      .localCheckpoint(true)
+    // seed state: the fused checkpoint+count ALSO answers the "any seeds at
+    // all?" probe (mask ≠ 0 rows) that used to be its own isEmpty job
+    val (state0, seedN) = org.apache.spark.sql.graft.bridge.localCheckpointCounted(
+      adj.select(col("v")).distinct()
+        .select(col("v"), when(pmod(col("v"), lit(seedMod)) === 0L,
+          expr(s"""if(v div $seedMod >= 64,
+                      raise_error(concat('seedDistances: seed index v div $seedMod >= 64 for v=',
+                                         cast(v as string))),
+                      shiftleft(1L, cast(v div $seedMod as int)))"""))
+          .otherwise(0L).as("mask"))
+        .repartition(col("v")),
+      r => r.getLong(1) != 0L)
+    var state = state0
     // DELTA propagation + fixpoint exit (the hopPlot argument verbatim:
     // OR-monotonicity makes new-bits-only propagation mask-identical, and
     // once no vertex gains a bit every remaining round's h_i is exactly 0
     // for every vertex — emitted as literal zero columns so the fixed
-    // h1…h<rounds> contract schema is unchanged).
+    // h1…h<rounds> contract schema is unchanged). Per round (r13): ONE
+    // fused checkpoint+count job — the frontier probe (any newbits?) is an
+    // accumulator over the same materialization pass, and the frontier
+    // BROADCASTS into the edge join (vertex-bounded, the communityStats
+    // rationale) instead of shuffling the cached adjacency to meet it.
     val histCols = scala.collection.mutable.ArrayBuffer[String]()
     var frontier = state.filter(col("mask") =!= 0L)
     var backing = state
     var i = 1
-    var converged = frontier.isEmpty
+    var converged = seedN == 0L
+    graft.pipeline.Loops.withAqeOff(edges.sparkSession) {
     while (i <= rounds && !converged) {
-      val prop = adj.join(frontier.withColumnRenamed("mask", "fb"), Seq("v"))
+      val prop = adj.join(broadcast(frontier.withColumnRenamed("mask", "fb")), Seq("v"))
         .groupBy(col("w").as("v")).agg(expr("bit_or(fb)").as("nbrmask"))
       val kept = histCols.map(col).toSeq
-      val step = state.join(prop, Seq("v"), "left")
-        .select(Seq(col("v"), col("mask"),
-          coalesce(col("nbrmask"), lit(0L)).bitwiseAND(expr("~mask")).as("newbits")) ++
-          kept: _*)
-        .localCheckpoint(true)
+      val (step, frontN) = org.apache.spark.sql.graft.bridge.localCheckpointCounted(
+        state.join(prop, Seq("v"), "left")
+          .select(Seq(col("v"), col("mask"),
+            coalesce(col("nbrmask"), lit(0L)).bitwiseAND(expr("~mask")).as("newbits")) ++
+            kept: _*),
+        r => r.getLong(2) != 0L)
       state = step.select(Seq(col("v"),
         col("mask").bitwiseOR(col("newbits")).as("mask"),
         bit_count(col("newbits")).cast("long").as(s"h$i")) ++ kept: _*)
@@ -837,8 +894,9 @@ object GraphLoader {
       histCols += s"h$i"
       backing.unpersist()
       backing = step
-      converged = frontier.isEmpty
+      converged = frontN == 0L
       i += 1
+    }
     }
     // rounds past the fixpoint reach nothing: exact-0 histogram columns
     while (i <= rounds) { state = state.withColumn(s"h$i", lit(0L)); histCols += s"h$i"; i += 1 }
@@ -873,33 +931,47 @@ object GraphLoader {
     val adj = bothDirections(und)
       .repartition(col("v"))
       .localCheckpoint(true)
-    var reached = adj.select(col("v")).distinct()
-      .filter(pmod(col("v"), lit(seedMod)) === 0L)
-      .select(col("v").as("seed"), col("v"), lit(0L).as("dist"), lit(1L).as("sigma"))
-      .localCheckpoint(true)
-    var frontier = reached
-    for (i <- 1 to rounds) {
+    // Round shape (r13): ONE fused checkpoint+count job per round — the
+    // reached set accumulates as a UNION of the checkpointed per-round
+    // deltas instead of being re-copied through a second checkpoint every
+    // round (O(|delta|) materialized per round, not O(|reached|)), and the
+    // count that rides the delta's materialization gives a FREE fixpoint
+    // exit: an empty frontier proposes nothing in every later round
+    // (first-reach-only σ is monotone), so the remaining budgeted rounds
+    // are the identity — the bfsLevels/kCore early-exit argument. State
+    // stays (seed, v) pairs and is NEVER broadcast (|seeds|·|V|-bounded,
+    // not vertex-bounded).
+    val (reached0, seedN) = org.apache.spark.sql.graft.bridge.localCheckpointCounted(
+      adj.select(col("v")).distinct()
+        .filter(pmod(col("v"), lit(seedMod)) === 0L)
+        .select(col("v").as("seed"), col("v"), lit(0L).as("dist"), lit(1L).as("sigma")))
+    var reached = reached0
+    var frontier = reached0
+    var frontierN = seedN
+    var i = 1
+    // NO AQE-off here (unlike the vertex-frontier loops): the per-round
+    // frames are (seed, v)-pair-sized, not vertex-bounded, so no static
+    // broadcast hint applies — AQE's runtime conversion of the anti-join
+    // build side is the win (measured: wrapping this loop cost 0.89×).
+    while (i <= rounds && frontierN > 0L) {
       val proposals = adj
         .join(frontier.select(col("seed"), col("v"), col("sigma")), Seq("v"))
         .groupBy(col("seed"), col("w"))
         .agg(sum(col("sigma")).as("sigma"))
         .select(col("seed"), col("w").as("v"), col("sigma"))
-      val newly = proposals
-        .join(reached.select(col("seed"), col("v")), Seq("seed", "v"), "left_anti")
-        .select(col("seed"), col("v"), lit(i.toLong).as("dist"), col("sigma"))
-        .localCheckpoint(true)
-      val prev = reached
-      reached = reached.unionByName(newly).localCheckpoint(true)
-      prev.unpersist()
-      frontier.unpersist()
+      val (newly, n) = org.apache.spark.sql.graft.bridge.localCheckpointCounted(
+        proposals
+          .join(reached.select(col("seed"), col("v")), Seq("seed", "v"), "left_anti")
+          .select(col("seed"), col("v"), lit(i.toLong).as("dist"), col("sigma")))
+      reached = reached.unionByName(newly)
       frontier = newly
+      frontierN = n
+      i += 1
     }
     adj.unpersist()
-    val out = reached.groupBy(col("v").as("vertex"))
+    reached.groupBy(col("v").as("vertex"))
       .agg(count(lit(1)).as("n_seeds"), min(col("dist")).as("min_dist"),
         sum(col("sigma")).as("total_paths"))
-    frontier.unpersist()
-    out
   }
 
   /** DuckDB twin of [[pathCounts]]' loop over a caller-supplied
@@ -1009,24 +1081,35 @@ object GraphLoader {
     var dist = adj.agg(min(col("v")).as("v")).select(col("v"), lit(0L).as("dist"))
       .localCheckpoint(true)
     var frontier = dist
+    var frontierN = 1L // the single source row
     var backing = dist // the checkpoint the current dist/frontier ride on
     var r = 0
-    while (r < rounds && !frontier.isEmpty) {
-      val prop = adj.join(frontier.withColumnRenamed("dist", "fd"), Seq("v"))
+    graft.pipeline.Loops.withAqeOff(weighted.sparkSession) {
+    while (r < rounds && frontierN > 0L) {
+      // frontier is vertex-bounded (id-domain-bounded in every contract
+      // caller): broadcast it into the edge join instead of shuffling the
+      // cached adjacency to meet it (the communityStats rationale)
+      val prop = adj.join(broadcast(frontier.withColumnRenamed("dist", "fd")), Seq("v"))
         .groupBy(col("w").as("v")).agg(min(col("fd") + col("wt")).as("p"))
-      // one checkpoint carries both next-round frames: the new dist is the
-      // per-vertex least of (old dist, best frontier proposal), the new
-      // frontier the rows that actually improved (least skips nulls)
-      val step = dist.join(prop, Seq("v"), "full_outer")
-        .select(col("v"), least(col("dist"), col("p")).as("nd"),
-          (col("dist").isNull ||
-            (col("p").isNotNull && col("p") < col("dist"))).as("improved"))
-        .localCheckpoint(true)
+      // ONE fused checkpoint+count job carries both next-round frames AND
+      // the convergence probe: the new dist is the per-vertex least of
+      // (old dist, best frontier proposal), the new frontier the rows that
+      // actually improved (least skips nulls), and the improved-row count
+      // rides the materialization pass (the isEmpty probe used to be a
+      // second driver-synchronized job per round)
+      val (step, improvedN) = org.apache.spark.sql.graft.bridge.localCheckpointCounted(
+        dist.join(prop, Seq("v"), "full_outer")
+          .select(col("v"), least(col("dist"), col("p")).as("nd"),
+            (col("dist").isNull ||
+              (col("p").isNotNull && col("p") < col("dist"))).as("improved")),
+        r => r.getBoolean(2))
       dist = step.select(col("v"), col("nd").as("dist"))
       frontier = step.filter(col("improved")).select(col("v"), col("nd").as("dist"))
       backing.unpersist()
       backing = step
+      frontierN = improvedN
       r += 1
+    }
     }
     adj.unpersist()
     dist.select(col("v").as("vertex"), col("dist"))
@@ -1061,14 +1144,20 @@ object GraphLoader {
     * connected components; frequency-vote propagation finds dense
     * sub-communities within them.
     *
-    * Per-round shape: one equi-join (edges × labels) + two hash
-    * aggregates (frequency count, then max-tie-resolve via join-back —
-    * the engine-portable argmax idiom, no argmax/struct-ordering
-    * dependence). Every shuffle carries (id, label, count) longs; the
-    * adjacency is checkpointed once and reused; each round's label
+    * Per-round shape: one equi-join (edges × BROADCAST labels) + two hash
+    * aggregates, both exchange-free on the v-partitioned cached adjacency
+    * (min label among max count folds into one lexicographic struct-max).
+    * The adjacency is checkpointed once and reused; each round's label
     * checkpoint releases the previous (the Components lineage-cut
-    * discipline). At 1000 executors this is rounds × (one edge-sized
-    * shuffle) — the Pregel floor for any vertex program.
+    * discipline).
+    *
+    * Scale PRECONDITION: the label frame is vertex-sized and broadcast
+    * every round, so the vertex set must fit a broadcast relation (hard
+    * cap 8 GB / 512M rows; every contract caller derives ids pmod 20011,
+    * bounding |V| ≤ 20011 at ANY scale factor). For an unbounded-|V|
+    * graph, drop the broadcast hint and re-partition the adjacency on w —
+    * rounds degrade to the edge-sized-shuffle Pregel floor but never OOM
+    * the driver.
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame =
     labelPropagationOn(edges
@@ -1084,15 +1173,26 @@ object GraphLoader {
   private def labelPropagationOn(und: DataFrame, rounds: Int): DataFrame = {
     // ONE read of und, not a self-union of two: each read re-runs the
     // caller's src/dst derivation AND the distinct shuffle (md5 fixtures
-    // pay that twice); the explode doubles rows in the same pass
+    // pay that twice); the explode doubles rows in the same pass.
+    //
+    // Partitioned on v, NOT the join key w (r13): the label frame is
+    // vertex-bounded (id-domain-bounded in every contract caller — the
+    // communityStats broadcast rationale) and BROADCASTS into the per-round
+    // join, which then preserves the adjacency's v-partitioning — and
+    // HashPartitioning(v) satisfies ClusteredDistribution(v, lbl), so BOTH
+    // per-round aggregates below run exchange-free: a round is ONE stage
+    // over the cached adjacency plus a vertex-sized broadcast, zero
+    // edge-sized shuffles (the old w-partitioned shape paid the |E|-row
+    // (v, lbl) frequency exchange every round).
     val adj = bothDirections(und)
-      .repartition(col("w")) // join key below is w (the neighbor being read)
+      .repartition(col("v"))
       .localCheckpoint(true)
     var labels = adj.select(col("v")).distinct()
       .select(col("v"), col("v").as("lbl"))
       .localCheckpoint(true)
+    graft.pipeline.Loops.withAqeOff(und.sparkSession) {
     for (_ <- 1 to rounds) {
-      val freq = adj.join(labels.withColumnRenamed("v", "w"), Seq("w"))
+      val freq = adj.join(broadcast(labels.withColumnRenamed("v", "w")), Seq("w"))
         .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
       val prev = labels
       // min label among max count in ONE aggregation: max over the
@@ -1106,6 +1206,7 @@ object GraphLoader {
         .select(col("v"), (-col("m.nl")).as("lbl"))
         .localCheckpoint(true)
       prev.unpersist()
+    }
     }
     adj.unpersist()
     labels.select(col("v").as("vertex"), col("lbl").as("label"))
@@ -1140,10 +1241,14 @@ object GraphLoader {
     * so the contract stays BIGINT-exact on both engines (the
     * pageRankPortable integer-mass trick applied to modularity).
     *
-    * Scale: labels join the edge list twice (id/label longs only); the
-    * per-community aggregates are map-side combined to ≤ |communities|
-    * rows; m arrives as a broadcast 1-row aggregate, never a driver
-    * collect.
+    * Scale: the vertex-sized label frame is BROADCAST into both endpoint
+    * lookups (the edge-sized frame never shuffles for them) and into the
+    * degree join; m arrives as a broadcast 1-row aggregate, never a driver
+    * collect. PRECONDITION (same as [[labelPropagation]]): the vertex set
+    * must fit a broadcast relation — every contract caller derives ids
+    * pmod 20011, bounding |V| ≤ 20011 at ANY scale factor. For an
+    * unbounded-|V| graph drop the broadcast hints and let AQE pick the
+    * join strategy from runtime sizes.
     */
   def communityStats(edges: DataFrame, rounds: Int): DataFrame = {
     // canonicalize ONCE and cache: the edge list is consumed four times

@@ -932,6 +932,16 @@ object EventStreams {
         catch { case scala.util.control.NonFatal(_) => () }
       }
       clone.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      // Changelog checkpointing (r13): the RocksDB provider's default
+      // commit uploads a FULL state snapshot per micro-batch per partition;
+      // changelog mode uploads just the batch's delta and snapshots in the
+      // background — the documented production setting for frequent small
+      // commits, and exactly the replay shape (32 partitions × ~5 batches
+      // of tiny deltas). State content, batch count and emitted rows are
+      // unchanged — the provider-equivalence certificate still compares
+      // the same two providers, one IO strategy cheaper.
+      clone.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       clone
     }
     import s.implicits._
